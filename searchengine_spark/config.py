@@ -1,0 +1,22 @@
+"""Crawl configuration shared by the Spark engine and the oracle simulator.
+
+Defaults mirror the reference's constants where one exists (cites into
+/root/reference/SearchEngine/SearchEngine/SearchEngine.h).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class CrawlConfig:
+    n_shards: int = 8  # PENDINGDBMAX=2000 at production scale (SearchEngine.h:32)
+    per_shard_quota: int = 25  # round backpressure (ref: maxPending/shards/BULK, :808-810)
+    politeness_rounds: int = 1  # DDOSDELAY=15s ≙ 1 round tick (SearchEngine.h:21)
+    max_urls_per_host: int = 1_000_000  # MAXURLPERHOST (SearchEngine.h:17)
+    max_doc: int = 500  # synthetic URL universe size (corpus grammar ids)
+    shard_salt: str = "s0"  # hot-host salting knob (north_rule; SURVEY §4-X3)
+    use_bloom: bool = True  # bloom prefilter before the exact anti-join (D3)
+    bloom_bits_per_shard: int = 1 << 16
+    bloom_hashes: int = 4

@@ -1,0 +1,161 @@
+"""Frontier operators: candidate ingestion + deterministic round scheduling.
+
+Re-expresses the reference's frontier semantics as DataFrame algebra:
+
+* candidate ingestion  ≙ pushPending (SearchEngine.h:800-836):
+  canonicalize -> filter -> shard -> per-host cap -> dedup(anti-join seen)
+* round scheduling     ≙ crawlingThread's bulk pull + min-wait pick
+  (SearchEngine.h:482-512, SearchEngine.cpp:672-770), de-randomized:
+  the reference pulls random buckets (KKHash.hpp:200-209) and picks the
+  smallest politeness wait (SearchEngine.cpp:731-765); our ordering
+  contract is (discovered_round, url_md5) — deterministic, so the crawl
+  log is reproducible and testable against the oracle simulator
+  (SURVEY.md §4-X11).
+
+Scale notes (100 TB / 10^10-URL frontier):
+* every window here partitions by `host` or `shard` — never a global
+  sort; the per-shard quota bounds a round's output independently of
+  frontier size;
+* the hosts dimension is orders of magnitude smaller than the frontier
+  and is broadcast into the eligibility join;
+* hot hosts are tamed twice: the salted shard key spreads *different*
+  hosts across shards evenly, and the per-host rank=1 rule caps any
+  single host at 1 URL/round regardless of its frontier share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+from searchengine_spark.config import CrawlConfig
+from searchengine_spark.corpus import (
+    ROBOTS_DISALLOWED_PREFIX,
+    robots_state_expr,
+)
+from searchengine_spark.functions.urls import (
+    canonicalize_expr,
+    filter_url_expr,
+    host_shard_expr,
+    split_host_expr,
+    url_md5_expr,
+)
+
+FRONTIER_COLS = ["url", "url_md5", "host", "shard", "discovered_round"]
+
+
+def normalize_candidates(raw: DataFrame, cfg: CrawlConfig, url_col: str = "raw_url") -> DataFrame:
+    """raw URLs -> canonical candidates (row-level rules only).
+
+    canonicalize (P1) -> filter (P4) -> key (P3) -> host/shard (P2/P5)
+    -> robots gate (north_rule addition, checked at ingestion).
+    Row-level only: batch-dedup / seen-dedup / host caps are separate
+    operators so each stage is independently testable.
+    """
+    c = canonicalize_expr(F.col(url_col))
+    df = (
+        raw.withColumn("url", c)
+        .where(F.col("url").isNotNull())
+        .where(filter_url_expr(F.col("url")))
+        .withColumn("url_md5", url_md5_expr(F.col("url")))
+        .where(F.col("url_md5").isNotNull())
+        .withColumn("host", split_host_expr(F.col("url")))
+        .withColumn("shard", host_shard_expr(F.col("host"), cfg.n_shards, cfg.shard_salt))
+    )
+    # robots gate: deny-all hosts dropped; prefix-disallowed paths dropped
+    rs = robots_state_expr(F.col("host"))
+    path = F.substring(
+        F.col("url"),
+        F.length(F.col("host"))
+        + F.when(F.col("url").startswith("https://"), 9).otherwise(1),
+        1 << 20,
+    )
+    df = df.withColumn("_robots", rs).withColumn("_path", path)
+    df = df.where(
+        (F.col("_robots") != "deny")
+        & ~(
+            F.col("_robots").startswith("disallow:")
+            & F.col("_path").startswith(ROBOTS_DISALLOWED_PREFIX)
+        )
+    ).drop("_robots", "_path")
+    return df
+
+
+def dedup_batch(candidates: DataFrame) -> DataFrame:
+    """Within-batch dedup by url_md5, keeping the lexicographically
+    smallest canonical form (deterministic representative)."""
+    w = W.partitionBy("url_md5").orderBy("url")
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """J1 — the hot anti-join: candidates ⟕̸ seen on url_md5
+    (SearchEngine.h:814-818). AQE turns this into a broadcast or
+    shuffled hash anti-join by size; bloom prefilter (operators.seen)
+    cuts the shuffled side at scale."""
+    return candidates.join(seen.select("url_md5"), "url_md5", "left_anti")
+
+
+def apply_host_caps(candidates: DataFrame, hosts: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """Per-host URL cap (MAXURLPERHOST): admit only enough new URLs per
+    host to stay under max_urls_per_host, ranked by url_md5."""
+    quota = hosts.select(
+        "host", (F.lit(cfg.max_urls_per_host) - F.col("url_count")).alias("_remaining")
+    )
+    w = W.partitionBy("host").orderBy("url_md5")
+    return (
+        candidates.join(F.broadcast(quota), "host", "left")
+        .withColumn(
+            "_remaining",
+            F.coalesce(F.col("_remaining"), F.lit(cfg.max_urls_per_host)),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.col("_remaining"))
+        .drop("_rn", "_remaining")
+    )
+
+
+def schedule_round(
+    frontier: DataFrame, hosts: DataFrame, round_no: int, cfg: CrawlConfig
+) -> DataFrame:
+    """One scheduling round: politeness-eligible -> 1 URL/host ->
+    per-shard quota -> deterministic seq_in_round.
+
+    Ordering contract (replaces the reference's randomness): pick by
+    (discovered_round, url_md5) at both the host and shard level.
+    """
+    eligible = frontier.join(
+        F.broadcast(hosts.select("host", "next_allowed_round")), "host", "left"
+    ).where(F.coalesce(F.col("next_allowed_round"), F.lit(0)) <= F.lit(round_no))
+
+    w_host = W.partitionBy("host").orderBy("discovered_round", "url_md5")
+    picked = (
+        eligible.withColumn("_hrn", F.row_number().over(w_host))
+        .where(F.col("_hrn") == 1)
+        .drop("_hrn", "next_allowed_round")
+    )
+
+    w_shard = W.partitionBy("shard").orderBy("discovered_round", "url_md5")
+    scheduled = (
+        picked.withColumn("_srn", F.row_number().over(w_shard))
+        .where(F.col("_srn") <= cfg.per_shard_quota)
+        .drop("_srn")
+    )
+
+    w_seq = W.orderBy("discovered_round", "url_md5")  # log ordering only
+    return scheduled.withColumn("seq_in_round", F.row_number().over(w_seq)).withColumn(
+        "round", F.lit(round_no)
+    )
+
+
+def top_hosts(frontier_or_docs: DataFrame, k: int = 100) -> DataFrame:
+    """A2/D5 — top-hosts leaderboard (SearchEngine.h:763-778,683-688)."""
+    return (
+        frontier_or_docs.groupBy("host")
+        .agg(F.count("*").alias("n_urls"))
+        .orderBy(F.desc("n_urls"), "host")
+        .limit(k)
+    )

@@ -1,0 +1,345 @@
+"""The crawl driver: a deterministic round loop over snapshot state.
+
+One round ≙ one job DAG (SURVEY.md §3.1's Spark re-expression of
+runCrawling, SearchEngine.cpp:842-907):
+
+    frontier ⋈ hosts (politeness/bad-host gate)
+      -> per-host pick -> per-shard quota            (schedule)
+      -> synthetic fetch (pandas UDF; prod: async HTTP adapter)
+      -> spans append to docs
+      -> link spans -> explode -> canonicalize/filter/robots (ingest)
+      -> host-cap admission -> batch dedup -> seen anti-join (J1)
+      -> commit frontier / hosts / seen / docs / metrics snapshots
+
+Every source of nondeterminism in the reference (random bulk pull
+S9, min-wait scheduling O4, 10% bad-host retry X11, thread jitter) is
+replaced by the ordering contract (discovered_round, url_md5) and
+hash-derived deterministic rules, so an identical seed list +
+politeness budget reproduces an identical fetch log and seen set —
+verified against oracle/simulator.py.
+
+State snapshots commit through TableStore (Iceberg semantics; parquet
+snapshot dirs locally), so `resume=True` continues from the last
+committed round with identical downstream results.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from searchengine_spark.config import CrawlConfig
+from searchengine_spark.corpus import (
+    FETCH_FAIL_MOD,
+    fetch_spans_py,
+)
+from searchengine_spark.functions.hashes import hash60
+from searchengine_spark.functions.spans import SPANS_TYPE
+from searchengine_spark.operators.frontier import (
+    dedup_batch,
+    dedup_seen,
+    normalize_candidates,
+    schedule_round,
+)
+from searchengine_spark.operators.seen import build_bloom_blocks, dedup_seen_with_bloom
+from searchengine_spark.sources.statestore import TableStore
+
+MAXHOSTTRY = 10  # SearchEngine.h:18
+
+HOSTS_SCHEMA = (
+    "host string, next_allowed_round int, fail_count int, "
+    "fetch_count int, url_count long"
+)
+
+
+def _fetch_fails_expr(host, round_no: int):
+    return (
+        F.pmod(hash60(F.concat(host, F.lit(f"|{round_no}")), "fail"), F.lit(FETCH_FAIL_MOD))
+        == 0
+    )
+
+
+def _empty_hosts(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], HOSTS_SCHEMA)
+
+
+@dataclass
+class RoundStats:
+    round_no: int
+    scheduled: int = 0
+    fetched_ok: int = 0
+    fetch_failed: int = 0
+    candidates: int = 0
+    admitted: int = 0
+    new_urls: int = 0
+    wall_sec: float = 0.0
+    per_shard: list = field(default_factory=list)
+
+
+class CrawlDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        cfg: CrawlConfig | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg or CrawlConfig()
+        self.store = TableStore(spark, store_root)
+
+    # -- bootstrap -------------------------------------------------------------
+
+    def seed(self, seed_urls: list[str]) -> None:
+        """Ingest the seed list (S1, loadURLList SearchEngine.cpp:773-824)."""
+        cfg = self.cfg
+        raw = self.spark.createDataFrame([(u,) for u in seed_urls], "raw_url string")
+        cand = normalize_candidates(raw, cfg)
+        cand = dedup_batch(cand)  # seeds: dedup only among themselves
+        frontier = cand.select(
+            "url", "url_md5", "host", "shard", F.lit(0).alias("discovered_round")
+        )
+        # host bookkeeping starts at the *attempted* candidate count, like
+        # the reference's m_hostsCount increment inside filterURL
+        hosts = (
+            normalize_candidates(raw, cfg)
+            .groupBy("host")
+            .agg(F.count("*").alias("url_count"))
+            .select(
+                "host",
+                F.lit(0).alias("next_allowed_round"),
+                F.lit(0).alias("fail_count"),
+                F.lit(0).alias("fetch_count"),
+                "url_count",
+            )
+        )
+        self.store.commit("frontier", frontier, meta={"round": -1})
+        self.store.commit("hosts", hosts, meta={"round": -1})
+        self.store.commit("seen", frontier.select("url_md5", "shard"), meta={"round": -1})
+        self.store.commit(
+            "docs",
+            self.spark.createDataFrame(
+                [],
+                T.StructType(
+                    [
+                        T.StructField("url_md5", T.StringType()),
+                        T.StructField("url", T.StringType()),
+                        T.StructField("host", T.StringType()),
+                        T.StructField("shard", T.IntegerType()),
+                        T.StructField("round", T.IntegerType()),
+                        T.StructField("seq_in_round", T.IntegerType()),
+                        T.StructField("spans", SPANS_TYPE),
+                    ]
+                ),
+            ),
+            meta={"round": -1},
+        )
+
+    @property
+    def last_round(self) -> int:
+        import json
+        import os
+
+        p = self.store._pointer("frontier")
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return json.load(f)["meta"].get("round", -1)
+
+    # -- one round ---------------------------------------------------------------
+
+    def run_round(self, round_no: int) -> RoundStats:
+        cfg, spark = self.cfg, self.spark
+        stats = RoundStats(round_no)
+        t0 = time.time()
+
+        frontier = self.store.read("frontier")
+        hosts = self.store.read("hosts")
+        seen = self.store.read("seen")
+
+        # bad-host gate (X11 de-randomized): fail_count >= MAXHOSTTRY hosts
+        # are only eligible when round % 10 == hash(host)%10; expressed as
+        # an effective politeness clock of +inf so unknown hosts (no row)
+        # stay eligible-by-default
+        retry_ok = F.pmod(hash60(F.col("host"), "retry"), F.lit(10)) == (round_no % 10)
+        gated_hosts = hosts.select(
+            "host",
+            F.when(
+                (F.col("fail_count") >= MAXHOSTTRY) & ~retry_ok, F.lit(2**31 - 1)
+            )
+            .otherwise(F.col("next_allowed_round"))
+            .alias("next_allowed_round"),
+        )
+
+        scheduled = schedule_round(frontier, gated_hosts, round_no, cfg).cache()
+        stats.scheduled = scheduled.count()
+
+        failed_c = _fetch_fails_expr(F.col("host"), round_no)
+        ok = scheduled.where(~failed_c)
+        failed = scheduled.where(failed_c)
+
+        # synthetic fetch — vectorized spans generation (Arrow batches)
+        max_doc = cfg.max_doc
+
+        @F.pandas_udf(SPANS_TYPE)
+        def fetch_udf(urls: pd.Series) -> pd.Series:
+            return urls.map(lambda u: fetch_spans_py(u, max_doc))
+
+        docs_new = ok.withColumn("spans", fetch_udf(F.col("url"))).select(
+            "url_md5", "url", "host", "shard", "round", "seq_in_round", "spans"
+        ).cache()
+
+        # link extraction: native array ops over the spans column (T5)
+        outlinks = docs_new.select(
+            F.explode(
+                F.transform(
+                    F.filter("spans", lambda s: s["kind"] == F.lit("link")),
+                    lambda s: s["media_ref"],
+                )
+            ).alias("raw_url")
+        )
+
+        cand = normalize_candidates(outlinks, cfg).cache()
+        stats.candidates = cand.count()
+
+        # host-cap admission over ALL filtered candidates (reference quirk:
+        # m_hostsCount counts attempts pre-dedup, SearchEngine.h:746-756)
+        remaining = hosts.select(
+            "host", (F.lit(cfg.max_urls_per_host) - F.col("url_count")).alias("_rem")
+        )
+        from pyspark.sql import Window as W
+
+        w_host = W.partitionBy("host").orderBy("url_md5", "url")
+        admitted = (
+            cand.join(F.broadcast(remaining), "host", "left")
+            .withColumn("_rem", F.coalesce(F.col("_rem"), F.lit(cfg.max_urls_per_host)))
+            .withColumn("_rn", F.row_number().over(w_host))
+            .where(F.col("_rn") <= F.col("_rem"))
+            .drop("_rn", "_rem")
+        )
+        deduped = dedup_batch(admitted)
+        if cfg.use_bloom:
+            blocks = build_bloom_blocks(seen, cfg)
+            new_rows = dedup_seen_with_bloom(spark, deduped, seen, blocks, cfg)
+        else:
+            new_rows = dedup_seen(deduped, seen)
+        new_rows = new_rows.select(
+            "url", "url_md5", "host", "shard",
+            F.lit(round_no + 1).alias("discovered_round"),
+        ).cache()
+        stats.admitted = admitted.count()
+        stats.new_urls = new_rows.count()
+        stats.fetched_ok = docs_new.count()
+        stats.fetch_failed = failed.count()
+
+        # ---- state merges ----
+        retry_rows = failed.select(
+            "url", "url_md5", "host", "shard",
+            F.lit(round_no + 1).alias("discovered_round"),
+        )
+        frontier2 = (
+            frontier.join(scheduled.select("url_md5"), "url_md5", "left_anti")
+            .unionByName(retry_rows)
+            .unionByName(new_rows)
+        )
+
+        # hosts merge: politeness clocks, fail counters, url counters
+        fetched_hosts = scheduled.groupBy("host").agg(
+            F.max(F.when(failed_c, 1).otherwise(0)).alias("_failed")
+        )
+        cand_counts = cand.groupBy("host").agg(F.count("*").alias("_new_urls"))
+        hosts2 = (
+            hosts.join(fetched_hosts, "host", "full_outer")
+            .join(cand_counts, "host", "full_outer")
+            .select(
+                "host",
+                F.when(
+                    F.col("_failed").isNotNull(),
+                    F.lit(round_no + cfg.politeness_rounds),
+                )
+                .otherwise(F.coalesce(F.col("next_allowed_round"), F.lit(0)))
+                .alias("next_allowed_round"),
+                (
+                    F.coalesce(F.col("fail_count"), F.lit(0))
+                    + F.coalesce(F.col("_failed"), F.lit(0))
+                ).alias("fail_count"),
+                (
+                    F.coalesce(F.col("fetch_count"), F.lit(0))
+                    + F.when(F.col("_failed") == 0, 1).otherwise(0)
+                ).alias("fetch_count"),
+                (
+                    F.coalesce(F.col("url_count"), F.lit(0))
+                    + F.coalesce(F.col("_new_urls"), F.lit(0))
+                ).alias("url_count"),
+            )
+        )
+
+        seen2 = seen.unionByName(new_rows.select("url_md5", "shard"))
+
+        stats.per_shard = [
+            {
+                "shard": r["shard"],
+                "scheduled": r["scheduled"],
+                "new_urls": r["new_urls"],
+            }
+            for r in scheduled.groupBy("shard")
+            .agg(F.count("*").alias("scheduled"))
+            .join(
+                new_rows.groupBy("shard").agg(F.count("*").alias("new_urls")),
+                "shard",
+                "full_outer",
+            )
+            .fillna(0)
+            .collect()
+        ]
+
+        # ---- commit snapshots (atomic per table; round meta = resume point)
+        meta = {"round": round_no}
+        self.store.commit("docs", docs_new, mode="append", meta=meta)
+        self.store.commit("frontier", frontier2, meta=meta)
+        self.store.commit("hosts", hosts2, meta=meta)
+        self.store.commit("seen", seen2, meta=meta)
+
+        stats.wall_sec = time.time() - t0
+        metrics_rows = [
+            (
+                round_no,
+                int(s["shard"]) if s["shard"] is not None else -1,
+                int(s["scheduled"]),
+                int(s["new_urls"]),
+                float(stats.wall_sec),
+            )
+            for s in stats.per_shard
+        ] or [(round_no, -1, 0, 0, float(stats.wall_sec))]
+        metrics_df = spark.createDataFrame(
+            metrics_rows,
+            "round int, shard int, scheduled long, new_urls long, wall_sec double",
+        )
+        if self.store.exists("metrics"):
+            self.store.commit("metrics", metrics_df, mode="append", meta=meta)
+        else:
+            self.store.commit("metrics", metrics_df, meta=meta)
+
+        scheduled.unpersist()
+        docs_new.unpersist()
+        cand.unpersist()
+        new_rows.unpersist()
+        return stats
+
+    def run(self, n_rounds: int, resume: bool = False) -> list[RoundStats]:
+        start = self.last_round + 1 if resume else 0
+        return [self.run_round(r) for r in range(start, start + n_rounds)]
+
+    # -- outputs -----------------------------------------------------------------
+
+    def fetch_log(self) -> DataFrame:
+        return (
+            self.store.read("docs")
+            .select("round", "seq_in_round", "url", "host")
+            .orderBy("round", "seq_in_round")
+        )
+
+    def seen_set(self) -> DataFrame:
+        return self.store.read("seen").select("url_md5").distinct()

@@ -1,0 +1,104 @@
+"""Crawl-ordering + URL-seen-set equality: the Spark engine's fetch log
+and final seen set must equal the single-threaded oracle simulator
+byte-for-byte under the same seed list + politeness budget
+(north_rule; SURVEY.md §5.2)."""
+
+import pytest
+
+from searchengine_spark.config import CrawlConfig
+from searchengine_spark.corpus import raw_url_py
+from searchengine_spark.oracle import simulator as sim
+from searchengine_spark.plans.crawl import CrawlDriver
+
+CFG = CrawlConfig(
+    n_shards=4,
+    per_shard_quota=6,
+    politeness_rounds=2,
+    max_urls_per_host=5,  # small cap so admission logic is exercised
+    max_doc=160,
+    use_bloom=True,
+)
+SEEDS = [raw_url_py(i) for i in range(48)]
+N_ROUNDS = 4
+
+
+@pytest.fixture(scope="module")
+def engine_state(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawlstore"))
+    driver = CrawlDriver(spark, root, CFG)
+    driver.seed(SEEDS)
+    stats = driver.run(N_ROUNDS)
+    return driver, stats
+
+
+@pytest.fixture(scope="module")
+def oracle_state():
+    return sim.simulate(SEEDS, N_ROUNDS, CFG)
+
+
+def test_fetch_log_equality(engine_state, oracle_state):
+    driver, _ = engine_state
+    got = [
+        (r["round"], r["seq_in_round"], r["url"], r["host"])
+        for r in driver.fetch_log().collect()
+    ]
+    assert got == oracle_state.fetch_log
+
+
+def test_seen_set_equality(engine_state, oracle_state):
+    driver, _ = engine_state
+    got = {r["url_md5"] for r in driver.seen_set().collect()}
+    assert got == oracle_state.seen
+
+
+def test_round_stats_match(engine_state, oracle_state):
+    _, stats = engine_state
+    o = sim.SimState()
+    sim.seed(o, SEEDS, CFG)
+    for r, st in enumerate(stats):
+        expect = sim.run_round(o, r, CFG)
+        assert st.scheduled == expect["scheduled"], r
+        assert st.fetched_ok == expect["fetched_ok"], r
+        assert st.fetch_failed == expect["fetch_failed"], r
+        assert st.new_urls == expect["new_urls"], r
+
+
+def test_politeness_gap(engine_state):
+    """No host is fetched twice within politeness_rounds rounds."""
+    driver, _ = engine_state
+    fetches = {}
+    for r in driver.fetch_log().collect():
+        fetches.setdefault(r["host"], []).append(r["round"])
+    for host, rounds in fetches.items():
+        for a, b in zip(rounds, rounds[1:]):
+            assert b - a >= CFG.politeness_rounds, (host, rounds)
+
+
+def test_frontier_conservation(engine_state, oracle_state):
+    """discovered = fetched + pending (seen = docs ∪ frontier keys)."""
+    driver, _ = engine_state
+    seen = {r["url_md5"] for r in driver.seen_set().collect()}
+    docs = {r["url_md5"] for r in driver.store.read("docs").select("url_md5").collect()}
+    pending = {
+        r["url_md5"] for r in driver.store.read("frontier").select("url_md5").collect()
+    }
+    assert docs | pending == seen
+    assert docs == {m for m, *_ in oracle_state.docs}
+
+
+def test_resume_from_snapshot(spark, tmp_path_factory, oracle_state):
+    """Kill after round k, resume, final state equals uninterrupted run."""
+    root = str(tmp_path_factory.mktemp("resumestore"))
+    d1 = CrawlDriver(spark, root, CFG)
+    d1.seed(SEEDS)
+    d1.run(2)
+    # simulate process restart: brand-new driver over the same store
+    d2 = CrawlDriver(spark, root, CFG)
+    assert d2.last_round == 1
+    d2.run(N_ROUNDS - 2, resume=True)
+    got = [
+        (r["round"], r["seq_in_round"], r["url"], r["host"])
+        for r in d2.fetch_log().collect()
+    ]
+    assert got == oracle_state.fetch_log
+    assert {r["url_md5"] for r in d2.seen_set().collect()} == oracle_state.seen
