@@ -336,6 +336,60 @@ def canonicalize_udf(s: pd.Series) -> pd.Series:
     return _canonicalize_series(s)
 
 
+CANDIDATE_STRUCT = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("url_md5", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("admit", T.BooleanType()),
+    ]
+)
+
+
+def make_parse_candidates_udf(n_shards: int, salt: str):
+    """One Arrow-batched pass: raw url -> (canonical, md5 key, host,
+    salted shard, admit flag incl. filter + robots gate).
+
+    This is the engine's hot-path URL operator (north_rule: vectorized
+    pandas/Arrow UDF for canonicalization + hashing). A single UDF
+    instead of chained Column expressions also keeps the Catalyst tree
+    tiny — the chained native exprs are exact but their inlined
+    composition (canonicalize -> host -> registered-domain -> shard)
+    duplicates subtrees past janino's 64 KB codegen limit; tests pin
+    this UDF to the native exprs row-for-row.
+    """
+    from searchengine_spark.corpus import robots_allows_py, url_path_py
+
+    @F.pandas_udf(CANDIDATE_STRUCT)
+    def parse(raw: pd.Series) -> pd.DataFrame:
+        urls, md5s, hosts, shards, admits = [], [], [], [], []
+        for r in raw:
+            u = canonicalize_py(r) if r is not None else None
+            if u is None:
+                urls.append(None); md5s.append(None); hosts.append(None)
+                shards.append(None); admits.append(False)
+                continue
+            m = url_md5_py(u)
+            host = split_host_py(u)
+            ok = (
+                m is not None
+                and filter_url_py(u)
+                and robots_allows_py(host, url_path_py(u))
+            )
+            urls.append(u)
+            md5s.append(m)
+            hosts.append(host)
+            shards.append(host_shard_py(host, n_shards, salt) if ok else None)
+            admits.append(bool(ok))
+        return pd.DataFrame(
+            {"url": urls, "url_md5": md5s, "host": hosts,
+             "shard": pd.array(shards, dtype="Int32"), "admit": admits}
+        )
+
+    return parse
+
+
 @F.pandas_udf(T.StringType())
 def registered_domain_udf(host: pd.Series) -> pd.Series:
     # the unbounded label-extension chain, vectorized as an iterated mask:

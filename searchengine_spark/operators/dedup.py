@@ -1,0 +1,167 @@
+"""Deduplication family for the training-data pipeline.
+
+Five dedup strategies over a documents table (doc_id, text ...), each
+declarative DataFrame algebra so Catalyst owns the physical plan:
+
+* exact           — md5(text) hash-groupBy
+* minhash + LSH   — word-set minhash signatures, banded LSH bucket join,
+                    exact-Jaccard verification of candidates
+* simhash         — 16-bit sign-of-sum signature, bucket grouping
+* n-gram Jaccard  — word-shingle similarity on LSH-candidate pairs
+* embedding cosine near-dup lives in operators/similarity.py
+
+All hashing derives from the portable hash60 (functions/hashes.py) so
+every stage has an exact DuckDB SQL twin. At 100 TB the shape is: one
+shuffle to group signatures (banded so a band's bucket is small), one
+shuffle to verify candidate pairs — never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from searchengine_spark.functions.hashes import hash60, hash60_sql
+
+N_MINHASH = 8
+LSH_BAND_SIZE = 2  # 4 bands of 2 -> catches jaccard >~ 0.6 reliably
+SIMHASH_BITS = 16
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: groups of byte-identical texts (content_hash ≙ the
+    reference's md5-keyed content store, KeyValueDB.hpp:68-83)."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col)))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _word_set(text_col: str) -> Column:
+    return F.array_distinct(F.split(F.col(text_col), " "))
+
+
+def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + mh_0..mh_{N-1}: min over the word set of hash60(word, mh_i).
+
+    Pure native expressions (md5+conv inside `transform`) — runs in the
+    JVM with whole-stage codegen, no Python.
+    """
+    words = _word_set(text_col)
+    out = docs.select("doc_id", words.alias("_w"))
+    for i in range(N_MINHASH):
+        out = out.withColumn(f"mh_{i}", F.array_min(F.transform("_w", _salted_hash(f"mh{i}"))))
+    return out.drop("_w")
+
+
+def _salted_hash(salt: str):
+    # NB: must stay unary — pyspark gives a 2-arg lambda (element, index)
+    return lambda w: hash60(w, salt)
+
+
+def minhash_signature_sql(text: str) -> list[str]:
+    """DuckDB twins of the N signature columns."""
+    ws = f"list_distinct(string_split({text}, ' '))"
+    return [
+        f"list_min(list_transform({ws}, w -> {hash60_sql('w', f'mh{i}')}))"
+        for i in range(N_MINHASH)
+    ]
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Banded LSH: docs sharing any band of the signature become a
+    candidate pair (a < b). One self-join per band via a stacked
+    (band_id, band_key) exploded view — a single shuffle on band_key."""
+    bands = []
+    for b in range(N_MINHASH // LSH_BAND_SIZE):
+        cols = [F.col(f"mh_{b * LSH_BAND_SIZE + j}") for j in range(LSH_BAND_SIZE)]
+        bands.append(F.struct(F.lit(b).alias("band"), F.concat_ws(":", *cols).alias("key")))
+    banded = sigs.select(
+        "doc_id", F.explode(F.array(*bands)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Exact word-set Jaccard on candidate pairs only (never all-pairs)."""
+    w = docs.select("doc_id", _word_set(text_col).alias("wset"))
+    j = (
+        pairs.join(w.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("wset", "wa"), "doc_a")
+        .join(w.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("wset", "wb"), "doc_b")
+        .withColumn("_i", F.size(F.array_intersect("wa", "wb")))
+        .withColumn("_u", F.size(F.array_union("wa", "wb")))
+        .withColumn("jaccard", F.round(F.col("_i") / F.col("_u"), 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return j
+
+
+def minhash_dedup(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Full pipeline: signature -> banded LSH -> exact-Jaccard verify."""
+    sigs = minhash_signature(docs, text_col)
+    pairs = lsh_candidate_pairs(sigs)
+    return jaccard_verify(pairs, docs, text_col, threshold)
+
+
+def simhash_expr(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
+    """Sign-of-sum simhash over the word set, packed into an int.
+
+    bit b = 1 iff sum over words of (word_hash bit b ? +1 : -1) > 0.
+    Native `aggregate` over the transformed array — no shuffle at all.
+    """
+    words = _word_set(text_col)
+    hashes = F.transform(words, lambda w: hash60(w, "sh"))
+    bit_terms = []
+
+    def _vote_merge(b: int):
+        # binary lambda required by F.aggregate; bind b via closure
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(b))
+        bit_terms.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out
+
+
+def simhash_sql(text: str, bits: int = SIMHASH_BITS) -> str:
+    ws = f"list_distinct(string_split({text}, ' '))"
+    hashes = f"list_transform({ws}, w -> {hash60_sql('w', 'sh')})"
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum(list_transform({hashes}, "
+            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_dup_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical simhash — near-dup buckets."""
+    return (
+        docs.withColumn("simhash", simhash_expr(text_col))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -28,17 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W, functions as F
 
 from searchengine_spark.config import CrawlConfig
-from searchengine_spark.corpus import (
-    ROBOTS_DISALLOWED_PREFIX,
-    robots_state_expr,
-)
-from searchengine_spark.functions.urls import (
-    canonicalize_expr,
-    filter_url_expr,
-    host_shard_expr,
-    split_host_expr,
-    url_md5_expr,
-)
 
 FRONTIER_COLS = ["url", "url_md5", "host", "shard", "discovered_round"]
 
@@ -47,37 +36,26 @@ def normalize_candidates(raw: DataFrame, cfg: CrawlConfig, url_col: str = "raw_u
     """raw URLs -> canonical candidates (row-level rules only).
 
     canonicalize (P1) -> filter (P4) -> key (P3) -> host/shard (P2/P5)
-    -> robots gate (north_rule addition, checked at ingestion).
-    Row-level only: batch-dedup / seen-dedup / host caps are separate
-    operators so each stage is independently testable.
+    -> robots gate (north_rule addition, checked at ingestion) — all in
+    one Arrow-batched pandas UDF pass (make_parse_candidates_udf).
+    Batch-dedup / seen-dedup / host caps are separate operators so each
+    stage is independently testable.
     """
-    c = canonicalize_expr(F.col(url_col))
-    df = (
-        raw.withColumn("url", c)
-        .where(F.col("url").isNotNull())
-        .where(filter_url_expr(F.col("url")))
-        .withColumn("url_md5", url_md5_expr(F.col("url")))
-        .where(F.col("url_md5").isNotNull())
-        .withColumn("host", split_host_expr(F.col("url")))
-        .withColumn("shard", host_shard_expr(F.col("host"), cfg.n_shards, cfg.shard_salt))
-    )
-    # robots gate: deny-all hosts dropped; prefix-disallowed paths dropped
-    rs = robots_state_expr(F.col("host"))
-    path = F.substring(
-        F.col("url"),
-        F.length(F.col("host"))
-        + F.when(F.col("url").startswith("https://"), 9).otherwise(1),
-        1 << 20,
-    )
-    df = df.withColumn("_robots", rs).withColumn("_path", path)
-    df = df.where(
-        (F.col("_robots") != "deny")
-        & ~(
-            F.col("_robots").startswith("disallow:")
-            & F.col("_path").startswith(ROBOTS_DISALLOWED_PREFIX)
+    from searchengine_spark.functions.urls import make_parse_candidates_udf
+
+    parse = make_parse_candidates_udf(cfg.n_shards, cfg.shard_salt)
+    keep = [c for c in raw.columns if c != url_col]
+    return (
+        raw.withColumn("_p", parse(F.col(url_col)))
+        .where(F.col("_p.admit"))
+        .select(
+            *keep,
+            F.col("_p.url").alias("url"),
+            F.col("_p.url_md5").alias("url_md5"),
+            F.col("_p.host").alias("host"),
+            F.col("_p.shard").alias("shard"),
         )
-    ).drop("_robots", "_path")
-    return df
+    )
 
 
 def dedup_batch(candidates: DataFrame) -> DataFrame:

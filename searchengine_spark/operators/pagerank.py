@@ -1,0 +1,105 @@
+"""Link graph + PageRank (SURVEY.md D6/D7, J2/J3, A7).
+
+The reference replays a flat binary edge file per iteration with
+double-buffered rank arrays (SearchEngine.cpp:1210-1264; constants
+:1074 — damping 0.85, init 1.0, final clamp at 100). Spark form:
+cache the edges DataFrame once, loop `edges ⋈ ranks -> groupBy(dst)`,
+checkpoint every few iterations to cut lineage.
+
+Edge semantics: an edge (src, dst) exists only when dst is itself a
+crawled doc (left-semi existence probe, SearchEngine.cpp:1034-1043);
+out_degree is denormalized onto edges in the reference (:1045-1046) —
+we compute it with a window instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+DAMPING = 0.85  # SearchEngine.cpp:1074
+RANK_CLAMP = 100.0  # SearchEngine.cpp:1267-1281
+
+
+def edges_from_docs(docs: DataFrame) -> DataFrame:
+    """docs(url_md5, spans) -> edges(src, dst, out_degree).
+
+    Link spans -> canonical target key; J2 semi-join keeps only edges
+    whose target exists in the doc set; per-page dedup via
+    array_distinct before explode (A10).
+    """
+    from searchengine_spark.functions.urls import canonicalize_expr, url_md5_expr
+
+    raw = docs.select(
+        F.col("url_md5").alias("src"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.filter("spans", lambda s: s["kind"] == F.lit("link")),
+                    lambda s: s["media_ref"],
+                )
+            )
+        ).alias("raw_target"),
+    )
+    tgt = raw.withColumn("_c", canonicalize_expr("raw_target")).where(
+        F.col("_c").isNotNull()
+    )
+    edges = tgt.select("src", url_md5_expr("_c").alias("dst")).where(
+        F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
+    ).distinct()
+    exists = docs.select(F.col("url_md5").alias("dst"))
+    edges = edges.join(exists, "dst", "left_semi")
+    w = W.partitionBy("src")
+    return edges.withColumn("out_degree", F.count("*").over(w))
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 3,
+    damping: float = DAMPING,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """nodes(node) + edges(src, dst, out_degree) -> (node, rank).
+
+    rank_{i+1}(d) = (1-damping) + damping * Σ_{(s,d)∈E} rank_i(s)/out(s),
+    init 1.0, final clamp at RANK_CLAMP — the reference's exact update.
+    Dangling mass is dropped exactly as the reference drops it (no
+    redistribution — SearchEngine.cpp:1240-1260 only credits real edges).
+    """
+    ranks = nodes.select(F.col("node"), F.lit(1.0).alias("rank"))
+    edges = edges.cache()
+    for i in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node, "inner")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)  # cut lineage
+    return ranks.select(
+        "node", F.round(F.least(F.col("rank"), F.lit(RANK_CLAMP)), 6).alias("rank")
+    )
+
+
+def rank_stats(ranks: DataFrame) -> DataFrame:
+    """min/max/avg refinement stats (SearchEngine.cpp:1267-1281)."""
+    return ranks.agg(
+        F.round(F.min("rank"), 6).alias("min_rank"),
+        F.round(F.max("rank"), 6).alias("max_rank"),
+        F.round(F.avg("rank"), 6).alias("avg_rank"),
+        F.count("*").alias("n_nodes"),
+    )

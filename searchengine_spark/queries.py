@@ -1,0 +1,1061 @@
+"""The engine's query catalog: every operator exposed as a
+(spark_fn, oracle_sql) pair.
+
+spark_fn(spark, sf_dir) builds the DataFrame with the engine's real
+operators; oracle_sql is the ANSI-SQL twin DuckDB runs over the same
+parquet views. Column names/aliases match exactly (driver hashes
+values after sorting columns by name). Derived universes (URL grammar,
+shingles, synthetic edges, near-dup augmentation) are regenerated
+inside the SQL via the twin builders in functions/, so both engines
+compute over bit-identical inputs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from searchengine_spark.config import CrawlConfig
+from searchengine_spark.corpus import (
+    ROBOTS_DISALLOWED_PREFIX,
+    raw_url_expr,
+    raw_url_sql,
+    robots_state_sql,
+)
+from searchengine_spark.functions.hashes import hash60, hash60_sql
+from searchengine_spark.functions import text as TX
+from searchengine_spark.functions.urls import (
+    canonicalize_sql,
+    filter_url_sql,
+    host_shard_sql,
+    split_host_sql,
+    url_md5_sql,
+)
+from searchengine_spark.operators import dedup as DD
+from searchengine_spark.operators import frontier as FR
+from searchengine_spark.operators import index as IX
+from searchengine_spark.operators import multimodal as MM
+from searchengine_spark.operators import pagerank as PR
+from searchengine_spark.operators import similarity as SIM
+from searchengine_spark.streaming import events as EV
+
+NSHARDS = 16
+SALT = "s0"
+QCFG = CrawlConfig(n_shards=NSHARDS, per_shard_quota=5, shard_salt=SALT)
+
+
+# ---------------------------------------------------------------------------
+# shared derivations
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _candidates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _docs(spark, sf_dir).select(
+        "doc_id", raw_url_expr("doc_id").alias("raw_url")
+    )
+    return FR.normalize_candidates(raw, QCFG)
+
+
+_HOST = split_host_sql("url")
+
+CAND_CTES = f"""
+  urls AS (SELECT doc_id, {raw_url_sql('doc_id')} AS raw_url FROM documents),
+  canon AS (SELECT doc_id, raw_url, {canonicalize_sql('raw_url')} AS url FROM urls),
+  cand0 AS (
+    SELECT doc_id, raw_url, url,
+           {url_md5_sql('url')} AS url_md5,
+           {_HOST} AS host,
+           {host_shard_sql(_HOST, NSHARDS, SALT)} AS shard
+    FROM canon
+    WHERE url IS NOT NULL AND ({filter_url_sql('url')})
+      AND {url_md5_sql('url')} IS NOT NULL
+  ),
+  cand AS (
+    SELECT * FROM (
+      SELECT c.*, {robots_state_sql('host')} AS _robots,
+             CASE WHEN url LIKE 'https://%' THEN substr(url, 9 + length(host))
+                  ELSE substr(url, 1 + length(host)) END AS _path
+      FROM cand0 c
+    )
+    WHERE _robots <> 'deny'
+      AND NOT (_robots LIKE 'disallow:%' AND _path LIKE '{ROBOTS_DISALLOWED_PREFIX}%')
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# frontier / crawl queries
+# ---------------------------------------------------------------------------
+
+def q_url_canonicalize(spark, sf_dir):
+    raw = _docs(spark, sf_dir).select("doc_id", raw_url_expr("doc_id").alias("raw_url"))
+    from searchengine_spark.functions.urls import canonicalize_expr
+
+    return raw.select(
+        "doc_id", "raw_url", canonicalize_expr("raw_url").alias("url")
+    ).orderBy("doc_id")
+
+
+SQL_URL_CANONICALIZE = f"""
+WITH urls AS (SELECT doc_id, {raw_url_sql('doc_id')} AS raw_url FROM documents)
+SELECT doc_id, raw_url, {canonicalize_sql('raw_url')} AS url FROM urls ORDER BY doc_id
+"""
+
+
+def q_url_candidates(spark, sf_dir):
+    return _candidates_df(spark, sf_dir).select(
+        "doc_id", "url", "url_md5", "host", "shard"
+    )
+
+
+SQL_URL_CANDIDATES = f"""
+WITH {CAND_CTES}
+SELECT doc_id, url, url_md5, host, shard FROM cand
+"""
+
+
+def q_host_shards(spark, sf_dir):
+    return (
+        _candidates_df(spark, sf_dir)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("host").alias("n_hosts"),
+        )
+        .orderBy("shard")
+    )
+
+
+SQL_HOST_SHARDS = f"""
+WITH {CAND_CTES}
+SELECT shard, count(*) AS n_urls, count(DISTINCT host) AS n_hosts
+FROM cand GROUP BY shard ORDER BY shard
+"""
+
+
+def q_frontier_dedup(spark, sf_dir):
+    """J1: candidates anti-join a seen set (docs with doc_id%3==0)."""
+    cand = FR.dedup_batch(_candidates_df(spark, sf_dir))
+    seen = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 3 == 0)
+        .select(raw_url_expr("doc_id").alias("raw_url"))
+    )
+    seen_keys = FR.normalize_candidates(seen, QCFG).select("url_md5")
+    return FR.dedup_seen(cand, seen_keys).select("url_md5", "url", "host")
+
+
+SQL_FRONTIER_DEDUP = f"""
+WITH {CAND_CTES},
+  dedup AS (
+    SELECT * FROM (
+      SELECT c.*, ROW_NUMBER() OVER (PARTITION BY url_md5 ORDER BY url) rn
+      FROM cand c) WHERE rn = 1
+  ),
+  seen AS (SELECT DISTINCT url_md5 FROM cand WHERE doc_id % 3 = 0)
+SELECT d.url_md5, d.url, d.host FROM dedup d
+LEFT JOIN seen s ON s.url_md5 = d.url_md5
+WHERE s.url_md5 IS NULL
+"""
+
+
+def q_schedule_round(spark, sf_dir):
+    """Full deterministic scheduling semantics via the engine operator."""
+    cand = FR.dedup_batch(
+        _candidates_df(spark, sf_dir).withColumn(
+            "discovered_round", (F.col("doc_id") % 4).cast("int")
+        )
+    ).select("url", "url_md5", "host", "shard", "discovered_round")
+    hosts = cand.select("host").distinct().select(
+        "host",
+        F.pmod(hash60(F.col("host"), "na"), F.lit(3)).cast("int").alias(
+            "next_allowed_round"
+        ),
+    )
+    return FR.schedule_round(cand, hosts, 1, QCFG).select(
+        "url", "url_md5", "host", "shard", "discovered_round", "seq_in_round"
+    )
+
+
+SQL_SCHEDULE_ROUND = f"""
+WITH {CAND_CTES},
+  front AS (
+    SELECT * FROM (
+      SELECT url, url_md5, host, shard, (doc_id % 4) AS discovered_round,
+             ROW_NUMBER() OVER (PARTITION BY url_md5 ORDER BY url) rn
+      FROM cand) WHERE rn = 1
+  ),
+  hosts AS (
+    SELECT host, ({hash60_sql('host', 'na')} % 3) AS next_allowed_round
+    FROM (SELECT DISTINCT host FROM front)
+  ),
+  eligible AS (
+    SELECT f.* FROM front f JOIN hosts h USING (host)
+    WHERE h.next_allowed_round <= 1
+  ),
+  picked AS (
+    SELECT * FROM (
+      SELECT e.*, ROW_NUMBER() OVER (
+        PARTITION BY host ORDER BY discovered_round, url_md5) hrn
+      FROM eligible e) WHERE hrn = 1
+  ),
+  quota AS (
+    SELECT * FROM (
+      SELECT p.*, ROW_NUMBER() OVER (
+        PARTITION BY shard ORDER BY discovered_round, url_md5) srn
+      FROM picked p) WHERE srn <= {QCFG.per_shard_quota}
+  )
+SELECT url, url_md5, host, shard, discovered_round,
+       CAST(ROW_NUMBER() OVER (ORDER BY discovered_round, url_md5) AS INT)
+         AS seq_in_round
+FROM quota
+"""
+
+
+def q_top_hosts(spark, sf_dir):
+    return FR.top_hosts(_candidates_df(spark, sf_dir), 20)
+
+
+SQL_TOP_HOSTS = f"""
+WITH {CAND_CTES}
+SELECT host, count(*) AS n_urls FROM cand
+GROUP BY host ORDER BY n_urls DESC, host LIMIT 20
+"""
+
+
+def q_robots_gate(spark, sf_dir):
+    """Robots distribution over hosts of the *unfiltered* candidate set."""
+    from searchengine_spark.corpus import robots_state_expr
+    from searchengine_spark.functions.urls import (
+        canonicalize_expr,
+        filter_url_expr,
+        split_host_expr,
+    )
+
+    raw = _docs(spark, sf_dir).select(raw_url_expr("doc_id").alias("raw_url"))
+    ok = (
+        raw.withColumn("url", canonicalize_expr("raw_url"))
+        .where(F.col("url").isNotNull() & filter_url_expr("url"))
+        .withColumn("host", split_host_expr("url"))
+    )
+    return (
+        ok.select("host").distinct()
+        .withColumn("robots_state", robots_state_expr(F.col("host")))
+        .groupBy("robots_state")
+        .agg(F.count("*").alias("n_hosts"))
+        .orderBy("robots_state")
+    )
+
+
+SQL_ROBOTS_GATE = f"""
+WITH urls AS (SELECT doc_id, {raw_url_sql('doc_id')} AS raw_url FROM documents),
+  canon AS (SELECT {canonicalize_sql('raw_url')} AS url FROM urls),
+  ok AS (SELECT url, {_HOST} AS host FROM canon
+         WHERE url IS NOT NULL AND ({filter_url_sql('url')})),
+  hosts AS (SELECT DISTINCT host FROM ok)
+SELECT {robots_state_sql('host')} AS robots_state, count(*) AS n_hosts
+FROM hosts GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# link graph / pagerank
+# ---------------------------------------------------------------------------
+
+def _synth_edges(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    e = d.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 7 + 1) % n).alias("dst")).unionAll(
+        d.select(F.col("doc_id").alias("src"), ((F.col("doc_id") * 13 + 2) % n).alias("dst"))
+    )
+    e = e.where(F.col("src") != F.col("dst")).distinct()
+    return e.withColumn("out_degree", F.count("*").over(W.partitionBy("src")))
+
+
+def q_pagerank3(spark, sf_dir):
+    edges = _synth_edges(spark, sf_dir)
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    return PR.pagerank(edges, nodes, n_iter=3).orderBy("node")
+
+
+_EDGE_CTES = """
+  nodes AS (SELECT doc_id AS node FROM documents),
+  nn AS (SELECT count(*) AS n FROM documents),
+  raw_edges AS (
+    SELECT doc_id AS src, (doc_id*7+1) % (SELECT n FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*13+2) % (SELECT n FROM nn) FROM documents
+  ),
+  edges0 AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+  edges AS (SELECT src, dst,
+                   COUNT(*) OVER (PARTITION BY src) AS out_degree FROM edges0)
+"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    return f""",
+  {out}_c AS (
+    SELECT e.dst AS node, SUM(r.rank / e.out_degree) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+  ),
+  {out} AS (
+    SELECT n.node, 0.15 + 0.85 * COALESCE(c.s, 0.0) AS rank
+    FROM nodes n LEFT JOIN {out}_c c ON n.node = c.node
+  )"""
+
+
+SQL_PAGERANK3 = (
+    "WITH "
+    + _EDGE_CTES
+    + ", r0 AS (SELECT node, 1.0 AS rank FROM nodes)"
+    + _pr_iter_sql("r0", "r1")
+    + _pr_iter_sql("r1", "r2")
+    + _pr_iter_sql("r2", "r3")
+    + """
+SELECT node, round(least(rank, 100.0), 6) AS rank FROM r3 ORDER BY node
+"""
+)
+
+
+def q_link_graph_stats(spark, sf_dir):
+    return (
+        _synth_edges(spark, sf_dir)
+        .select("src", "out_degree")
+        .distinct()
+        .groupBy("out_degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("out_degree")
+    )
+
+
+SQL_LINK_GRAPH_STATS = (
+    "WITH "
+    + _EDGE_CTES
+    + """
+SELECT out_degree, count(*) AS n_nodes
+FROM (SELECT DISTINCT src, out_degree FROM edges)
+GROUP BY out_degree ORDER BY out_degree
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# postings / search
+# ---------------------------------------------------------------------------
+
+_POSTINGS_CTES = """
+  words AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+  ),
+  postings AS (
+    SELECT w.doc_id, w.term,
+           list_position(string_split(d.text, ' '), w.term) AS first_pos,
+           cnt.tf,
+           round(CAST(cnt.tf AS DOUBLE) / len(string_split(d.text, ' ')), 6)
+             AS rank
+    FROM (SELECT DISTINCT doc_id, term FROM words) w
+    JOIN documents d ON d.doc_id = w.doc_id
+    JOIN (SELECT doc_id, term, count(*) AS tf FROM words GROUP BY 1, 2) cnt
+      ON cnt.doc_id = w.doc_id AND cnt.term = w.term
+    WHERE length(w.term) > 0
+  )
+"""
+
+
+def _postings(spark, sf_dir):
+    return IX.build_postings(_docs(spark, sf_dir))
+
+
+def q_term_stats(spark, sf_dir):
+    return (
+        _postings(spark, sf_dir)
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tf").alias("total_tf"),
+            F.round(F.sum("rank"), 4).alias("total_rank"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_TERM_STATS = (
+    "WITH "
+    + _POSTINGS_CTES
+    + """
+SELECT term, count(*) AS n_docs, sum(tf) AS total_tf,
+       round(sum(rank), 4) AS total_rank
+FROM postings GROUP BY term ORDER BY term
+"""
+)
+
+SEARCH_TERMS = ["join", "sort"]
+
+
+def q_search_2term(spark, sf_dir):
+    docs_meta = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("host")
+    )
+    return IX.search(_postings(spark, sf_dir), SEARCH_TERMS, docs_meta, k=50)
+
+
+SQL_SEARCH_2TERM = (
+    "WITH "
+    + _POSTINGS_CTES
+    + f""",
+  p0 AS (SELECT doc_id, rank r0, first_pos q0 FROM postings WHERE term = '{SEARCH_TERMS[0]}'),
+  p1 AS (SELECT doc_id, rank r1, first_pos q1 FROM postings WHERE term = '{SEARCH_TERMS[1]}'),
+  j AS (
+    SELECT p0.doc_id,
+           round((r0 + r1) * greatest(power(0.9, abs(q0 - q1) - 1), 1e-6), 6)
+             AS score
+    FROM p0 JOIN p1 USING (doc_id)
+  ),
+  top AS (SELECT doc_id, score FROM j ORDER BY score DESC, doc_id LIMIT 50),
+  wh AS (SELECT t.doc_id, t.score, d.source AS host
+         FROM top t JOIN documents d ON d.doc_id = t.doc_id),
+  dd AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY score DESC, doc_id) rn,
+           COUNT(*) OVER (PARTITION BY host) AS nh
+    FROM wh)
+SELECT doc_id, score, host, (nh - 1) AS n_more_from_host
+FROM dd WHERE rn = 1 ORDER BY score DESC, doc_id
+"""
+)
+
+
+def q_prefix_search(spark, sf_dir):
+    return IX.prefix_search(_postings(spark, sf_dir), "s")
+
+
+SQL_PREFIX_SEARCH = (
+    "WITH "
+    + _POSTINGS_CTES
+    + """
+SELECT term, count(*) AS n_docs, round(sum(rank), 6) AS total_rank
+FROM postings WHERE term LIKE 's%' GROUP BY term ORDER BY term
+"""
+)
+
+
+def q_small_postings(spark, sf_dir):
+    return (
+        IX.build_small_postings(_postings(spark, sf_dir))
+        .groupBy("sterm")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("rank"), 4).alias("total_rank"),
+        )
+        .orderBy("sterm")
+    )
+
+
+SQL_SMALL_POSTINGS = (
+    "WITH "
+    + _POSTINGS_CTES
+    + """,
+  small AS (
+    SELECT * FROM (
+      SELECT doc_id, substr(term, 1, 8) AS sterm, rank, term,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id, substr(term, 1, 8)
+               ORDER BY rank DESC, term) rn
+      FROM postings) WHERE rn = 1
+  )
+SELECT sterm, count(*) AS n_docs, round(sum(rank), 4) AS total_rank
+FROM small GROUP BY sterm ORDER BY sterm
+"""
+)
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def _docs_exactdup_aug(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    dups = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 10 == 0)
+        .select(F.concat(F.lit("dup"), F.col("doc_id").cast("string")).alias("doc_id"), "text")
+    )
+    return d.unionByName(dups)
+
+
+_EXACTDUP_CTES = """
+  docs_aug AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+    UNION ALL
+    SELECT 'dup' || CAST(doc_id AS VARCHAR), text FROM documents WHERE doc_id % 10 = 0
+  )
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dup_groups(_docs_exactdup_aug(spark, sf_dir)).orderBy("content_hash")
+
+
+SQL_DEDUP_EXACT = (
+    "WITH "
+    + _EXACTDUP_CTES
+    + """
+SELECT md5(text) AS content_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM docs_aug GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
+"""
+)
+
+
+def _shingles_expr(text_col="text"):
+    w = F.split(F.col(text_col), " ")
+    n = F.size(w)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
+    "|| ' ' || string_split(text,' ')[i+2]))"
+)
+
+
+def _docs_neardup_aug(spark, sf_dir):
+    """Original docs + truncated near-duplicates for doc_id%17==0."""
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    w = F.split(F.col("text"), " ")
+    nd = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 17 == 0)
+        .select(
+            F.concat(F.lit("nd"), F.col("doc_id").cast("string")).alias("doc_id"),
+            F.array_join(
+                F.slice(w, 1, F.greatest(F.size(w) - 5, F.lit(1))), " "
+            ).alias("text"),
+        )
+    )
+    return d.unionByName(nd)
+
+
+_NEARDUP_CTES = """
+  docs_aug AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+    UNION ALL
+    SELECT 'nd' || CAST(doc_id AS VARCHAR),
+           array_to_string(
+             string_split(text,' ')[1:greatest(len(string_split(text,' '))-5,1)],
+             ' ')
+    FROM documents WHERE doc_id % 17 = 0
+  )
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(3-gram shingles) -> banded LSH -> exact-Jaccard verify."""
+    aug = _docs_neardup_aug(spark, sf_dir).withColumn("_sh", _shingles_expr())
+    sigs = aug.select("doc_id", "_sh")
+    for i in range(DD.N_MINHASH):
+        sigs = sigs.withColumn(
+            f"mh_{i}", F.array_min(F.transform("_sh", DD._salted_hash(f"mh{i}")))
+        )
+    pairs = DD.lsh_candidate_pairs(sigs.drop("_sh"))
+    wsets = aug.select("doc_id", F.col("_sh").alias("wset"))
+    j = (
+        pairs.join(
+            wsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("wset", "wa"),
+            "doc_a",
+        )
+        .join(
+            wsets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("wset", "wb"),
+            "doc_b",
+        )
+        .withColumn("_i", F.size(F.array_intersect("wa", "wb")))
+        .withColumn("_u", F.size(F.array_union("wa", "wb")))
+        .withColumn("jaccard", F.round(F.col("_i") / F.col("_u"), 4))
+        .where(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+    return j
+
+
+def _minhash_band_sql() -> str:
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, w -> {hash60_sql('w', f'mh{i}')})) AS mh_{i}"
+        for i in range(DD.N_MINHASH)
+    )
+    band_selects = []
+    for b in range(DD.N_MINHASH // DD.LSH_BAND_SIZE):
+        cols = [f"mh_{b * DD.LSH_BAND_SIZE + j}" for j in range(DD.LSH_BAND_SIZE)]
+        key = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sigs")
+    return f"""
+  shingled AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM docs_aug),
+  sigs AS (SELECT doc_id, {sigs} FROM shingled),
+  bands AS ({' UNION ALL '.join(band_selects)}),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, key)
+    WHERE a.doc_id < b.doc_id
+  )"""
+
+
+SQL_DEDUP_MINHASH = (
+    "WITH "
+    + _NEARDUP_CTES
+    + ","
+    + _minhash_band_sql()
+    + """
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
+FROM pairs
+JOIN shingled sa ON sa.doc_id = doc_a
+JOIN shingled sb ON sb.doc_id = doc_b
+WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return DD.simhash_dup_buckets(_docs_exactdup_aug(spark, sf_dir)).orderBy("simhash")
+
+
+SQL_DEDUP_SIMHASH = (
+    "WITH "
+    + _EXACTDUP_CTES
+    + f"""
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM (SELECT doc_id, {DD.simhash_sql('text')} AS simhash FROM docs_aug)
+GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
+"""
+)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Pairwise bigram Jaccard among doc_id<80 (bounded candidate set)."""
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        )
+    )
+    d = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") < 80)
+        .select("doc_id", bigrams.alias("bg"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.bg", "b.bg"))
+                / F.size(F.array_union("a.bg", "b.bg")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.05)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_BIGRAMS_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(string_split(text,' ')) - 1, 1) + 1), "
+    "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
+)
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH d AS (SELECT doc_id, {_BIGRAMS_SQL} AS bg FROM documents WHERE doc_id < 80)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.bg, b.bg))), 4) AS jaccard
+FROM d a, d b
+WHERE a.doc_id < b.doc_id
+  AND round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.bg, b.bg))), 4) >= 0.05
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity / ANN
+# ---------------------------------------------------------------------------
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SIM.brute_force_topk(e, q, k=5)
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  q AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 3),
+  scored AS (
+    SELECT q.query_id, e.vec_id,
+           round(list_dot_product(e.v, q.qvec)
+                 / (sqrt(list_dot_product(e.v, e.v))
+                    * sqrt(list_dot_product(q.qvec, q.qvec))), 4) AS cosine
+    FROM e, q WHERE e.vec_id <> q.query_id
+  ),
+  ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Exact near-dup pairs (cosine >= 0.999) over a clone-augmented set."""
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 500)
+    clones = e.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = e.unionByName(clones)
+    a, b = aug.alias("a"), aug.alias("b")
+    return (
+        a.crossJoin(b)
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn(
+            "cosine",
+            F.round(SIM.cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 4),
+        )
+        .where(F.col("cosine") >= 0.999)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id < 500),
+  aug AS (SELECT * FROM e
+          UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 50 = 0)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+FROM aug a, aug b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.999
+ORDER BY vec_a, vec_b
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (pandas-UDF hyperplanes) — rows-only oracle;
+    recall vs brute force is asserted in tests."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SIM.ann_topk(e, q, k=5)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count_expr("text").alias("n_tokens"),
+        TX.bpe_token_count_expr("text").alias("n_bpe_tokens"),
+        F.round(TX.punct_ratio_expr("text"), 4).alias("punct_ratio"),
+        F.round(TX.stopword_ratio_expr("text"), 4).alias("stopword_ratio"),
+        TX.quality_score_expr("text").alias("quality"),
+    ).orderBy("doc_id")
+
+
+SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       len(string_split_regex(text, '\\s+')) AS n_tokens,
+       {TX.bpe_token_count_sql('text')} AS n_bpe_tokens,
+       round({TX.punct_ratio_sql('text')}, 4) AS punct_ratio,
+       round({TX.stopword_ratio_sql('text')}, 4) AS stopword_ratio,
+       {TX.quality_score_sql('text')} AS quality
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", TX.lang_guess_expr("text").alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang_guess")
+    )
+
+
+SQL_LANG_ID = f"""
+SELECT lang_guess, count(*) AS n_docs
+FROM (SELECT {TX.lang_guess_sql('text')} AS lang_guess FROM documents)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", TX.fingerprint_expr("text").alias("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id, {TX.fingerprint_sql('text')} AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (streaming semantics on the batch view)
+# ---------------------------------------------------------------------------
+
+def q_events_window(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    agg = EV.windowed_event_agg(ev)
+    return agg.select(
+        F.unix_timestamp("window_start").alias("window_epoch"),
+        "event_type",
+        "n_events",
+        "total_value",
+    ).orderBy("window_epoch", "event_type")
+
+
+SQL_EVENTS_WINDOW = """
+SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS window_epoch,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = EV.sessionize(ev)
+    return s.select(
+        "user_id",
+        "session_no",
+        "n_events",
+        F.unix_timestamp("session_start").alias("start_epoch"),
+        F.unix_timestamp("session_end").alias("end_epoch"),
+        "session_value",
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM g)
+SELECT user_id, session_no, count(*) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_no
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def q_media_stats(spark, sf_dir):
+    return MM.media_stats(MM.synth_media_df(spark, sf_dir))
+
+
+def _media_meta_sql() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", "media")
+    return f"""
+  media AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+           CASE ({h} % 4) WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+                          WHEN 2 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+           ({h} % 1024 + 16) AS width,
+           (({h} // 1024) % 1024 + 16) AS height,
+           (({h} % 6) + 1) * 16 AS n_bytes
+    FROM documents
+  )"""
+
+
+SQL_MEDIA_STATS = (
+    "WITH "
+    + _media_meta_sql()
+    + """
+SELECT media_type, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+       round(avg(width), 2) AS avg_width, round(avg(height), 2) AS avg_height
+FROM media GROUP BY media_type ORDER BY media_type
+"""
+)
+
+
+def q_media_features(spark, sf_dir):
+    """binary decode->feature plumbing (mapInPandas) — rows-only oracle."""
+    return MM.extract_media_features(MM.synth_media_df(spark, sf_dir)).select(
+        "media_id", "media_type", "n_bytes", "features"
+    )
+
+
+# ---------------------------------------------------------------------------
+# generic operator parity (TPC-H-ish)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1ish(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_TPCH_Q1ISH = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_semi_anti_join(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with_orders = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
+    ).count()
+    without = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).count()
+    return spark.createDataFrame(
+        [(int(with_orders), int(without))], "n_with_orders long, n_without long"
+    )
+
+
+SQL_SEMI_ANTI_JOIN = """
+SELECT (SELECT count(*) FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
+       (SELECT count(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "url_canonicalize": q_url_canonicalize,
+    "url_candidates": q_url_candidates,
+    "host_shards": q_host_shards,
+    "frontier_dedup": q_frontier_dedup,
+    "schedule_round": q_schedule_round,
+    "top_hosts": q_top_hosts,
+    "robots_gate": q_robots_gate,
+    "pagerank3": q_pagerank3,
+    "link_graph_stats": q_link_graph_stats,
+    "term_stats": q_term_stats,
+    "search_2term": q_search_2term,
+    "prefix_search": q_prefix_search,
+    "small_postings": q_small_postings,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ann_lsh": q_ann_lsh,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "events_window": q_events_window,
+    "sessionize": q_sessionize,
+    "media_stats": q_media_stats,
+    "media_features": q_media_features,
+    "tpch_q1ish": q_tpch_q1ish,
+    "semi_anti_join": q_semi_anti_join,
+}
+
+ORACLE_SQL = {
+    "url_canonicalize": SQL_URL_CANONICALIZE,
+    "url_candidates": SQL_URL_CANDIDATES,
+    "host_shards": SQL_HOST_SHARDS,
+    "frontier_dedup": SQL_FRONTIER_DEDUP,
+    "schedule_round": SQL_SCHEDULE_ROUND,
+    "top_hosts": SQL_TOP_HOSTS,
+    "robots_gate": SQL_ROBOTS_GATE,
+    "pagerank3": SQL_PAGERANK3,
+    "link_graph_stats": SQL_LINK_GRAPH_STATS,
+    "term_stats": SQL_TERM_STATS,
+    "search_2term": SQL_SEARCH_2TERM,
+    "prefix_search": SQL_PREFIX_SEARCH,
+    "small_postings": SQL_SMALL_POSTINGS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    # ann_lsh: rows-only (pandas-UDF hyperplanes; recall tested vs brute force)
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "fingerprint": SQL_FINGERPRINT,
+    "events_window": SQL_EVENTS_WINDOW,
+    "sessionize": SQL_SESSIONIZE,
+    "media_stats": SQL_MEDIA_STATS,
+    # media_features: rows-only (binary decode stub via mapInPandas)
+    "tpch_q1ish": SQL_TPCH_Q1ISH,
+    "semi_anti_join": SQL_SEMI_ANTI_JOIN,
+}

@@ -1,0 +1,98 @@
+"""Structured Streaming surface (SURVEY.md §2.9).
+
+The reference is a continuous multithreaded loop, not a stream
+processor; its streaming-shaped concepts map to: politeness window ≙
+processing-time window, frontier quota ≙ backpressure, Model state ≙
+state store. The crawl itself runs as batch rounds (Iceberg-snapshot
+resumability beats a streaming query for that loop — SURVEY §2.9), but
+the engine still ships streaming operators for the event-log side:
+
+* windowed_event_agg — tumbling-window counts/sums with watermarked
+  late-data handling; same function serves the batch DataFrame (for
+  the DuckDB oracle) and the readStream DataFrame (tests drive it
+  through a memory sink);
+* sessionize — gap-based sessions via lag/cumsum windows (batch) —
+  the applyInPandasWithState equivalent for bounded replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+WINDOW = "5 minutes"
+WATERMARK = "10 minutes"
+
+
+def windowed_event_agg(events: DataFrame, streaming: bool = False) -> DataFrame:
+    """Tumbling 5-min window per event_type: count + sum(value).
+
+    Works on both batch and streaming inputs; streaming adds the
+    watermark for state cleanup.
+    """
+    src = events.withWatermark("ts", WATERMARK) if streaming else events
+    return (
+        src.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user is
+    idle > SESSION_GAP_MIN minutes. lag + running-sum windows."""
+    w_user = W.partitionBy("user_id").orderBy("ts")
+    epoch = F.unix_timestamp(F.col("ts"))  # NTZ-safe (session TZ = UTC)
+    gap = epoch - F.lag(epoch).over(w_user)
+    with_break = (
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0)
+    )
+    df = (
+        events.withColumn("_new_session", with_break)
+        .withColumn(
+            "session_no",
+            F.sum("_new_session").over(
+                w_user.rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        df.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+def run_stream_over_parquet(spark, parquet_path: str, schema, query_name: str = "ev_out"):
+    """Drive the streaming agg over a parquet directory synchronously
+    (memory sink + processAllAvailable) — the local smoke path; a real
+    deployment swaps the source for kafka/kinesis unchanged."""
+    stream = (
+        spark.readStream.schema(schema).parquet(parquet_path)
+    )
+    agg = windowed_event_agg(stream, streaming=True)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -138,3 +138,31 @@ def test_reference_quirks():
     assert U.registered_domain_py("a.com.cn") == "a.com.cn"
     assert U.registered_domain_py("foo.co.uk") == "co.uk"
     assert U.registered_domain_py("x.com.com.cn") == "x.com.com.cn"
+
+
+def test_parse_candidates_udf_matches_native(spark, urls_df):
+    """The hot-path pandas UDF must agree with the native exprs and the
+    Python oracle on every field, including the admit gate."""
+    from searchengine_spark.corpus import robots_allows_py, url_path_py
+    from searchengine_spark.functions.urls import make_parse_candidates_udf
+
+    parse = make_parse_candidates_udf(16, "s0")
+    got = urls_df.select("raw_url", parse(F.col("raw_url")).alias("p")).collect()
+    for r in got:
+        raw, p = r["raw_url"], r["p"]
+        c = U.canonicalize_py(raw)
+        if c is None:
+            assert p["admit"] is False and p["url"] is None
+            continue
+        assert p["url"] == c
+        assert p["url_md5"] == U.url_md5_py(c)
+        host = U.split_host_py(c)
+        assert p["host"] == host
+        expect_admit = (
+            U.url_md5_py(c) is not None
+            and U.filter_url_py(c)
+            and robots_allows_py(host, url_path_py(c))
+        )
+        assert p["admit"] == expect_admit, raw
+        if expect_admit:
+            assert p["shard"] == U.host_shard_py(host, 16, "s0")
