@@ -20,7 +20,8 @@ from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 from searchengine_spark.functions.hashes import hash60_py
 
-N_HYPERPLANES = 12
+N_HYPERPLANES = 4  # random-ish corpora: few planes + multi-probe; clustered
+# corpora at scale: raise planes (bucket count 2^n) to keep buckets small
 DIM = 64
 
 

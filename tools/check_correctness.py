@@ -43,6 +43,7 @@ def main():
     only = set(sys.argv[2:])
     spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    con.execute("SET memory_limit='8GB'; SET threads=8;")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
