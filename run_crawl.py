@@ -1,0 +1,75 @@
+"""spark-submit entry point for the crawl engine.
+
+Local smoke:
+    python run_crawl.py --store /tmp/crawlstore --rounds 3 --seeds 48
+
+Cluster (the north-rule invocation shape — same code, no changes):
+    zip -r searchengine_spark.zip searchengine_spark
+    spark-submit --py-files searchengine_spark.zip run_crawl.py \
+        --store hdfs://.../crawlstore --rounds 100 --resume
+
+The driver loop is the only driver-side logic; every round is one job
+DAG on the executors. State snapshots make --resume pick up exactly
+where the last committed round left off (verified equal to an
+uninterrupted run in tests/test_crawl.py::test_resume_from_snapshot).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True, help="state-store root directory")
+    ap.add_argument("--rounds", type=int, default=3)
+    ap.add_argument("--seeds", type=int, default=48, help="seed URL count (grammar ids)")
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--n-shards", type=int, default=8)
+    ap.add_argument("--per-shard-quota", type=int, default=25)
+    ap.add_argument("--politeness-rounds", type=int, default=1)
+    ap.add_argument("--max-doc", type=int, default=500)
+    ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from searchengine_spark.config import CrawlConfig
+    from searchengine_spark.corpus import raw_url_py
+    from searchengine_spark.plans.crawl import CrawlDriver
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("crawl", master=args.master)
+    cfg = CrawlConfig(
+        n_shards=args.n_shards,
+        per_shard_quota=args.per_shard_quota,
+        politeness_rounds=args.politeness_rounds,
+        max_doc=args.max_doc,
+        use_bloom=not args.no_bloom,
+    )
+    driver = CrawlDriver(spark, args.store, cfg)
+    if not args.resume:
+        driver.seed([raw_url_py(i) for i in range(args.seeds)])
+    for st in driver.run(args.rounds, resume=args.resume):
+        print(
+            json.dumps(
+                {
+                    "round": st.round_no,
+                    "scheduled": st.scheduled,
+                    "fetched_ok": st.fetched_ok,
+                    "fetch_failed": st.fetch_failed,
+                    "new_urls": st.new_urls,
+                    "wall_sec": round(st.wall_sec, 2),
+                }
+            )
+        )
+    n_docs = driver.store.read("docs").count()
+    n_seen = driver.seen_set().count()
+    print(json.dumps({"total_docs": n_docs, "seen_set": n_seen}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -113,8 +113,13 @@ def jaccard_verify(
 def minhash_dedup(
     docs: DataFrame, text_col: str = "text", threshold: float = 0.5
 ) -> DataFrame:
-    """Full pipeline: signature -> banded LSH -> exact-Jaccard verify."""
-    sigs = minhash_signature(docs, text_col)
+    """Full pipeline: signature -> banded LSH -> exact-Jaccard verify.
+
+    sigs are cached: the banded self-join and the verify join both
+    reuse them (at production scale: a persisted signatures table).
+    """
+    docs = docs.cache()
+    sigs = minhash_signature(docs, text_col).cache()
     pairs = lsh_candidate_pairs(sigs)
     return jaccard_verify(pairs, docs, text_col, threshold)
 

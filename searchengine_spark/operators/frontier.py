@@ -60,12 +60,20 @@ def normalize_candidates(raw: DataFrame, cfg: CrawlConfig, url_col: str = "raw_u
 
 def dedup_batch(candidates: DataFrame) -> DataFrame:
     """Within-batch dedup by url_md5, keeping the lexicographically
-    smallest canonical form (deterministic representative)."""
-    w = W.partitionBy("url_md5").orderBy("url")
+    smallest canonical form (deterministic representative).
+
+    Shape: groupBy + min(struct(url, ...)) instead of a row_number
+    window — the aggregate combines map-side (partial agg before the
+    shuffle), while a window would sort-shuffle every duplicate row.
+    Result is identical: struct min orders by url first.
+    """
+    others = [c for c in candidates.columns if c != "url_md5"]
+    ordered = ["url"] + [c for c in others if c != "url"]
     return (
-        candidates.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+        candidates.groupBy("url_md5")
+        .agg(F.min(F.struct(*ordered)).alias("_m"))
+        .select("url_md5", *[F.col(f"_m.{c}").alias(c) for c in ordered])
+        .select(*candidates.columns)
     )
 
 
@@ -109,23 +117,47 @@ def schedule_round(
         F.broadcast(hosts.select("host", "next_allowed_round")), "host", "left"
     ).where(F.coalesce(F.col("next_allowed_round"), F.lit(0)) <= F.lit(round_no))
 
-    w_host = W.partitionBy("host").orderBy("discovered_round", "url_md5")
+    # per-host pick = min(struct(discovered_round, url_md5, ...)):
+    # map-side-combinable aggregate, not a sort window — at 10^10 rows
+    # the frontier never gets globally sorted, only reduced per host
+    pick_cols = ["discovered_round", "url_md5", "url", "shard"]
     picked = (
-        eligible.withColumn("_hrn", F.row_number().over(w_host))
-        .where(F.col("_hrn") == 1)
-        .drop("_hrn", "next_allowed_round")
+        eligible.groupBy("host")
+        .agg(F.min(F.struct(*pick_cols)).alias("_m"))
+        .select("host", *[F.col(f"_m.{c}").alias(c) for c in pick_cols])
     )
 
+    # per-shard quota: rank over <= n_hosts rows (already reduced)
     w_shard = W.partitionBy("shard").orderBy("discovered_round", "url_md5")
     scheduled = (
         picked.withColumn("_srn", F.row_number().over(w_shard))
         .where(F.col("_srn") <= cfg.per_shard_quota)
         .drop("_srn")
+        .select(*frontier.columns)
     )
 
     w_seq = W.orderBy("discovered_round", "url_md5")  # log ordering only
     return scheduled.withColumn("seq_in_round", F.row_number().over(w_seq)).withColumn(
         "round", F.lit(round_no)
+    )
+
+
+def with_storage_bucket(df: DataFrame, n_buckets: int = 16) -> DataFrame:
+    """Key-uniform storage bucket — the hot-host skew breaker (X3).
+
+    The scheduling shard is host-affine on purpose (politeness and
+    per-host caps want a host's URLs reducible together), so one hot
+    host owning 30% of the frontier would own 30% of a shard-partitioned
+    table. Storage partitions instead bucket on the *url key* (md5 —
+    uniform by construction): a hot host spreads evenly over all
+    buckets, and the host-affine operators stay skew-immune anyway
+    because they are groupBy partial aggregations (map-side combine
+    emits one row per host per task), not sort windows.
+    """
+    from searchengine_spark.functions.hashes import hash60
+
+    return df.withColumn(
+        "storage_bucket", F.pmod(hash60(F.col("url_md5"), "sb"), F.lit(n_buckets)).cast("int")
     )
 
 

@@ -155,7 +155,7 @@ class CrawlDriver:
         stats = RoundStats(round_no)
         t0 = time.time()
 
-        frontier = self.store.read("frontier")
+        frontier = self.store.read("frontier").drop("storage_bucket")
         hosts = self.store.read("hosts")
         seen = self.store.read("seen")
 
@@ -296,9 +296,18 @@ class CrawlDriver:
         ]
 
         # ---- commit snapshots (atomic per table; round meta = resume point)
+        # frontier partitions on the key-uniform storage bucket, NOT the
+        # host-affine shard — a hot host spreads over all buckets (X3)
+        from searchengine_spark.operators.frontier import with_storage_bucket
+
         meta = {"round": round_no}
         self.store.commit("docs", docs_new, mode="append", meta=meta)
-        self.store.commit("frontier", frontier2, meta=meta)
+        self.store.commit(
+            "frontier",
+            with_storage_bucket(frontier2),
+            partition_by=["storage_bucket"],
+            meta=meta,
+        )
         self.store.commit("hosts", hosts2, meta=meta)
         self.store.commit("seen", seen2, meta=meta)
 

@@ -169,7 +169,7 @@ def q_schedule_round(spark, sf_dir):
         _candidates_df(spark, sf_dir).withColumn(
             "discovered_round", (F.col("doc_id") % 4).cast("int")
         )
-    ).select("url", "url_md5", "host", "shard", "discovered_round")
+    ).select("url", "url_md5", "host", "shard", "discovered_round").cache()
     hosts = cand.select("host").distinct().select(
         "host",
         F.pmod(hash60(F.col("host"), "na"), F.lit(3)).cast("int").alias(
@@ -565,7 +565,7 @@ _NEARDUP_CTES = """
 
 def q_dedup_minhash(spark, sf_dir):
     """MinHash(3-gram shingles) -> banded LSH -> exact-Jaccard verify."""
-    aug = _docs_neardup_aug(spark, sf_dir).withColumn("_sh", _shingles_expr())
+    aug = _docs_neardup_aug(spark, sf_dir).withColumn("_sh", _shingles_expr()).cache()
     sigs = aug.select("doc_id", "_sh")
     for i in range(DD.N_MINHASH):
         sigs = sigs.withColumn(
