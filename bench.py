@@ -128,11 +128,13 @@ def run_suite(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
     sf = _sf_of(sf_dir)
     timings: dict[str, float] = {}
 
-    n_urls = max(200_000, int(FRONTIER_URLS_PER_SF * sf))
+    n_urls = int(
+        os.environ.get("BENCH_FRONTIER_URLS", max(200_000, int(FRONTIER_URLS_PER_SF * sf)))
+    )
     fb = frontier_pipeline_bench(spark, n_urls)
     timings["frontier_pipeline"] = fb["wall_sec"]
 
-    for name in BENCH_QUERIES:
+    for name in [] if os.environ.get("BENCH_SKIP_QUERIES") else BENCH_QUERIES:
         t0 = time.time()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
@@ -157,13 +159,27 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
     """local[8] vs local[32]: same job, report throughput + efficiency."""
     results = {}
     for n in (8, 32):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n), BENCH_MASTER=f"local[{n}]")
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_CPUS=str(n),
+            BENCH_MASTER=f"local[{n}]",
+            # scaling evidence needs compute to dominate fixed job overhead
+            BENCH_FRONTIER_URLS=os.environ.get("BENCH_SCALING_URLS", "8000000"),
+            BENCH_SKIP_QUERIES="1",
+        )
         p = subprocess.run(
             [sys.executable, __file__, "--single"],
             env=env, capture_output=True, text=True, cwd=REPO,
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
         results[n] = json.loads(line)
+    # full suite (default sizing) for the per-query table
+    p = subprocess.run(
+        [sys.executable, __file__, "--single"],
+        env=dict(os.environ, SPARK_GRAFT_CPUS="32", BENCH_MASTER="local[32]"),
+        capture_output=True, text=True, cwd=REPO,
+    )
+    suite = json.loads([ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1])
     t8 = results[8]["throughput_urls_per_sec"]
     t32 = results[32]["throughput_urls_per_sec"]
     eff = (t32 / t8) / (32 / 8)
@@ -189,12 +205,13 @@ one i7 (README.md:5) — network-bound fetching. Our comparable stage (the
 schedule+dedup bookkeeping the reference does in RAM hashes) runs at
 {t32:,.0f} URLs/s on 32 local cores.
 
-Full suite timings at sf={results[32]['sf']} (local[32]):
+Full suite timings at sf={suite['sf']} (local[32], frontier at
+{suite['frontier_urls']:,} URLs -> {suite['throughput_urls_per_sec']:,.0f} URLs/s):
 
 | query | sec |
 |---|---|
 """
-    for k, v in results[32]["queries"].items():
+    for k, v in suite["queries"].items():
         md += f"| {k} | {v} |\n"
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
