@@ -136,9 +136,42 @@ def schedule_round(
         .select(*frontier.columns)
     )
 
-    w_seq = W.orderBy("discovered_round", "url_md5")  # log ordering only
-    return scheduled.withColumn("seq_in_round", F.row_number().over(w_seq)).withColumn(
-        "round", F.lit(round_no)
+    return with_global_seq(
+        scheduled, ["discovered_round", "url_md5"], "seq_in_round"
+    ).withColumn("round", F.lit(round_no))
+
+
+def with_global_seq(df: DataFrame, order_cols: list[str], out: str) -> DataFrame:
+    """Deterministic global 1-based rank by order_cols WITHOUT a
+    single-partition sort: range-partition on the keys, rank locally,
+    then offset each partition by the cumulative counts of the
+    partitions before it (a tiny driver-side collect of one count per
+    partition). The rank values are a pure function of the data —
+    independent of parallelism — so the oracle simulator reproduces
+    them exactly."""
+    ranged = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()  # bounded (post-quota); counts pass + final pass reuse it
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    if not counts:
+        return df.withColumn(out, F.lit(None).cast("int"))
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w_local = W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_lrn", F.row_number().over(w_local))
+        .withColumn(out, (off_map[F.col("_pid")] + F.col("_lrn")).cast("int"))
+        .drop("_pid", "_lrn")
     )
 
 

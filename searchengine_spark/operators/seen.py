@@ -61,6 +61,27 @@ def build_bloom_blocks(seen: DataFrame, cfg: CrawlConfig) -> DataFrame:
     )
 
 
+def merge_bloom_blocks(a: DataFrame, b: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    """OR-merge two block tables (incremental maintenance: each round
+    builds blocks only from that round's new keys and ORs them in —
+    the full seen set is never rescanned)."""
+    nbytes = cfg.bloom_bits_per_shard // 8
+
+    def orall(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for bm in pdf["bitmap"]:
+            acc |= np.frombuffer(bm, dtype=np.uint8)
+        return pd.DataFrame(
+            {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [acc.tobytes()]}
+        )
+
+    return (
+        a.unionByName(b)
+        .groupBy("shard")
+        .applyInPandas(orall, schema="shard int, bitmap binary")
+    )
+
+
 def bloom_prefilter(
     spark: SparkSession, candidates: DataFrame, blocks: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:

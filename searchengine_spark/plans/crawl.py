@@ -221,7 +221,11 @@ class CrawlDriver:
         )
         deduped = dedup_batch(admitted)
         if cfg.use_bloom:
-            blocks = build_bloom_blocks(seen, cfg)
+            # incremental blocks: read last round's, never rescan seen
+            if self.store.exists("bloom"):
+                blocks = self.store.read("bloom")
+            else:
+                blocks = build_bloom_blocks(seen, cfg)
             new_rows = dedup_seen_with_bloom(spark, deduped, seen, blocks, cfg)
         else:
             new_rows = dedup_seen(deduped, seen)
@@ -277,6 +281,11 @@ class CrawlDriver:
         )
 
         seen2 = seen.unionByName(new_rows.select("url_md5", "shard"))
+        if cfg.use_bloom:
+            from searchengine_spark.operators.seen import merge_bloom_blocks
+
+            delta = build_bloom_blocks(new_rows.select("url_md5", "shard"), cfg)
+            blocks2 = merge_bloom_blocks(blocks, delta, cfg)
 
         stats.per_shard = [
             {
@@ -310,6 +319,8 @@ class CrawlDriver:
         )
         self.store.commit("hosts", hosts2, meta=meta)
         self.store.commit("seen", seen2, meta=meta)
+        if cfg.use_bloom:
+            self.store.commit("bloom", blocks2, meta=meta)
 
         stats.wall_sec = time.time() - t0
         metrics_rows = [

@@ -12,8 +12,6 @@ compute over bit-identical inputs.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from searchengine_spark.config import CrawlConfig

@@ -102,3 +102,20 @@ def test_resume_from_snapshot(spark, tmp_path_factory, oracle_state):
     ]
     assert got == oracle_state.fetch_log
     assert {r["url_md5"] for r in d2.seen_set().collect()} == oracle_state.seen
+
+
+def test_incremental_bloom_equals_full_rebuild(engine_state):
+    """The OR-merged per-round bloom blocks must equal a from-scratch
+    build over the final seen set (bloom stays a sound prefilter)."""
+    from searchengine_spark.operators.seen import build_bloom_blocks
+
+    driver, _ = engine_state
+    got = {
+        r["shard"]: bytes(r["bitmap"])
+        for r in driver.store.read("bloom").collect()
+    }
+    want = {
+        r["shard"]: bytes(r["bitmap"])
+        for r in build_bloom_blocks(driver.store.read("seen"), CFG).collect()
+    }
+    assert got == want
