@@ -142,6 +142,74 @@ def search(
     )
 
 
+def parse_query(q: str) -> list[dict]:
+    """splitSentence, PageSearcher.cpp:69-108: whitespace-split terms;
+    double-quoted spans become phrase terms; a trailing '*' marks a
+    prefix term (the sorted-dict prefix mode, SearchEngine.h:389-415).
+
+    Returns [{"term": str, "kind": "word"|"phrase"|"prefix"}].
+    """
+    out: list[dict] = []
+    i, n = 0, len(q)
+    while i < n:
+        if q[i].isspace():
+            i += 1
+            continue
+        if q[i] == '"':
+            j = q.find('"', i + 1)
+            if j < 0:
+                j = n
+            phrase = " ".join(q[i + 1 : j].split())
+            if phrase:
+                out.append({"term": phrase, "kind": "phrase"})
+            i = j + 1
+            continue
+        j = i
+        while j < n and not q[j].isspace():
+            j += 1
+        w = q[i:j]
+        if w.endswith("*") and len(w) > 1:
+            out.append({"term": w[:-1], "kind": "prefix"})
+        elif w:
+            out.append({"term": w, "kind": "word"})
+        i = j
+    return out
+
+
+def search_query(
+    postings: DataFrame,
+    q: str,
+    docs_meta: DataFrame | None = None,
+    host_col: str = "host",
+    k: int = MAX_SHOW,
+) -> DataFrame:
+    """Console-style entry: parse the query string, expand prefix terms
+    against the dictionary, then run the k-way AND search. Phrase terms
+    are matched as their first word plus a position-adjacency rank
+    boost through the proximity co-rank (A8)."""
+    parsed = parse_query(q)
+    terms: list[str] = []
+    for p in parsed:
+        if p["kind"] == "prefix":
+            hits = (
+                postings.where(F.col("term").startswith(p["term"]))
+                .groupBy("term")
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), "term")
+                .limit(1)
+                .collect()
+            )
+            if hits:
+                terms.append(hits[0]["term"])
+        elif p["kind"] == "phrase":
+            terms.extend(p["term"].split())
+        else:
+            terms.append(p["term"])
+    if not terms:
+        raise ValueError("empty query")
+    return search(postings, terms, docs_meta, host_col, k)
+
+
 def prefix_search(postings: DataFrame, prefix: str) -> DataFrame:
     """O2's phrase/prefix mode: term startswith prefix (the sorted-dict
     prefix compare, SearchEngine.h:389-415) — Catalyst turns this into

@@ -1057,3 +1057,30 @@ ORACLE_SQL = {
     "tpch_q1ish": SQL_TPCH_Q1ISH,
     "semi_anti_join": SQL_SEMI_ANTI_JOIN,
 }
+
+
+def q_events_props_json(spark, sf_dir):
+    """JSON column extraction (events.props) + conditional agg."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k_bucket", (k % 10).cast("int"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 4).alias("purchase_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+SQL_EVENTS_PROPS_JSON = """
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
+       count(*) AS n_events,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4)
+         AS purchase_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["events_props_json"] = q_events_props_json
+ORACLE_SQL["events_props_json"] = SQL_EVENTS_PROPS_JSON

@@ -179,3 +179,22 @@ def test_frame_sample_plan(spark):
     rows = frames.collect()
     assert all(r["frame_idx"] % 10 == 0 for r in rows)
     assert len(rows) > 0
+
+
+def test_parse_query_and_search_query(spark):
+    from searchengine_spark.operators.index import parse_query, search_query
+
+    assert parse_query('apple "banana cherry" pre*') == [
+        {"term": "apple", "kind": "word"},
+        {"term": "banana cherry", "kind": "phrase"},
+        {"term": "pre", "kind": "prefix"},
+    ]
+    docs = spark.createDataFrame(
+        [("d1", "apple banana cherry", "h1"), ("d2", "apple pear", "h2")],
+        "doc_id string, text string, host string",
+    )
+    p = IX.build_postings(docs)
+    got = search_query(p, '"apple banana"', docs.select("doc_id", "host"))
+    assert [r["doc_id"] for r in got.collect()] == ["d1"]
+    got2 = search_query(p, "pea*", docs.select("doc_id", "host"))
+    assert [r["doc_id"] for r in got2.collect()] == ["d2"]
