@@ -219,9 +219,13 @@ def crawl_round_bench(spark, n_frontier: int, workdir: str | None = None) -> dic
         return int(agg[0][0])
 
     one_round()  # warm-up (untimed): JIT, codegen, python workers
-    t0 = time.time()
-    n_new = one_round()
-    wall = time.time() - t0
+    walls = []
+    n_new = 0
+    for _ in range(2):  # min-of-2: steady-state, low run-to-run variance
+        t0 = time.time()
+        n_new = one_round()
+        walls.append(time.time() - t0)
+    wall = min(walls)
     n_sched = min(n_hosts, n_frontier)
     return {
         "n_frontier": n_frontier,
