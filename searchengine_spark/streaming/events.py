@@ -29,7 +29,11 @@ def windowed_event_agg(events: DataFrame, streaming: bool = False) -> DataFrame:
     Works on both batch and streaming inputs; streaming adds the
     watermark for state cleanup.
     """
-    src = events.withWatermark("ts", WATERMARK) if streaming else events
+    # watermarks require TIMESTAMP (not NTZ); session TZ is UTC so the
+    # cast is value-preserving for the parquet NTZ column
+    src = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if streaming:
+        src = src.withWatermark("ts", WATERMARK)
     return (
         src.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
         .agg(
@@ -86,8 +90,10 @@ def run_stream_over_parquet(spark, parquet_path: str, schema, query_name: str = 
         spark.readStream.schema(schema).parquet(parquet_path)
     )
     agg = windowed_event_agg(stream, streaming=True)
+    # complete mode: a finite replay must also emit the still-open last
+    # window (append mode only emits watermark-closed windows)
     q = (
-        agg.writeStream.outputMode("append")
+        agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)
