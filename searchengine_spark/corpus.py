@@ -145,6 +145,44 @@ def robots_state_sql(host: str) -> str:
     )
 
 
+def parse_robots_txt(txt: str) -> str:
+    """Minimal robots.txt -> engine robots_state string.
+
+    Understands `User-agent: *` sections with Disallow rules:
+    'Disallow: /' -> 'deny'; a single prefix -> 'disallow:<prefix>';
+    otherwise 'allow'. (The reference has NO robots support — this is
+    the north-rule addition; the fetch adapter parses the fetched
+    robots body into the cached hosts.robots_state column.)
+    """
+    in_star = False
+    prefixes: list[str] = []
+    for line in txt.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        k, _, v = line.partition(":")
+        k, v = k.strip().lower(), v.strip()
+        if k == "user-agent":
+            in_star = v == "*"
+        elif k == "disallow" and in_star:
+            if v == "/":
+                return "deny"
+            if v:
+                prefixes.append(v)
+    if prefixes:
+        return "disallow:" + prefixes[0]
+    return "allow"
+
+
+def robots_txt_of_state(state: str) -> str:
+    """Inverse fixture generator: state -> a robots.txt body."""
+    if state == "deny":
+        return "User-agent: *\nDisallow: /\n"
+    if state.startswith("disallow:"):
+        return f"User-agent: *\nDisallow: {state[len('disallow:'):]}\n"
+    return "User-agent: *\nDisallow:\n"
+
+
 def url_path_py(canonical: str) -> str:
     s = canonical
     if s.startswith("https://"):

@@ -1,0 +1,75 @@
+"""End-to-end: crawl -> pagerank -> index -> search over the store —
+the full 'a user of the reference switches to this repo' path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.config import CrawlConfig
+from searchengine_spark.corpus import raw_url_py
+from searchengine_spark.plans.crawl import CrawlDriver
+from searchengine_spark.plans.index_pipeline import (
+    SearchService,
+    build_index,
+    doc_text_expr,
+    rank_docs,
+)
+
+CFG = CrawlConfig(n_shards=4, per_shard_quota=8, politeness_rounds=1, max_doc=120)
+
+
+@pytest.fixture(scope="module")
+def crawled(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("e2estore"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed([raw_url_py(i) for i in range(32)])
+    d.run(3)
+    return d
+
+
+def test_doc_text_from_spans(crawled):
+    docs = crawled.store.read("docs")
+    row = docs.select("url", doc_text_expr().alias("t")).limit(1).collect()[0]
+    assert row["t"].startswith("page ")  # title span first
+    assert "body of" in row["t"]
+
+
+def test_rank_docs_produces_valid_ranks(crawled):
+    docs = crawled.store.read("docs")
+    ranks = rank_docs(docs).collect()
+    assert len(ranks) == docs.count()
+    for r in ranks:
+        assert 0.15 - 1e-9 <= r["page_rank"] <= 100.0
+
+
+def test_build_index_rank_weighted(crawled):
+    docs = crawled.store.read("docs")
+    plain = build_index(docs, with_pagerank=False)
+    weighted = build_index(docs, with_pagerank=True)
+    assert plain.count() == weighted.count()
+    # weighting preserves the postings keys, scales the rank
+    p = {(r["term"], r["doc_id"]): r["rank"] for r in plain.collect()}
+    w = {(r["term"], r["doc_id"]): r["rank"] for r in weighted.collect()}
+    assert set(p) == set(w)
+
+
+def test_search_service_end_to_end(crawled):
+    svc = SearchService(crawled.store)
+    svc.refresh()
+    # every synthetic page contains 'page' (title) and 'body' (text)
+    hits = svc.search("page body", k=10).collect()
+    assert 0 < len(hits) <= 10
+    assert hits[0]["score"] >= hits[-1]["score"]
+    assert all(h["url"] is not None for h in hits)
+    # host-dedup: no host repeated
+    hosts = [h["host"] for h in hits]
+    assert len(hosts) == len(set(hosts))
+    # postings snapshots committed for reuse
+    assert crawled.store.exists("postings")
+    assert crawled.store.exists("postings_small")
+
+
+def test_get_doc_dump(crawled):
+    svc = SearchService(crawled.store)
+    key = crawled.store.read("docs").limit(1).collect()[0]["url_md5"]
+    dump = svc.get_doc(key).collect()
+    assert len(dump) == 1 and dump[0]["spans"]

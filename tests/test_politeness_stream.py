@@ -1,0 +1,75 @@
+"""Stateful streaming politeness gate: streaming decisions must equal
+the batch twin, and robots.txt parsing must round-trip."""
+
+import shutil
+
+from searchengine_spark.corpus import (
+    parse_robots_txt,
+    robots_state_py,
+    robots_txt_of_state,
+)
+from searchengine_spark.streaming.politeness import (
+    POLITENESS_TICKS,
+    gate_requests_batch,
+    gate_requests_stream,
+)
+
+
+def _requests(spark):
+    rows = []
+    for h in ("a.com", "b.com"):
+        for t in (0, 5, 16, 17, 40):
+            rows.append((h, f"{h}/u{t}", t))
+    return spark.createDataFrame(rows, "host string, url string, tick long")
+
+
+def test_batch_gate_rules(spark):
+    got = gate_requests_batch(_requests(spark))
+    a = got[got.host == "a.com"].sort_values("tick")
+    assert list(a.decision) == ["grant", "defer", "grant", "defer", "grant"]
+
+
+def test_streaming_gate_equals_batch(spark, tmp_path):
+    df = _requests(spark)
+    src = tmp_path / "req_stream"
+    src.mkdir()
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "req_parquet"))
+    for f in (tmp_path / "req_parquet").glob("*.parquet"):
+        shutil.copy(f, src / f.name)
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        gate_requests_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gate_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["host"], r["url"]): r["decision"]
+        for r in spark.sql("SELECT * FROM gate_out").collect()
+    }
+    want = {
+        (r.host, r.url): r.decision for r in gate_requests_batch(df).itertuples()
+    }
+    assert got == want
+    # exactly one grant per host per politeness window
+    grants = [k for k, v in got.items() if v == "grant" and k[0] == "a.com"]
+    assert len(grants) == 3  # ticks 0, 16, 40 with window 15
+
+
+def test_robots_roundtrip():
+    for state in ("allow", "deny", "disallow:/x/"):
+        assert parse_robots_txt(robots_txt_of_state(state)) == state
+    assert parse_robots_txt("# empty file\n") == "allow"
+    assert (
+        parse_robots_txt("User-agent: other\nDisallow: /\nUser-agent: *\nDisallow: /priv\n")
+        == "disallow:/priv"
+    )
+    # hash-derived states used by the synthetic corpus stay parseable
+    for h in ("hothost.com", "host0.com", "host1.org"):
+        st = robots_state_py(h)
+        assert parse_robots_txt(robots_txt_of_state(st)) == st
