@@ -157,7 +157,11 @@ def crawl_round_bench(spark, n_frontier: int, workdir: str | None = None) -> dic
 
     # ---- untimed setup: state tables (native exprs; grammar is bench-local)
     ids = spark.range(0, n_frontier, 1, parts)
-    host = F.concat(F.lit("bhost"), (F.col("id") % n_hosts).cast("string"), F.lit(".com"))
+    # 5% of the frontier on one hot host (FIXTURES.md F3 skew knob):
+    # politeness caps it at 1 fetch/round; ingest windows see the skew
+    host = F.when(F.col("id") % 20 == 0, F.lit("bhothost.com")).otherwise(
+        F.concat(F.lit("bhost"), (F.col("id") % n_hosts).cast("string"), F.lit(".com"))
+    )
     url = F.concat(host, F.lit("/p/"), F.col("id").cast("string"))
     frontier = ids.select(
         url.alias("url"),
@@ -219,6 +223,7 @@ def crawl_round_bench(spark, n_frontier: int, workdir: str | None = None) -> dic
         return int(agg[0][0])
 
     one_round()  # warm-up (untimed): JIT, codegen, python workers
+    n_sched = FR.schedule_round(frontier_in, hosts_in, 0, cfg).count()  # untimed
     walls = []
     n_new = 0
     for _ in range(2):  # min-of-2: steady-state, low run-to-run variance
@@ -226,7 +231,6 @@ def crawl_round_bench(spark, n_frontier: int, workdir: str | None = None) -> dic
         n_new = one_round()
         walls.append(time.time() - t0)
     wall = min(walls)
-    n_sched = min(n_hosts, n_frontier)
     return {
         "n_frontier": n_frontier,
         "n_hosts": n_hosts,

@@ -1084,3 +1084,46 @@ FROM events GROUP BY 1 ORDER BY 1
 
 QUERIES["events_props_json"] = q_events_props_json
 ORACLE_SQL["events_props_json"] = SQL_EVENTS_PROPS_JSON
+
+
+def q_ranked_term_stats(spark, sf_dir):
+    """Rank-weighted index (§3.2 parity): postings rank scaled by the
+    doc's PageRank (A5's rank *= pageRank), aggregated per term."""
+    edges = _synth_edges(spark, sf_dir)
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    pr = (
+        PR.pagerank(edges, nodes, n_iter=3)
+        .select(F.col("node").alias("doc_id"), F.col("rank").alias("page_rank"))
+    )
+    p = _postings(spark, sf_dir).join(F.broadcast(pr), "doc_id")
+    return (
+        p.withColumn("wrank", F.round(F.col("rank") * F.col("page_rank"), 6))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum("wrank"), 4).alias("total_wrank"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_RANKED_TERM_STATS = (
+    "WITH "
+    + _EDGE_CTES
+    + ", r0 AS (SELECT node, 1.0 AS rank FROM nodes)"
+    + _pr_iter_sql("r0", "r1")
+    + _pr_iter_sql("r1", "r2")
+    + _pr_iter_sql("r2", "r3")
+    + ","
+    + _POSTINGS_CTES.lstrip()
+    + """
+SELECT p.term, count(*) AS n_docs,
+       round(sum(round(p.rank * round(least(r.rank, 100.0), 6), 6)), 4)
+         AS total_wrank
+FROM postings p JOIN r3 r ON r.node = p.doc_id
+GROUP BY p.term ORDER BY p.term
+"""
+)
+
+QUERIES["ranked_term_stats"] = q_ranked_term_stats
+ORACLE_SQL["ranked_term_stats"] = SQL_RANKED_TERM_STATS
