@@ -45,29 +45,48 @@ def _word_set(text_col: str) -> Column:
     return F.array_distinct(F.split(F.col(text_col), " "))
 
 
+def _mh_window(md5_col: Column, i: int) -> Column:
+    """i-th 60-bit window of one md5 digest — 8 independent-enough
+    minhash permutations from a single hash pass (same trick as the
+    bloom bit positions; the digest bits are uniform)."""
+    return F.conv(F.substring(md5_col, 2 * i + 1, 15), 16, 10).cast("long")
+
+
+def _mh_window_sql(md5_expr: str, i: int) -> str:
+    return f"(('0x' || substr({md5_expr}, {2 * i + 1}, 15))::BIGINT)"
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + mh_0..mh_{N-1}: min over the word set of hash60(word, mh_i).
+    """doc_id + mh_0..mh_{N-1}: element hashed ONCE (md5), the N
+    permutations read N overlapping 60-bit windows of the digest.
 
     Pure native expressions (md5+conv inside `transform`) — runs in the
-    JVM with whole-stage codegen, no Python.
+    JVM with whole-stage codegen, no Python, one digest per element.
     """
     words = _word_set(text_col)
-    out = docs.select("doc_id", words.alias("_w"))
+    out = docs.select("doc_id", F.transform(words, lambda w: F.md5(w)).alias("_h"))
     for i in range(N_MINHASH):
-        out = out.withColumn(f"mh_{i}", F.array_min(F.transform("_w", _salted_hash(f"mh{i}"))))
-    return out.drop("_w")
+        out = out.withColumn(
+            f"mh_{i}",
+            F.array_min(F.transform("_h", _window_of(i))),
+        )
+    return out.drop("_h")
+
+
+def _window_of(i: int):
+    # NB: must stay unary — pyspark gives a 2-arg lambda (element, index)
+    return lambda h: _mh_window(h, i)
 
 
 def _salted_hash(salt: str):
-    # NB: must stay unary — pyspark gives a 2-arg lambda (element, index)
     return lambda w: hash60(w, salt)
 
 
 def minhash_signature_sql(text: str) -> list[str]:
     """DuckDB twins of the N signature columns."""
-    ws = f"list_distinct(string_split({text}, ' '))"
+    hs = f"list_transform(list_distinct(string_split({text}, ' ')), w -> md5(w))"
     return [
-        f"list_min(list_transform({ws}, w -> {hash60_sql('w', f'mh{i}')}))"
+        f"list_min(list_transform({hs}, h -> {_mh_window_sql('h', i)}))"
         for i in range(N_MINHASH)
     ]
 

@@ -564,12 +564,14 @@ _NEARDUP_CTES = """
 def q_dedup_minhash(spark, sf_dir):
     """MinHash(3-gram shingles) -> banded LSH -> exact-Jaccard verify."""
     aug = _docs_neardup_aug(spark, sf_dir).withColumn("_sh", _shingles_expr()).cache()
-    sigs = aug.select("doc_id", "_sh")
+    sigs = aug.select(
+        "doc_id", F.transform("_sh", lambda w: F.md5(w)).alias("_hs")
+    )
     for i in range(DD.N_MINHASH):
         sigs = sigs.withColumn(
-            f"mh_{i}", F.array_min(F.transform("_sh", DD._salted_hash(f"mh{i}")))
+            f"mh_{i}", F.array_min(F.transform("_hs", DD._window_of(i)))
         )
-    pairs = DD.lsh_candidate_pairs(sigs.drop("_sh"))
+    pairs = DD.lsh_candidate_pairs(sigs.drop("_hs"))
     wsets = aug.select("doc_id", F.col("_sh").alias("wset"))
     j = (
         pairs.join(
@@ -592,7 +594,7 @@ def q_dedup_minhash(spark, sf_dir):
 
 def _minhash_band_sql() -> str:
     sigs = ", ".join(
-        f"list_min(list_transform(sh, w -> {hash60_sql('w', f'mh{i}')})) AS mh_{i}"
+        f"list_min(list_transform(hs, h -> {DD._mh_window_sql('h', i)})) AS mh_{i}"
         for i in range(DD.N_MINHASH)
     )
     band_selects = []
@@ -601,7 +603,9 @@ def _minhash_band_sql() -> str:
         key = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
         band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sigs")
     return f"""
-  shingled AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM docs_aug),
+  shingled AS (SELECT doc_id, {_SHINGLES_SQL} AS sh,
+                      list_transform({_SHINGLES_SQL}, w -> md5(w)) AS hs
+               FROM docs_aug),
   sigs AS (SELECT doc_id, {sigs} FROM shingled),
   bands AS ({' UNION ALL '.join(band_selects)}),
   pairs AS (
@@ -1127,3 +1131,61 @@ GROUP BY p.term ORDER BY p.term
 
 QUERIES["ranked_term_stats"] = q_ranked_term_stats
 ORACLE_SQL["ranked_term_stats"] = SQL_RANKED_TERM_STATS
+
+
+SEARCH3 = ["join", "sort", "batch"]
+
+
+def q_search_3term(spark, sf_dir):
+    """J4 with k=3: three-way inner join on doc, chained proximity."""
+    docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
+    return IX.search(_postings(spark, sf_dir), SEARCH3, docs_meta, k=50)
+
+
+SQL_SEARCH_3TERM = (
+    "WITH "
+    + _POSTINGS_CTES
+    + f""",
+  p0 AS (SELECT doc_id, rank r0, first_pos q0 FROM postings WHERE term = '{SEARCH3[0]}'),
+  p1 AS (SELECT doc_id, rank r1, first_pos q1 FROM postings WHERE term = '{SEARCH3[1]}'),
+  p2 AS (SELECT doc_id, rank r2, first_pos q2 FROM postings WHERE term = '{SEARCH3[2]}'),
+  j AS (
+    SELECT p0.doc_id,
+           round((r0 + r1 + r2) *
+                 greatest(power(0.9, abs(q0 - q1) - 1)
+                          * power(0.9, abs(q1 - q2) - 1), 1e-6), 6) AS score
+    FROM p0 JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
+  ),
+  top AS (SELECT doc_id, score FROM j ORDER BY score DESC, doc_id LIMIT 50),
+  wh AS (SELECT t.doc_id, t.score, d.source AS host
+         FROM top t JOIN documents d ON d.doc_id = t.doc_id),
+  dd AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY score DESC, doc_id) rn,
+           COUNT(*) OVER (PARTITION BY host) AS nh
+    FROM wh)
+SELECT doc_id, score, host, (nh - 1) AS n_more_from_host
+FROM dd WHERE rn = 1 ORDER BY score DESC, doc_id
+"""
+)
+
+
+def q_doc_lookup(spark, sf_dir):
+    """S3: pruned point-lookup scan by key list."""
+    ids = [3, 77, 142, 400]
+    return (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id").isin(ids))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DOC_LOOKUP = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (3, 77, 142, 400) ORDER BY doc_id
+"""
+
+QUERIES["search_3term"] = q_search_3term
+ORACLE_SQL["search_3term"] = SQL_SEARCH_3TERM
+QUERIES["doc_lookup"] = q_doc_lookup
+ORACLE_SQL["doc_lookup"] = SQL_DOC_LOOKUP

@@ -42,13 +42,27 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
     spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
-    con = duckdb.connect()
-    con.execute("SET memory_limit='8GB'; SET threads=8;")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
 
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute("SET memory_limit='6GB'; SET threads=4;")
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    def run_oracle(sql):
+        for attempt in (0, 1):
+            c = fresh_con()
+            try:
+                res = c.execute(sql)
+                return [d[0] for d in res.description], res.fetchall()
+            except duckdb.OutOfMemoryException:
+                if attempt:
+                    raise
+            finally:
+                c.close()
     n_pass = n_fail = n_rowsonly = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
@@ -66,9 +80,7 @@ def main():
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(ORACLE_SQL[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows = run_oracle(ORACLE_SQL[name])
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
             n_fail += 1
