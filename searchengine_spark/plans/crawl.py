@@ -35,6 +35,7 @@ from searchengine_spark.config import CrawlConfig
 from searchengine_spark.corpus import (
     FETCH_FAIL_MOD,
     fetch_spans_py,
+    robots_state_expr,
 )
 from searchengine_spark.functions.hashes import hash60
 from searchengine_spark.functions.spans import SPANS_TYPE
@@ -51,7 +52,7 @@ MAXHOSTTRY = 10  # SearchEngine.h:18
 
 HOSTS_SCHEMA = (
     "host string, next_allowed_round int, fail_count int, "
-    "fetch_count int, url_count long"
+    "fetch_count int, url_count long, robots_state string"
 )
 
 
@@ -103,6 +104,8 @@ class CrawlDriver:
         )
         # host bookkeeping starts at the *attempted* candidate count, like
         # the reference's m_hostsCount increment inside filterURL
+        from searchengine_spark.corpus import robots_state_expr
+
         hosts = (
             normalize_candidates(raw, cfg)
             .groupBy("host")
@@ -113,6 +116,11 @@ class CrawlDriver:
                 F.lit(0).alias("fail_count"),
                 F.lit(0).alias("fetch_count"),
                 "url_count",
+                # robots cache (north_rule): fetched-once-per-host state;
+                # synthetic corpus derives it deterministically (the prod
+                # adapter parses the fetched robots.txt body instead —
+                # corpus.parse_robots_txt)
+                robots_state_expr(F.col("host")).alias("robots_state"),
             )
         )
         self.store.commit("frontier", frontier, meta={"round": -1})
@@ -277,6 +285,9 @@ class CrawlDriver:
                     F.coalesce(F.col("url_count"), F.lit(0))
                     + F.coalesce(F.col("_new_urls"), F.lit(0))
                 ).alias("url_count"),
+                F.coalesce(
+                    F.col("robots_state"), robots_state_expr(F.col("host"))
+                ).alias("robots_state"),
             )
         )
 

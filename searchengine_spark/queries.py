@@ -1189,3 +1189,50 @@ QUERIES["search_3term"] = q_search_3term
 ORACLE_SQL["search_3term"] = SQL_SEARCH_3TERM
 QUERIES["doc_lookup"] = q_doc_lookup
 ORACLE_SQL["doc_lookup"] = SQL_DOC_LOOKUP
+
+
+def q_corpus_clean(spark, sf_dir):
+    """The composed training-data cleaning pipeline: drop exact
+    duplicates (keep first), keep quality >= 0.5, keep docs whose
+    language heuristic fires (not 'und') — the shape of a 100 TB
+    pretraining-corpus filter pass."""
+    d = _docs_exactdup_aug(spark, sf_dir)
+    keep_w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("_rn", F.row_number().over(keep_w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .withColumn("quality", TX.quality_score_expr("text"))
+        .withColumn("lang_guess", TX.lang_guess_expr("text"))
+        .where((F.col("quality") >= 0.5) & (F.col("lang_guess") != "und"))
+        .groupBy("lang_guess")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang_guess")
+    )
+
+
+SQL_CORPUS_CLEAN = (
+    "WITH "
+    + _EXACTDUP_CTES
+    + f""",
+  kept AS (
+    SELECT * FROM (
+      SELECT d.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
+      FROM docs_aug d) WHERE rn = 1
+  ),
+  scored AS (
+    SELECT doc_id, {TX.quality_score_sql('text')} AS quality,
+           {TX.lang_guess_sql('text')} AS lang_guess
+    FROM kept
+  )
+SELECT lang_guess, count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
+FROM scored WHERE quality >= 0.5 AND lang_guess <> 'und'
+GROUP BY lang_guess ORDER BY lang_guess
+"""
+)
+
+QUERIES["corpus_clean"] = q_corpus_clean
+ORACLE_SQL["corpus_clean"] = SQL_CORPUS_CLEAN
