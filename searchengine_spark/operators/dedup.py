@@ -151,20 +151,28 @@ def simhash_expr(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
     """
     words = _word_set(text_col)
     hashes = F.transform(words, lambda w: hash60(w, "sh"))
-    bit_terms = []
 
-    def _vote_merge(b: int):
-        # binary lambda required by F.aggregate; bind b via closure
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    # ONE aggregate pass: accumulator = 16 vote counters; each word is
+    # hashed once and votes ±1 on every bit via zip_with (the previous
+    # form ran 16 separate aggregates, re-hashing every word 16x)
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
 
+    def merge(acc, h):
+        # low `bits` bits of h; (shiftright needs a literal count, so
+        # extract bit i as floor(hm / 2^i) % 2 — exact for i < 16)
+        hm = F.pmod(h, F.lit(1 << bits))
+        bit_votes = F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda i: F.when(
+                F.pmod(F.floor(hm / F.pow(F.lit(2.0), i.cast("double"))), 2) == 1, 1
+            ).otherwise(-1).cast("long"),
+        )
+        return F.zip_with(acc, bit_votes, lambda a, b: a + b)
+
+    votes = F.aggregate(hashes, zero, merge)
+    out = F.lit(0)
     for b in range(bits):
-        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_merge(b))
-        bit_terms.append(F.when(vote > 0, F.lit(1 << b)).otherwise(F.lit(0)))
-    out = bit_terms[0]
-    for t in bit_terms[1:]:
-        out = out + t
+        out = out + F.when(F.element_at(votes, b + 1) > 0, F.lit(1 << b)).otherwise(0)
     return out
 
 
