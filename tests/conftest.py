@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 
 from searchengine_spark.session import get_spark
@@ -7,7 +9,13 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    wh = tempfile.mkdtemp(prefix="spark-wh-")
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 

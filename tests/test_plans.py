@@ -81,3 +81,82 @@ def test_aqe_and_arrow_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
     assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_bucketed_postings_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing showcase: two tables bucketed+sorted on doc_id join
+    without exchanging either side (the co-located join the crawl
+    store uses for repeated doc-keyed joins at scale)."""
+    from searchengine_spark.operators.index import build_postings
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = build_postings(docs)
+    for name in ("t_post_a", "t_post_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            p.write.bucketBy(8, "doc_id")
+            .sortBy("doc_id")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    a = spark.table("t_post_a").groupBy("doc_id").count()
+    b = spark.table("t_post_b").groupBy("doc_id").count()
+    j = a.join(b, "doc_id")
+    j.collect()
+    plan = _plan(j)
+    assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan[:2000]
+
+
+def test_external_sort_flagship_at_volume(spark):
+    """O1 parity with the reference's externalSortTest
+    (ExternalSorter.hpp:453-470; 160M random int64s there, scaled here):
+    shuffle-sort 2M pseudo-random longs, verify global sortedness and
+    exact count across partition boundaries."""
+    from searchengine_spark.functions.hashes import hash60
+
+    n = 2_000_000
+    df = (
+        spark.range(n)
+        .select(hash60(F.col("id").cast("string"), "sort").alias("v"))
+        .repartitionByRange(16, "v")
+        .sortWithinPartitions("v")
+    )
+
+    def check(it):
+        prev = None
+        cnt = 0
+        first = last = None
+        for row in it:
+            v = row["v"]
+            if first is None:
+                first = v
+            if prev is not None and v < prev:
+                yield ("UNSORTED", 0, 0)
+                return
+            prev = v
+            last = v
+            cnt += 1
+        yield ("ok", cnt, first if first is not None else 0)
+
+    parts = df.rdd.mapPartitionsWithIndex(
+        lambda i, it: [(i, r) for r in check(it)]
+    ).collect()
+    assert all(r[1][0] == "ok" for r in parts)
+    assert sum(r[1][1] for r in parts) == n
+    # cross-partition monotonicity: partition i's first >= partition i-1's first
+    firsts = [r[1][2] for r in sorted(parts) if r[1][1] > 0]
+    assert firsts == sorted(firsts)
+
+
+def test_snapshot_zstd_roundtrip(spark, tmp_path):
+    """Menu-103 parity (KeyValDB_compressTest): compress -> decompress
+    -> byte-equality, here as a zstd parquet round trip of spans docs."""
+    from searchengine_spark.corpus import interleaved_docs_df
+
+    docs = interleaved_docs_df(spark, SF, max_doc=500)
+    path = str(tmp_path / "docs_zstd")
+    docs.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    back = spark.read.parquet(path)
+    a = sorted(str(r) for r in docs.collect())
+    b = sorted(str(r) for r in back.collect())
+    assert a == b
