@@ -265,6 +265,23 @@ def run_suite(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
     if not os.environ.get("BENCH_SKIP_QUERIES"):
         fb = frontier_pipeline_bench(spark, n_urls)
         timings["frontier_pipeline"] = fb["wall_sec"]
+
+        # the full stateful loop (schedule->fetch->ingest->commit x2)
+        import tempfile
+
+        from searchengine_spark.config import CrawlConfig
+        from searchengine_spark.corpus import raw_url_py
+        from searchengine_spark.plans.crawl import CrawlDriver
+
+        drv = CrawlDriver(
+            spark,
+            tempfile.mkdtemp(prefix="bench_loop_"),
+            CrawlConfig(n_shards=8, per_shard_quota=40, max_doc=2000),
+        )
+        drv.seed([raw_url_py(i) for i in range(300)])
+        t0 = time.time()
+        drv.run(2)
+        timings["crawl_loop_2rounds"] = round(time.time() - t0, 3)
         for name in BENCH_QUERIES:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).count()

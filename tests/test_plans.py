@@ -160,3 +160,20 @@ def test_snapshot_zstd_roundtrip(spark, tmp_path):
     a = sorted(str(r) for r in docs.collect())
     b = sorted(str(r) for r in back.collect())
     assert a == b
+
+
+def test_term_lookup_pushdown_on_sorted_postings(spark, tmp_path):
+    """S13: a term predicate over the range-partitioned, sorted postings
+    parquet reaches the scan as a pushed filter (min/max stats then
+    prune to the O(1) files that can contain the term — the reference's
+    binary search over the sorted flat dict, PageSearcher.cpp:39-67)."""
+    from searchengine_spark.operators.index import build_postings, term_lookup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "postings")
+    build_postings(docs).write.mode("overwrite").parquet(path)
+    p = spark.read.parquet(path)
+    q = term_lookup(p, "sort", max_postings=100)
+    q.collect()
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "EqualTo(term,sort)" in plan, plan[:1500]
