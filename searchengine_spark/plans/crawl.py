@@ -52,8 +52,24 @@ MAXHOSTTRY = 10  # SearchEngine.h:18
 
 HOSTS_SCHEMA = (
     "host string, next_allowed_round int, fail_count int, "
-    "fetch_count int, url_count long, robots_state string"
+    "fetch_count int, url_count long, robots_state string, ip string"
 )
+
+
+def _pseudo_ip_expr(host):
+    """S7 DNS-cache parity: deterministic pseudo-IPv4 per host (the
+    reference caches gethostbyname results in m_okHosts,
+    SearchEngine.cpp:577-601; the sandbox has no resolver, so the
+    'resolved' address is hash-derived — the prod fetch adapter fills
+    this column from the real resolver instead)."""
+    h = hash60(host, "dns")
+    return F.concat_ws(
+        ".",
+        (F.pmod(h, 223) + 1).cast("string"),
+        F.pmod(F.floor(h / 256), 256).cast("string"),
+        F.pmod(F.floor(h / 65536), 256).cast("string"),
+        (F.pmod(F.floor(h / 16777216), 254) + 1).cast("string"),
+    )
 
 
 def _fetch_fails_expr(host, round_no: int):
@@ -121,6 +137,7 @@ class CrawlDriver:
                 # adapter parses the fetched robots.txt body instead —
                 # corpus.parse_robots_txt)
                 robots_state_expr(F.col("host")).alias("robots_state"),
+                _pseudo_ip_expr(F.col("host")).alias("ip"),
             )
         )
         self.store.commit("frontier", frontier, meta={"round": -1})
@@ -293,6 +310,7 @@ class CrawlDriver:
                 F.coalesce(
                     F.col("robots_state"), robots_state_expr(F.col("host"))
                 ).alias("robots_state"),
+                F.coalesce(F.col("ip"), _pseudo_ip_expr(F.col("host"))).alias("ip"),
             )
         )
 

@@ -1236,3 +1236,49 @@ GROUP BY lang_guess ORDER BY lang_guess
 
 QUERIES["corpus_clean"] = q_corpus_clean
 ORACLE_SQL["corpus_clean"] = SQL_CORPUS_CLEAN
+
+
+def _ann_lsh_sql() -> str:
+    """Full SQL twin of the hyperplane-LSH ANN: the deterministic
+    planes are embedded as literals, bucket/probe/rerank replicated."""
+    import numpy as np
+
+    planes = SIM._hyperplanes(SIM.DIM, SIM.N_HYPERPLANES)
+
+    def plane_lit(j: int) -> str:
+        return "[" + ", ".join(f"{x:.3f}" for x in planes[j]) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit(j)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIM.N_HYPERPLANES)
+    )
+    probes = ", ".join(
+        ["qb"] + [f"xor(qb, {1 << j})" for j in range(SIM.N_HYPERPLANES)]
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
+  q AS (SELECT vec_id AS query_id, v AS qvec, bucket AS qb FROM b WHERE vec_id < 3),
+  probes AS (SELECT query_id, qvec, unnest([{probes}]) AS bucket FROM q),
+  cand AS (
+    SELECT p.query_id, p.qvec, c.vec_id, c.v
+    FROM probes p JOIN b c USING (bucket)
+    WHERE c.vec_id <> p.query_id
+  ),
+  scored AS (
+    SELECT query_id, vec_id,
+           round(list_dot_product(v, qvec)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+    FROM cand
+  ),
+  ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_LSH = _ann_lsh_sql()
+ORACLE_SQL["ann_lsh"] = SQL_ANN_LSH
