@@ -192,7 +192,12 @@ class CrawlDriver:
         gated_hosts = hosts.select(
             "host",
             F.when(
-                (F.col("fail_count") >= MAXHOSTTRY) & ~retry_ok, F.lit(2**31 - 1)
+                ((F.col("fail_count") >= MAXHOSTTRY) & ~retry_ok)
+                # robots cache: deny-all hosts never schedule (ingestion
+                # already filters them; this keeps the scheduler correct
+                # even if robots_state changed after URLs were admitted)
+                | (F.col("robots_state") == "deny"),
+                F.lit(2**31 - 1),
             )
             .otherwise(F.col("next_allowed_round"))
             .alias("next_allowed_round"),
