@@ -41,11 +41,19 @@ def norm_rows(cols, rows):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
-    spark = get_spark("correctness", master="local[8]", shuffle_partitions=8)
+    spark = get_spark(
+        "correctness",
+        master="local[8]",
+        shuffle_partitions=8,
+        # small footprint: the sandbox VM sporadically reclaims memory
+        # (CommitLimit 66G, heuristic overcommit) — keep JVM + DuckDB
+        # reservations low so transient pressure can't fail allocations
+        extra_conf={"spark.driver.memory": "4g"},
+    )
 
     def fresh_con():
         c = duckdb.connect()
-        c.execute("SET memory_limit='6GB'; SET threads=4;")
+        c.execute("SET memory_limit='2GB'; SET threads=2;")
         for t in TABLES:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
