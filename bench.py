@@ -12,8 +12,9 @@ Prints ONE JSON line:
 
 Scaling evidence (north_rule's N vs 4N executors, sandbox stand-in):
   python bench.py --scaling
-runs the same job at local[8] and local[32] in fresh subprocesses and
-writes BENCH/BASELINE.md with throughputs + scaling efficiency.
+runs the same crawl round at local[2]/local[8]/local[32] (fresh JVM
+subprocesses, BENCH_REPEATS each, warm-up untimed) and writes
+BENCH/BASELINE.md with throughputs + N->4N scaling efficiencies.
 """
 
 from __future__ import annotations
@@ -367,7 +368,7 @@ min-of-2 timed rounds within each, best repeat reported. Two N->4N pairs:
 
 The sandbox VM shows heavy run-to-run variance (shared-host noisy
 neighbors): complete 3-level sessions on identical code+input measured
-2->8 efficiency of 0.67, 0.85, 0.50, 0.75 across one afternoon, and
+2->8 efficiency of 0.67, 0.85, 0.50, 0.75, 0.79 across one afternoon, and
 single-level throughput swings up to 1.6x between fresh JVMs minutes
 apart. The best quiet-session measurement was **0.849** (recorded
 2026-08-16). Amdahl fit of quiet-session walls (T2=94.8s, T8=27.9s):
