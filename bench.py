@@ -368,7 +368,7 @@ min-of-2 timed rounds within each, best repeat reported. Two N->4N pairs:
 
 The sandbox VM shows heavy run-to-run variance (shared-host noisy
 neighbors): complete 3-level sessions on identical code+input measured
-2->8 efficiency of 0.67, 0.85, 0.50, 0.75, 0.79 across one afternoon, and
+2->8 efficiency of 0.67, 0.85, 0.50, 0.75, 0.79, 0.70 across one afternoon, and
 single-level throughput swings up to 1.6x between fresh JVMs minutes
 apart. The best quiet-session measurement was **0.849** (recorded
 2026-08-16). Amdahl fit of quiet-session walls (T2=94.8s, T8=27.9s):
