@@ -49,6 +49,13 @@ def main(argv=None) -> int:
         use_bloom=not args.no_bloom,
     )
     driver = CrawlDriver(spark, args.store, cfg)
+    if args.resume and not driver.store.exists("frontier"):
+        print(
+            f"error: --resume given but {args.store} has no committed crawl "
+            "state (run once without --resume to seed it)",
+            file=sys.stderr,
+        )
+        return 2
     if not args.resume:
         driver.seed([raw_url_py(i) for i in range(args.seeds)])
     for st in driver.run(args.rounds, resume=args.resume):
