@@ -37,9 +37,23 @@ def entry(spark: SparkSession) -> DataFrame:
 def _wrap(fn):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pin_session(spark)
+        # The driver runs the whole catalog through ONE session, each
+        # query followed by its DuckDB oracle in the same VM. Drop any
+        # storage left by a previous query and nudge the JVM to return
+        # heap to the OS so the oracle's allocator has headroom.
+        spark.catalog.clearCache()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         return fn(spark, sf_dir)
 
     return run
+
+
+# DuckDB runs multi-statement SQL through execute(); cap its appetite so
+# it never competes with the Spark JVM for the sandbox's commit limit.
+_ORACLE_PREFIX = "SET memory_limit='1GB'; SET threads=2;\n"
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -47,4 +61,4 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return {name: _ORACLE_PREFIX + sql for name, sql in ORACLE_SQL.items()}

@@ -49,7 +49,7 @@ def main(argv=None) -> int:
         use_bloom=not args.no_bloom,
     )
     driver = CrawlDriver(spark, args.store, cfg)
-    if args.resume and not driver.store.exists("frontier"):
+    if args.resume and driver.store.read_manifest() is None:
         print(
             f"error: --resume given but {args.store} has no committed crawl "
             "state (run once without --resume to seed it)",

@@ -134,11 +134,12 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full pipeline: signature -> banded LSH -> exact-Jaccard verify.
 
-    sigs are cached: the banded self-join and the verify join both
-    reuse them (at production scale: a persisted signatures table).
+    No .cache() inside the operator: at production scale the caller
+    persists signatures as a table; in one-shot use, pinned storage
+    would outlive the query and starve co-resident processes (the
+    correctness driver runs a DuckDB oracle in the same VM).
     """
-    docs = docs.cache()
-    sigs = minhash_signature(docs, text_col).cache()
+    sigs = minhash_signature(docs, text_col)
     pairs = lsh_candidate_pairs(sigs)
     return jaccard_verify(pairs, docs, text_col, threshold)
 

@@ -105,7 +105,11 @@ def apply_host_caps(candidates: DataFrame, hosts: DataFrame, cfg: CrawlConfig) -
 
 
 def schedule_round(
-    frontier: DataFrame, hosts: DataFrame, round_no: int, cfg: CrawlConfig
+    frontier: DataFrame,
+    hosts: DataFrame,
+    round_no: int,
+    cfg: CrawlConfig,
+    cache_handles: list | None = None,
 ) -> DataFrame:
     """One scheduling round: politeness-eligible -> 1 URL/host ->
     per-shard quota -> deterministic seq_in_round.
@@ -137,23 +141,36 @@ def schedule_round(
     )
 
     return with_global_seq(
-        scheduled, ["discovered_round", "url_md5"], "seq_in_round"
+        scheduled, ["discovered_round", "url_md5"], "seq_in_round", cache_handles
     ).withColumn("round", F.lit(round_no))
 
 
-def with_global_seq(df: DataFrame, order_cols: list[str], out: str) -> DataFrame:
+def with_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    out: str,
+    cache_handles: list | None = None,
+) -> DataFrame:
     """Deterministic global 1-based rank by order_cols WITHOUT a
     single-partition sort: range-partition on the keys, rank locally,
     then offset each partition by the cumulative counts of the
     partitions before it (a tiny driver-side collect of one count per
     partition). The rank values are a pure function of the data —
     independent of parallelism — so the oracle simulator reproduces
-    them exactly."""
+    them exactly.
+
+    The intermediate `ranged` MUST be cached: the counts pass and the
+    final pass must see the same range bounds (re-sampling on recompute
+    is not guaranteed order-stable). The cache is bounded (post-quota
+    rows), but a long crawl loop would accumulate one per round — pass
+    `cache_handles` and unpersist them after consuming the result."""
     ranged = (
         df.repartitionByRange(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .cache()  # bounded (post-quota); counts pass + final pass reuse it
     )
+    if cache_handles is not None:
+        cache_handles.append(ranged)
     counts = {
         r["_pid"]: r["n"]
         for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()

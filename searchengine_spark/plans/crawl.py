@@ -140,38 +140,62 @@ class CrawlDriver:
                 _pseudo_ip_expr(F.col("host")).alias("ip"),
             )
         )
-        self.store.commit("frontier", frontier, meta={"round": -1})
-        self.store.commit("hosts", hosts, meta={"round": -1})
-        self.store.commit("seen", frontier.select("url_md5", "shard"), meta={"round": -1})
-        self.store.commit(
-            "docs",
-            self.spark.createDataFrame(
-                [],
-                T.StructType(
-                    [
-                        T.StructField("url_md5", T.StringType()),
-                        T.StructField("url", T.StringType()),
-                        T.StructField("host", T.StringType()),
-                        T.StructField("shard", T.IntegerType()),
-                        T.StructField("round", T.IntegerType()),
-                        T.StructField("seq_in_round", T.IntegerType()),
-                        T.StructField("spans", SPANS_TYPE),
-                    ]
+        seen0 = frontier.select("url_md5", "shard")
+        meta = {"round": -1}
+        versions = {
+            "frontier": self.store.commit("frontier", frontier, meta=meta),
+            "hosts": self.store.commit("hosts", hosts, meta=meta),
+            "seen": self.store.commit("seen", seen0, meta=meta),
+            "docs": self.store.commit(
+                "docs",
+                self.spark.createDataFrame(
+                    [],
+                    T.StructType(
+                        [
+                            T.StructField("url_md5", T.StringType()),
+                            T.StructField("url", T.StringType()),
+                            T.StructField("host", T.StringType()),
+                            T.StructField("shard", T.IntegerType()),
+                            T.StructField("round", T.IntegerType()),
+                            T.StructField("seq_in_round", T.IntegerType()),
+                            T.StructField("spans", SPANS_TYPE),
+                        ]
+                    ),
                 ),
+                meta=meta,
             ),
-            meta={"round": -1},
-        )
+            "metrics": self.store.commit(
+                "metrics",
+                self.spark.createDataFrame(
+                    [],
+                    "round int, shard int, scheduled long, new_urls long, wall_sec double",
+                ),
+                meta=meta,
+            ),
+        }
+        if cfg.use_bloom:
+            # a FRESH bloom built from the seed seen set: re-seeding an
+            # already-used store must not leave a stale bitmap that would
+            # mark new seen keys 'definitely new' (exactness violation)
+            versions["bloom"] = self.store.commit(
+                "bloom", build_bloom_blocks(seen0, cfg), meta=meta
+            )
+        # manifest LAST: the cross-table commit point — old bloom/metrics
+        # snapshots from a previous life of this store become unreachable
+        self.store.commit_manifest(-1, versions)
 
     @property
     def last_round(self) -> int:
-        import json
-        import os
+        m = self.store.read_manifest()
+        return m["round"] if m else -1
 
-        p = self.store._pointer("frontier")
-        if not os.path.exists(p):
-            return -1
-        with open(p) as f:
-            return json.load(f)["meta"].get("round", -1)
+    def _pinned_versions(self) -> dict[str, int]:
+        m = self.store.read_manifest()
+        if m is None:
+            raise FileNotFoundError(
+                "store has no committed round manifest — seed() it first"
+            )
+        return m["versions"]
 
     # -- one round ---------------------------------------------------------------
 
@@ -180,9 +204,16 @@ class CrawlDriver:
         stats = RoundStats(round_no)
         t0 = time.time()
 
-        frontier = self.store.read("frontier").drop("storage_bucket")
-        hosts = self.store.read("hosts")
-        seen = self.store.read("seen")
+        # every read pins to the last manifest: a crashed previous attempt
+        # may have advanced individual table pointers, but those orphan
+        # snapshots are unreachable through the manifest — re-running this
+        # round sees exactly the state the last COMPLETE round committed
+        pinned = self._pinned_versions()
+        frontier = self.store.read("frontier", pinned["frontier"]).drop(
+            "storage_bucket"
+        )
+        hosts = self.store.read("hosts", pinned["hosts"])
+        seen = self.store.read("seen", pinned["seen"])
 
         # bad-host gate (X11 de-randomized): fail_count >= MAXHOSTTRY hosts
         # are only eligible when round % 10 == hash(host)%10; expressed as
@@ -203,7 +234,10 @@ class CrawlDriver:
             .alias("next_allowed_round"),
         )
 
-        scheduled = schedule_round(frontier, gated_hosts, round_no, cfg).cache()
+        seq_caches: list = []
+        scheduled = schedule_round(
+            frontier, gated_hosts, round_no, cfg, cache_handles=seq_caches
+        ).cache()
 
         failed_c = _fetch_fails_expr(F.col("host"), round_no)
         ok = scheduled.where(~failed_c)
@@ -250,8 +284,8 @@ class CrawlDriver:
         deduped = dedup_batch(admitted)
         if cfg.use_bloom:
             # incremental blocks: read last round's, never rescan seen
-            if self.store.exists("bloom"):
-                blocks = self.store.read("bloom")
+            if "bloom" in pinned:
+                blocks = self.store.read("bloom", pinned["bloom"])
             else:
                 blocks = build_bloom_blocks(seen, cfg)
             new_rows = dedup_seen_with_bloom(spark, deduped, seen, blocks, cfg)
@@ -343,23 +377,29 @@ class CrawlDriver:
             .collect()
         ]
 
-        # ---- commit snapshots (atomic per table; round meta = resume point)
+        # ---- commit snapshots; the manifest written LAST is the round's
+        # commit point (cross-table atomicity — see TableStore docstring).
+        # Appends pin their base to the manifest versions so a crashed
+        # attempt's orphan snapshots can never duplicate rows on re-run.
         # frontier partitions on the key-uniform storage bucket, NOT the
         # host-affine shard — a hot host spreads over all buckets (X3)
         from searchengine_spark.operators.frontier import with_storage_bucket
 
         meta = {"round": round_no}
-        self.store.commit("docs", docs_new, mode="append", meta=meta)
-        self.store.commit(
+        versions = dict(pinned)
+        versions["docs"] = self.store.commit(
+            "docs", docs_new, mode="append", meta=meta, base_version=pinned["docs"]
+        )
+        versions["frontier"] = self.store.commit(
             "frontier",
             with_storage_bucket(frontier2),
             partition_by=["storage_bucket"],
             meta=meta,
         )
-        self.store.commit("hosts", hosts2, meta=meta)
-        self.store.commit("seen", seen2, meta=meta)
+        versions["hosts"] = self.store.commit("hosts", hosts2, meta=meta)
+        versions["seen"] = self.store.commit("seen", seen2, meta=meta)
         if cfg.use_bloom:
-            self.store.commit("bloom", blocks2, meta=meta)
+            versions["bloom"] = self.store.commit("bloom", blocks2, meta=meta)
 
         stats.wall_sec = time.time() - t0
         metrics_rows = [
@@ -376,15 +416,21 @@ class CrawlDriver:
             metrics_rows,
             "round int, shard int, scheduled long, new_urls long, wall_sec double",
         )
-        if self.store.exists("metrics"):
-            self.store.commit("metrics", metrics_df, mode="append", meta=meta)
-        else:
-            self.store.commit("metrics", metrics_df, meta=meta)
+        versions["metrics"] = self.store.commit(
+            "metrics",
+            metrics_df,
+            mode="append",
+            meta=meta,
+            base_version=pinned.get("metrics", 0),
+        )
+        self.store.commit_manifest(round_no, versions)
 
         scheduled.unpersist()
         docs_new.unpersist()
         cand.unpersist()
         new_rows.unpersist()
+        for h in seq_caches:
+            h.unpersist()
         return stats
 
     def run(self, n_rounds: int, resume: bool = False) -> list[RoundStats]:
@@ -395,10 +441,14 @@ class CrawlDriver:
 
     def fetch_log(self) -> DataFrame:
         return (
-            self.store.read("docs")
+            self.store.read("docs", self._pinned_versions()["docs"])
             .select("round", "seq_in_round", "url", "host")
             .orderBy("round", "seq_in_round")
         )
 
     def seen_set(self) -> DataFrame:
-        return self.store.read("seen").select("url_md5").distinct()
+        return (
+            self.store.read("seen", self._pinned_versions()["seen"])
+            .select("url_md5")
+            .distinct()
+        )

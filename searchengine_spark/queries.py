@@ -167,7 +167,7 @@ def q_schedule_round(spark, sf_dir):
         _candidates_df(spark, sf_dir).withColumn(
             "discovered_round", (F.col("doc_id") % 4).cast("int")
         )
-    ).select("url", "url_md5", "host", "shard", "discovered_round").cache()
+    ).select("url", "url_md5", "host", "shard", "discovered_round")
     hosts = cand.select("host").distinct().select(
         "host",
         F.pmod(hash60(F.col("host"), "na"), F.lit(3)).cast("int").alias(
@@ -563,7 +563,9 @@ _NEARDUP_CTES = """
 
 def q_dedup_minhash(spark, sf_dir):
     """MinHash(3-gram shingles) -> banded LSH -> exact-Jaccard verify."""
-    aug = _docs_neardup_aug(spark, sf_dir).withColumn("_sh", _shingles_expr()).cache()
+    # no .cache() here: one-shot catalog queries must leave no pinned
+    # storage behind (the driver's DuckDB oracle runs in the same VM)
+    aug = _docs_neardup_aug(spark, sf_dir).withColumn("_sh", _shingles_expr())
     sigs = aug.select(
         "doc_id", F.transform("_sh", lambda w: F.md5(w)).alias("_hs")
     )
@@ -937,9 +939,19 @@ FROM media GROUP BY media_type ORDER BY media_type
 
 
 def q_media_features(spark, sf_dir):
-    """binary decode->feature plumbing (mapInPandas) — rows-only oracle."""
-    return MM.extract_media_features(MM.synth_media_df(spark, sf_dir)).select(
-        "media_id", "media_type", "n_bytes", "features"
+    """binary decode->feature plumbing (mapInPandas) — rows-only oracle.
+
+    The driver's row canonicalizer hashes cell values, so the
+    array<double> feature vector is emitted as a fixed-format CSV
+    string (hashable scalar) instead of a raw array."""
+    feats = MM.extract_media_features(MM.synth_media_df(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.concat_ws(
+            ",", F.transform("features", lambda x: F.format_string("%.6f", x))
+        ).alias("features_csv"),
     )
 
 
@@ -973,16 +985,19 @@ GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
 
 
 def q_semi_anti_join(spark, sf_dir):
+    """Semi + anti join counts in ONE job: left join against the
+    distinct key set, then a conditional aggregate (no driver-side
+    collect/createDataFrame, no second pass over customer)."""
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    with_orders = c.join(
-        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi"
-    ).count()
-    without = c.join(
-        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
-    ).count()
-    return spark.createDataFrame(
-        [(int(with_orders), int(without))], "n_with_orders long, n_without long"
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .withColumn("_has", F.lit(1))
+    )
+    return c.join(o, "c_custkey", "left").agg(
+        F.count("_has").alias("n_with_orders"),
+        F.sum(F.when(F.col("_has").isNull(), 1).otherwise(0)).alias("n_without"),
     )
 
 

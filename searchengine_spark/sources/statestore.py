@@ -83,11 +83,16 @@ class TableStore:
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
         meta: dict | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Write df as the next snapshot and atomically advance the pointer.
 
         mode='overwrite'  — snapshot is exactly df (MERGE results).
-        mode='append'     — snapshot = previous snapshot ∪ df (docs log).
+        mode='append'     — snapshot = base snapshot ∪ df (docs log).
+                            base_version pins the append base (a
+                            manifest-pinned version, so a re-run after
+                            a crash never appends on top of a torn
+                            round's orphan snapshot); default = latest.
         """
         os.makedirs(self._tdir(table), exist_ok=True)
         prev = self.latest_version(table)
@@ -96,12 +101,13 @@ class TableStore:
         tmp = out + ".tmp-" + uuid.uuid4().hex[:8]
 
         writer = df.write
-        if mode == "append" and prev > 0:
+        base = base_version if base_version is not None else prev
+        if mode == "append" and base > 0:
             # append = write only the delta files, then union via a manifest:
             # simplest portable form is delta-dir + read-time union; to keep
             # read paths single-dir we materialize the union (cheap at test
             # scale; Iceberg's fast append replaces this in production).
-            df = self.read(table, prev).unionByName(df)
+            df = self.read(table, base).unionByName(df)
             writer = df.write
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -126,6 +132,41 @@ class TableStore:
             if os.path.exists(p):
                 shutil.rmtree(p, ignore_errors=True)
         return nxt
+
+    # -- round manifest ----------------------------------------------------------
+    #
+    # A crawl round commits SEVERAL tables; per-table pointers alone are
+    # atomic per table but not across them (a crash mid-commit leaves a
+    # mixed state: docs at round r, frontier at r-1 — resume would then
+    # re-append round r's docs). The manifest is the cross-table commit
+    # point: written (atomically) only after every table of the round
+    # committed, recording the exact version of each. Readers that pin
+    # to manifest versions never observe a torn round — orphan snapshot
+    # versions from a crashed attempt are simply never referenced
+    # (Iceberg's multi-table transaction played on plain parquet).
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "_round_manifest")
+
+    def read_manifest(self) -> dict | None:
+        p = self._manifest_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def commit_manifest(self, round_no: int, versions: dict[str, int]) -> None:
+        tmp = self._manifest_path() + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "round": round_no,
+                    "versions": versions,
+                    "committed_at": time.time(),
+                },
+                f,
+            )
+        os.replace(tmp, self._manifest_path())
 
     def history(self, table: str) -> list[int]:
         d = self._tdir(table)
