@@ -182,8 +182,10 @@ def split_host_expr(u: Column | str) -> Column:
     return F.split_part(body, F.lit("/"), F.lit(1))
 
 
-_MAX_LABEL_EXTENSIONS = 4  # native expr covers hosts up to 6 labels (tests
-# assert agreement with the unbounded python rule on the whole corpus)
+_MAX_LABEL_EXTENSIONS = 8  # native expr covers hosts up to 10 labels; the
+# python/pandas forms are unbounded — tests pin agreement on the corpus AND
+# on adversarial hosts past the old bound (a host would need 9+ consecutive
+# com/org-prefixed boundary labels to diverge, beyond any real public suffix)
 
 
 def registered_domain_expr(host: Column | str) -> Column:
@@ -339,59 +341,80 @@ def canonicalize_udf(s: pd.Series) -> pd.Series:
 CANDIDATE_STRUCT = T.StructType(
     [
         T.StructField("url", T.StringType()),
-        T.StructField("url_md5", T.StringType()),
         T.StructField("host", T.StringType()),
-        T.StructField("shard", T.IntegerType()),
-        T.StructField("admit", T.BooleanType()),
+        T.StructField("rd", T.StringType()),  # registered domain (unbounded rule)
+        T.StructField("path", T.StringType()),
+        T.StructField("admit", T.BooleanType()),  # canonicalize + filterURL
     ]
 )
 
 
-def make_parse_candidates_udf(n_shards: int, salt: str):
-    """One Arrow-batched pass: raw url -> (canonical, md5 key, host,
-    salted shard, admit flag incl. filter + robots gate).
-
-    This is the engine's hot-path URL operator (north_rule: vectorized
-    pandas/Arrow UDF for canonicalization + hashing). A single UDF
-    instead of chained Column expressions also keeps the Catalyst tree
-    tiny — the chained native exprs are exact but their inlined
-    composition (canonicalize -> host -> registered-domain -> shard)
-    duplicates subtrees past janino's 64 KB codegen limit; tests pin
-    this UDF to the native exprs row-for-row.
-    """
-    from searchengine_spark.corpus import robots_allows_py, url_path_py
-
-    @F.pandas_udf(CANDIDATE_STRUCT)
-    def parse(raw: pd.Series) -> pd.DataFrame:
-        urls, md5s, hosts, shards, admits = [], [], [], [], []
-        for r in raw:
-            u = canonicalize_py(r) if r is not None else None
-            if u is None:
-                urls.append(None); md5s.append(None); hosts.append(None)
-                shards.append(None); admits.append(False)
-                continue
-            m = url_md5_py(u)
-            host = split_host_py(u)
-            ok = (
-                m is not None
-                and filter_url_py(u)
-                and robots_allows_py(host, url_path_py(u))
-            )
-            urls.append(u)
-            md5s.append(m)
-            hosts.append(host)
-            shards.append(host_shard_py(host, n_shards, salt) if ok else None)
-            admits.append(bool(ok))
-        return pd.DataFrame(
-            {"url": urls, "url_md5": md5s, "host": hosts,
-             "shard": pd.array(shards, dtype="Int32"), "admit": admits}
-        )
-
-    return parse
+_BIG = 1 << 30  # "to end of string" for Arrow slice kernels
 
 
-@F.pandas_udf(T.StringType())
-def registered_domain_udf(host: pd.Series) -> pd.Series:
+def _parse_candidate_arrays(s):
+    """The hot-path parse, entirely in Arrow C++ kernels (no Python per
+    row, no pandas object-dtype str ops — those are per-element Python
+    under the hood and measured 10x slower than these kernels).
+
+    Returns (url, host, path, admit) pyarrow arrays implementing
+    canonicalize_py / split_host_py / url_path_py / filter_url_py
+    exactly (pinned row-for-row by tests/test_urls.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ln = pc.utf8_length(s)
+    ge7 = pc.greater_equal(ln, 7)
+    is_https = pc.and_kleene(ge7, pc.equal(pc.utf8_slice_codeunits(s, 0, 5), "https"))
+    https_ok = pc.equal(pc.utf8_slice_codeunits(s, 5, 6), ":")
+    is_http = pc.and_kleene(
+        pc.and_kleene(pc.invert(is_https), ge7),
+        pc.equal(pc.utf8_slice_codeunits(s, 0, 4), "http"),
+    )
+    http_ok = pc.equal(pc.utf8_slice_codeunits(s, 4, 5), ":")
+    https_url = pc.utf8_rtrim(s, "/")
+    body = pc.utf8_trim(pc.utf8_slice_codeunits(s, 5, _BIG), "/")
+    bare = pc.utf8_trim(s, "/")
+    null_str = pa.scalar(None, pa.string())
+    url = pc.if_else(
+        is_https,
+        pc.if_else(https_ok, https_url, null_str),
+        pc.if_else(
+            is_http,
+            pc.if_else(
+                pc.and_kleene(http_ok, pc.greater_equal(pc.utf8_length(body), 3)),
+                body,
+                null_str,
+            ),
+            pc.if_else(pc.greater_equal(pc.utf8_length(bare), 3), bare, null_str),
+        ),
+    )
+    url = pc.if_else(pc.less(ln, 3), null_str, url)
+
+    hbody = pc.if_else(
+        pc.starts_with(url, "https://"), pc.utf8_slice_codeunits(url, 8, _BIG), url
+    )
+    hbody = pc.if_else(
+        pc.starts_with(hbody, "http://"), pc.utf8_slice_codeunits(hbody, 7, _BIG), hbody
+    )
+    host = pc.list_element(pc.split_pattern(hbody, "/", max_splits=1), 0)
+    path = pc.replace_substring_regex(hbody, "^[^/]*", "")
+
+    uln = pc.utf8_length(url)
+    keep = pc.and_kleene(pc.greater_equal(uln, 4), pc.less_equal(uln, MAXURLLEN))
+    gt4 = pc.greater(uln, 4)
+    for ext in BLOCKED_EXTENSIONS:
+        keep = pc.and_kleene(keep, pc.invert(pc.and_kleene(gt4, pc.ends_with(url, ext))))
+    hn = pc.utf8_length(host)
+    keep = pc.and_kleene(keep, pc.greater(hn, 2))
+    keep = pc.and_kleene(
+        keep, pc.invert(pc.and_kleene(pc.greater(hn, 3), pc.ends_with(host, ".jp")))
+    )
+    admit = pc.fill_null(pc.and_kleene(pc.is_valid(url), keep), False)
+    return url, host, path, admit
+
+
+def _registered_domain_series(host: pd.Series) -> pd.Series:
     # the unbounded label-extension chain, vectorized as an iterated mask:
     # k starts at 2 and grows only where the boundary label matches.
     labels = host.str.split(".")
@@ -419,3 +442,51 @@ def registered_domain_udf(host: pd.Series) -> pd.Series:
         ],
         index=host.index,
     )
+
+
+def make_parse_candidates_udf():
+    """One Arrow-batched pass: raw url -> (canonical url, host,
+    registered domain, path, admit) — Arrow C++ kernels end to end,
+    zero per-row Python and zero Python hashing. The registered-domain
+    label scan (the one genuinely iterative rule) runs over the batch's
+    UNIQUE hosts only (hosts ≪ URLs) and maps back via a dict lookup.
+
+    This is the engine's hot-path URL operator (north_rule: vectorized
+    pandas/Arrow UDF for canonicalization). Hashing happens OUTSIDE the
+    UDF on the JVM: the md5 key via native F.md5 and the salted shard
+    via hash60 over the `rd` column (see frontier.normalize_candidates)
+    — the Arrow boundary splits the codegen tree so the native stage
+    stays far below janino's 64 KB limit. Tests pin the composed
+    operator to the pure-Python oracle row-for-row.
+    """
+    import pyarrow as pa
+
+    @F.pandas_udf(CANDIDATE_STRUCT)
+    def parse(raw: pd.Series) -> pd.DataFrame:
+        arr = pa.Array.from_pandas(raw, type=pa.string())
+        url, host, path, admit = _parse_candidate_arrays(arr)
+        host_pd = host.to_pandas()
+        uniq = pd.Series(host_pd.dropna().unique())
+        rd_map = dict(zip(uniq, _registered_domain_series(uniq)))
+        return pd.DataFrame(
+            {
+                "url": url.to_pandas(),
+                "host": host_pd,
+                "rd": host_pd.map(rd_map),
+                "path": path.to_pandas(),
+                "admit": admit.to_pandas().astype(bool),
+            }
+        )
+
+    # The UDF is pure, but Catalyst treats deterministic python UDFs as
+    # free to duplicate: predicate pushdown clones the call into the
+    # admit-filter AND the downstream projection (two ArrowEvalPython
+    # stages = the whole parse runs twice). Marking it non-deterministic
+    # pins exactly one evaluation; it only disables optimizations, never
+    # changes results.
+    return parse.asNondeterministic()
+
+
+@F.pandas_udf(T.StringType())
+def registered_domain_udf(host: pd.Series) -> pd.Series:
+    return _registered_domain_series(host)

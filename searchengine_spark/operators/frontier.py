@@ -33,28 +33,58 @@ FRONTIER_COLS = ["url", "url_md5", "host", "shard", "discovered_round"]
 
 
 def normalize_candidates(raw: DataFrame, cfg: CrawlConfig, url_col: str = "raw_url") -> DataFrame:
-    """raw URLs -> canonical candidates (row-level rules only).
+    """raw URLs -> canonical candidates.
 
-    canonicalize (P1) -> filter (P4) -> key (P3) -> host/shard (P2/P5)
-    -> robots gate (north_rule addition, checked at ingestion) — all in
-    one Arrow-batched pandas UDF pass (make_parse_candidates_udf).
+    Two stages, split at the Arrow boundary:
+    1. vectorized pandas UDF (make_parse_candidates_udf): canonicalize
+       (P1) -> host (P2) -> registered domain -> path -> filter (P4) —
+       pure pandas str ops, no per-row Python, no Python hashing;
+    2. native JVM exprs over the UDF's output columns: md5 key (P3,
+       F.md5), salted shard (P5, hash60 over rd), robots gate
+       (north_rule addition, hash60 over host). The UDF boundary keeps
+       this codegen tree tiny (no inlined canonicalize/domain chains).
     Batch-dedup / seen-dedup / host caps are separate operators so each
     stage is independently testable.
     """
-    from searchengine_spark.functions.urls import make_parse_candidates_udf
+    from searchengine_spark.corpus import robots_state_expr
+    from searchengine_spark.functions.hashes import hash60
+    from searchengine_spark.functions.urls import (
+        make_parse_candidates_udf,
+        url_md5_expr,
+    )
 
-    parse = make_parse_candidates_udf(cfg.n_shards, cfg.shard_salt)
+    parse = make_parse_candidates_udf()
     keep = [c for c in raw.columns if c != url_col]
-    return (
+    parsed = (
         raw.withColumn("_p", parse(F.col(url_col)))
         .where(F.col("_p.admit"))
         .select(
             *keep,
             F.col("_p.url").alias("url"),
-            F.col("_p.url_md5").alias("url_md5"),
             F.col("_p.host").alias("host"),
-            F.col("_p.shard").alias("shard"),
+            F.col("_p.rd").alias("_rd"),
+            F.col("_p.path").alias("_path"),
         )
+    )
+    robots = robots_state_expr(F.col("host"))
+    return (
+        parsed.withColumn("url_md5", url_md5_expr(F.col("url")))
+        .withColumn(
+            "shard",
+            F.pmod(
+                hash60(F.col("_rd"), cfg.shard_salt or None), F.lit(cfg.n_shards)
+            ).cast("int"),
+        )
+        .withColumn("_robots", robots)
+        .where(
+            F.col("url_md5").isNotNull()
+            & (F.col("_robots") != "deny")
+            & ~(
+                F.col("_robots").startswith("disallow:")
+                & F.col("_path").startswith(F.substring(F.col("_robots"), 10, 2048))
+            )
+        )
+        .select(*keep, "url", "url_md5", "host", "shard")
     )
 
 

@@ -226,23 +226,25 @@ GROUP BY host ORDER BY n_urls DESC, host LIMIT 20
 
 
 def q_robots_gate(spark, sf_dir):
-    """Robots distribution over hosts of the *unfiltered* candidate set."""
-    from searchengine_spark.corpus import robots_state_expr
-    from searchengine_spark.functions.urls import (
-        canonicalize_expr,
-        filter_url_expr,
-        split_host_expr,
-    )
+    """Robots distribution over hosts of the *pre-robots* candidate set.
 
+    Uses the hot-path parse UDF (admit = canonicalize + filterURL) so
+    the aggregation stage never inlines the native canonicalize->filter
+    expression chain (that composition is what used to blow janino's
+    64 KB codegen limit and fall back to interpreted eval)."""
+    from searchengine_spark.corpus import robots_state_expr
+    from searchengine_spark.functions.urls import make_parse_candidates_udf
+
+    parse = make_parse_candidates_udf()
     raw = _docs(spark, sf_dir).select(raw_url_expr("doc_id").alias("raw_url"))
-    ok = (
-        raw.withColumn("url", canonicalize_expr("raw_url"))
-        .where(F.col("url").isNotNull() & filter_url_expr("url"))
-        .withColumn("host", split_host_expr("url"))
+    hosts = (
+        raw.withColumn("_p", parse(F.col("raw_url")))
+        .where(F.col("_p.admit"))
+        .select(F.col("_p.host").alias("host"))
+        .distinct()
     )
     return (
-        ok.select("host").distinct()
-        .withColumn("robots_state", robots_state_expr(F.col("host")))
+        hosts.withColumn("robots_state", robots_state_expr(F.col("host")))
         .groupBy("robots_state")
         .agg(F.count("*").alias("n_hosts"))
         .orderBy("robots_state")

@@ -123,6 +123,34 @@ def test_registered_domain_udf_and_sql(spark, urls_df):
         assert rd == U.registered_domain_py(h), h
 
 
+def test_registered_domain_adversarial_extension_chains(spark):
+    """Hosts with long com/org boundary chains: all four forms must
+    agree up to the native bound (the native expr would only diverge
+    past _MAX_LABEL_EXTENSIONS consecutive extensions)."""
+    hosts = [
+        "a.com.com.com.com.com.cn",          # 5 extensions
+        "a.com.com.com.com.com.com.com.cn",  # 7 extensions
+        "x.org.com.org.com.org.com.cn",      # mixed chain
+        "b.comx.com.cn",                     # prefix-only match ('comx')
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = df.select(
+        "host",
+        U.registered_domain_expr("host").alias("a"),
+        U.registered_domain_udf(F.col("host")).alias("b"),
+    ).collect()
+    for r in got:
+        assert r["a"] == U.registered_domain_py(r["host"]) == r["b"], r["host"]
+    duck = duckdb.sql(
+        "SELECT host, "
+        + U.registered_domain_sql("host")
+        + " AS rd FROM (SELECT unnest(?) AS host)",
+        params=[hosts],
+    ).fetchall()
+    for h, rd in duck:
+        assert rd == U.registered_domain_py(h), h
+
+
 def test_reference_quirks():
     # https keeps scheme; http loses it (SearchEngine.h:779-799)
     assert U.canonicalize_py("https://a.com/") == "https://a.com"
@@ -141,12 +169,14 @@ def test_reference_quirks():
 
 
 def test_parse_candidates_udf_matches_native(spark, urls_df):
-    """The hot-path pandas UDF must agree with the native exprs and the
-    Python oracle on every field, including the admit gate."""
-    from searchengine_spark.corpus import robots_allows_py, url_path_py
+    """Stage 1 (the vectorized pandas UDF) must agree with the Python
+    oracle on every field; admit = canonicalize + filterURL (the md5
+    key, shard and robots gate are native stage-2 exprs — pinned by
+    test_normalize_candidates_matches_oracle)."""
+    from searchengine_spark.corpus import url_path_py
     from searchengine_spark.functions.urls import make_parse_candidates_udf
 
-    parse = make_parse_candidates_udf(16, "s0")
+    parse = make_parse_candidates_udf()
     got = urls_df.select("raw_url", parse(F.col("raw_url")).alias("p")).collect()
     for r in got:
         raw, p = r["raw_url"], r["p"]
@@ -155,14 +185,37 @@ def test_parse_candidates_udf_matches_native(spark, urls_df):
             assert p["admit"] is False and p["url"] is None
             continue
         assert p["url"] == c
-        assert p["url_md5"] == U.url_md5_py(c)
         host = U.split_host_py(c)
         assert p["host"] == host
-        expect_admit = (
-            U.url_md5_py(c) is not None
+        assert p["rd"] == U.registered_domain_py(host)
+        assert p["path"] == url_path_py(c)
+        assert p["admit"] == U.filter_url_py(c), raw
+
+
+def test_normalize_candidates_matches_oracle(spark, urls_df):
+    """The composed hot-path operator (UDF stage + native md5/shard/
+    robots stage) must reproduce the pure-Python candidate rule set
+    row-for-row, including the admit gate."""
+    from searchengine_spark.config import CrawlConfig
+    from searchengine_spark.corpus import robots_allows_py, url_path_py
+    from searchengine_spark.operators.frontier import normalize_candidates
+
+    cfg = CrawlConfig(n_shards=16, shard_salt="s0")
+    got = {
+        r["url"]: (r["url_md5"], r["host"], r["shard"])
+        for r in normalize_candidates(urls_df, cfg).collect()
+    }
+    expect = {}
+    for (raw,) in urls_df.collect():
+        c = U.canonicalize_py(raw)
+        if c is None:
+            continue
+        m = U.url_md5_py(c)
+        host = U.split_host_py(c)
+        if (
+            m is not None
             and U.filter_url_py(c)
             and robots_allows_py(host, url_path_py(c))
-        )
-        assert p["admit"] == expect_admit, raw
-        if expect_admit:
-            assert p["shard"] == U.host_shard_py(host, 16, "s0")
+        ):
+            expect[c] = (m, host, U.host_shard_py(host, 16, "s0"))
+    assert got == expect
