@@ -29,6 +29,191 @@ CORANK_DECAY = 0.9  # PageSearcher.cpp:280-282
 CORANK_MIN = 1e-6  # PageSearcher.cpp:284
 MAX_SHOW = 200  # PageSearcher.cpp:226
 
+# --- getWords weight model (SearchEngine.cpp:306-488) ---------------------
+URL_WEIGHT = 40.0  # SearchEngine.cpp:306
+TITLE_WEIGHT = 100.0
+BODY_WEIGHT = 1.0
+CAPITAL_FACTOR = 4.0  # SearchEngine.cpp:308
+DECAY = 0.999  # defactorMult, SearchEngine.cpp:309
+MAXWORDPERPAGE = 2000  # SearchEngine.h:25
+MAXWORDLEN = 24  # DictWord MaxWordLen (SearchEngine.h:437 typedef)
+STOPWORDS_REF = ("www", "com", "a", "of", "the", "for")  # SearchEngine.h:580-585
+MAX_SEARCH = 100_000_000  # per-term read cap default, PageSearcher.cpp:35,425
+
+_SECTIONS = (("url", 0, URL_WEIGHT), ("title", 1, TITLE_WEIGHT), ("body", 2, BODY_WEIGHT))
+_TOKEN_RE = "[A-Za-z0-9.]+"  # isValidWordChar runs with '.'-folding
+
+
+def _clean_token_expr(tok):
+    """Reference word building: a run of ' '/'.' separators collapses to
+    one (SearchEngine.cpp:419-425), leading/trailing '.' trimmed
+    (:433-434); words truncate at MaxWordLen."""
+    t = F.regexp_replace(tok, r"\.{2,}", ".")
+    t = F.regexp_replace(t, r"^\.+|\.+$", "")
+    return F.substring(t, 1, MAXWORDLEN)
+
+
+def tokenize_sections(
+    docs: DataFrame,
+    url_col: str = "url",
+    title_col: str = "title",
+    body_col: str = "body",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """(doc, url, title, body) -> the getWords token stream:
+    (doc_id, word, capital, sec_w, position, decay_idx).
+
+    Mirrors the reference scan order URL -> Title -> Body
+    (state machine SearchEngine.cpp:321-331): `position` is the 1-based
+    global token index per doc (increments for stop words too,
+    :478), `decay_idx` counts only accepted tokens (defactor decays
+    inside the !filterWord branch, :459-460). Stop-word filter =
+    SearchEngine.h:597-611 (the six short words; only len<=4 words are
+    ever checked and all six are <=4, so membership is the whole rule).
+    """
+    parts = []
+    for name, sec_no, sec_w in _SECTIONS:
+        col = {"url": url_col, "title": title_col, "body": body_col}[name]
+        parts.append(
+            docs.select(
+                F.col(doc_col).alias("doc_id"),
+                F.lit(sec_no).alias("sec_no"),
+                F.lit(sec_w).alias("sec_w"),
+                F.posexplode(
+                    F.regexp_extract_all(F.coalesce(F.col(col), F.lit("")), F.lit(_TOKEN_RE), F.lit(0))
+                ).alias("sec_pos", "tok0"),
+            )
+        )
+    raw = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    toks = (
+        raw.withColumn("tok", _clean_token_expr(F.col("tok0")))
+        .where(F.length("tok") > 0)
+        .select(
+            "doc_id",
+            "sec_no",
+            "sec_w",
+            "sec_pos",
+            F.lower(F.col("tok")).alias("word"),
+            (F.col("tok") != F.lower(F.col("tok"))).alias("capital"),
+        )
+    )
+    w_doc = W.partitionBy("doc_id").orderBy("sec_no", "sec_pos")
+    stream = toks.withColumn("position", F.row_number().over(w_doc))
+    accepted = stream.where(~F.col("word").isin(*STOPWORDS_REF))
+    w_acc = W.partitionBy("doc_id").orderBy("position")
+    return accepted.withColumn("decay_idx", F.row_number().over(w_acc)).select(
+        "doc_id", "word", "capital", "sec_w", "position", "decay_idx"
+    )
+
+
+def build_weighted_postings(
+    docs: DataFrame,
+    url_col: str = "url",
+    title_col: str = "title",
+    body_col: str = "body",
+    doc_col: str = "doc_id",
+    page_rank: DataFrame | None = None,
+    max_words: int = MAXWORDPERPAGE,
+    n_term_partitions: int = 8,
+) -> DataFrame:
+    """The reference-faithful index build (getWords,
+    SearchEngine.cpp:306-490): per accepted token
+    weight = sectionWeight * (capitalFactor if any uppercase)
+                           * defactorMult^(accepted_idx-1),
+    per (doc, word) keep the max-weight occurrence and its position
+    (update only on strictly-greater rank, :467-471 -> earliest max
+    wins), stop the scan once max_words distinct words were inserted
+    (:466), then normalize rank *= pageRank / totalRank (:479-488).
+
+    Deviation (documented): the reference resets instead of adjusting
+    totalRank on an update (`totalRank = rank - old`, :468 — an
+    order-dependent accumulator bug); we normalize by the sum of the
+    final per-word ranks, which is what the surrounding code computes
+    everywhere else. Bold/header multipliers (:307) apply to HTML
+    markup the synthetic corpus does not carry; the slot is the sec_w
+    column (an HTML-bearing corpus maps <b>/<h1..6> spans to it).
+
+    Output: postings(term, doc_id, pos, rank) range-partitioned +
+    sorted by term (the 'finaldict' shape for pushdown pruning).
+    """
+    stream = tokenize_sections(docs, url_col, title_col, body_col, doc_col)
+    weighted = stream.withColumn(
+        "weight",
+        F.col("sec_w")
+        * F.when(F.col("capital"), F.lit(CAPITAL_FACTOR)).otherwise(F.lit(1.0))
+        * F.pow(F.lit(DECAY), (F.col("decay_idx") - 1).cast("double")),
+    )
+
+    # maxWordPerPage: the scan ends when the max_words-th DISTINCT word
+    # is inserted — every later token (updates included) is unseen.
+    first_pos = weighted.groupBy("doc_id", "word").agg(
+        F.min("position").alias("_fp")
+    )
+    w_ins = W.partitionBy("doc_id").orderBy("_fp")
+    cap_pos = (
+        first_pos.withColumn("_ins", F.row_number().over(w_ins))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("_ins") == max_words, F.col("_fp"))).alias("_cap")
+        )
+    )
+    capped = weighted.join(cap_pos, "doc_id", "left").where(
+        F.col("_cap").isNull() | (F.col("position") <= F.col("_cap"))
+    )
+
+    # per (doc, word): max weight wins, earliest position on ties
+    best = (
+        capped.groupBy("doc_id", "word")
+        .agg(F.max(F.struct(F.col("weight"), (-F.col("position")).alias("_np"))).alias("_m"))
+        .select(
+            "doc_id",
+            "word",
+            F.col("_m.weight").alias("_rank_raw"),
+            (-F.col("_m._np")).cast("int").alias("pos"),
+        )
+    )
+    total = best.groupBy("doc_id").agg(F.sum("_rank_raw").alias("_tot"))
+    pr = page_rank if page_rank is not None else None
+    out = best.join(total, "doc_id")
+    if pr is not None:
+        out = out.join(pr, "doc_id", "left").withColumn(
+            "_pr", F.coalesce(F.col("page_rank"), F.lit(1.0))
+        )
+    else:
+        out = out.withColumn("_pr", F.lit(1.0))
+    postings = out.select(
+        F.col("word").alias("term"),
+        "doc_id",
+        "pos",
+        F.round(F.col("_rank_raw") * F.col("_pr") / F.col("_tot"), 6).alias("rank"),
+    )
+    return postings.repartitionByRange(n_term_partitions, "term").sortWithinPartitions(
+        "term", "rank", "doc_id"
+    )
+
+
+def expand_word_term(postings: DataFrame, term: str) -> DataFrame:
+    """The dict range compare (DictWord::cmp, SearchEngine.h:389-415):
+    a query term matches every dict word it prefixes where the char
+    AFTER the prefix is not an ASCII letter — 'sort' matches 'sort',
+    'sort.x', 'sort9' but NOT 'sorted'. Dict words are lowercased, so
+    the boundary test is [a-z]."""
+    nxt = F.substring("term", len(term) + 1, 1)
+    return postings.where(
+        (F.col("term") == term)
+        | (F.col("term").startswith(term) & ~nxt.rlike("^[a-z]$"))
+    )
+
+
+def expand_word_term_sql(term: str) -> str:
+    """DuckDB twin of the boundary-rule predicate over a `term` column."""
+    n = len(term)
+    t = term.replace("'", "''")
+    return (
+        f"(term = '{t}' OR (starts_with(term, '{t}') "
+        f"AND NOT regexp_matches(substr(term, {n + 1}, 1), '^[a-z]$')))"
+    )
+
 
 def build_postings(
     docs: DataFrame,
@@ -65,15 +250,22 @@ def build_postings(
     )
 
 
-def build_small_postings(postings: DataFrame) -> DataFrame:
+def build_small_postings(postings: DataFrame, pos_col: str | None = None) -> DataFrame:
     """A6: truncate terms to SMALLWORDSIZE bytes, keep the max-rank
-    instance per (doc, short term); deterministic tie-break by term."""
+    instance per (doc, short term); deterministic tie-break by term.
+    Works over both the tf-postings (first_pos/tf/rank) and the
+    weighted dict (pos/rank) schemas."""
     w = W.partitionBy("doc_id", "sterm").orderBy(F.desc("rank"), "term")
+    carry = [
+        c
+        for c in ([pos_col] if pos_col else ["first_pos", "tf"])
+        if c in postings.columns
+    ]
     return (
         postings.withColumn("sterm", F.substring("term", 1, SMALLWORDSIZE))
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select("sterm", "doc_id", "first_pos", "tf", "rank")
+        .select("sterm", "doc_id", *carry, "rank")
     )
 
 
@@ -142,6 +334,161 @@ def search(
     )
 
 
+def _top2_per_doc(per_term: DataFrame, idx: int) -> DataFrame:
+    """PosRanks (PageSearcher.cpp:153-189): per (doc, query term) keep
+    the best TWO postings by rank; termRank = their sum, both positions
+    retained for the proximity pass. The reference's add() replaces the
+    min-rank slot only on strictly-greater rank while scanning in dict
+    order, so ties keep the earlier dict word — deterministic twin:
+    order by (rank desc, term asc, pos asc)."""
+    w = W.partitionBy("doc_id").orderBy(F.desc("rank"), F.asc("term"), F.asc("pos"))
+    return (
+        per_term.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("rank").alias(f"trank_{idx}"),
+            F.min(F.when(F.col("_rn") == 1, F.col("pos"))).alias(f"p{idx}a"),
+            F.min(F.when(F.col("_rn") == 2, F.col("pos"))).alias(f"p{idx}b"),
+        )
+    )
+
+
+def _min_posdiff(i: int, j: int):
+    """PosRanks::positionDiff (PageSearcher.cpp:180-189): min |p - q|
+    over the kept position pairs of adjacent query terms."""
+    big = F.lit(65535)
+    diffs = [F.abs(F.col(f"p{i}a") - F.col(f"p{j}a"))]
+    diffs.append(F.coalesce(F.abs(F.col(f"p{i}a") - F.col(f"p{j}b")), big))
+    diffs.append(F.coalesce(F.abs(F.col(f"p{i}b") - F.col(f"p{j}a")), big))
+    diffs.append(F.coalesce(F.abs(F.col(f"p{i}b") - F.col(f"p{j}b")), big))
+    return F.least(*diffs)
+
+
+def search_weighted(
+    postings: DataFrame,
+    terms: list[str],
+    docs_meta: DataFrame | None = None,
+    host_col: str = "host",
+    k: int = MAX_SHOW,
+    max_search: int = MAX_SEARCH,
+) -> DataFrame:
+    """Multi-term AND search over the weighted dict with the reference's
+    full ranking semantics:
+
+    * each word term expands through the prefix+boundary range compare
+      (expand_word_term — SearchEngine.h:389-415), capped at max_search
+      postings per term (PageSearcher.cpp:425; deterministic twin of
+      the tail-of-range cap: top by rank desc, term, doc);
+    * per (doc, term) PosRanks top-2 -> termRank = sum of kept ranks;
+    * coRank = prod over adjacent terms of max(0.9^(minPosDiff-1), 1e-6)
+      (PageSearcher.cpp:271-288), score = sum(termRanks) * coRank;
+    * top-K then best-doc-per-host + n_more (A9).
+    """
+    postings = _norm_postings(postings)
+    sides = [
+        _word_side(postings, t, i, max_search) for i, t in enumerate(terms)
+    ]
+    return _score_sides(sides, k, docs_meta, host_col)
+
+
+def _norm_postings(p: DataFrame) -> DataFrame:
+    """Accept both the weighted dict (pos) and tf-postings (first_pos)."""
+    if "pos" not in p.columns and "first_pos" in p.columns:
+        return p.withColumnRenamed("first_pos", "pos")
+    return p
+
+
+def _word_side(postings: DataFrame, term: str, idx: int, max_search: int) -> DataFrame:
+    cand = expand_word_term(postings, term)
+    # the per-term read cap (PageSearcher.cpp:425) as a distributed
+    # top-K (TakeOrderedAndProject), never a single-partition sort.
+    # Skipped at the reference's effectively-uncapped default: a
+    # limit(100M) makes Spark's per-task top-K heap allocate k slots.
+    if max_search is not None and max_search < MAX_SEARCH:
+        cand = cand.orderBy(F.desc("rank"), "term", "doc_id").limit(max_search)
+    return _top2_per_doc(cand, idx)
+
+
+def _score_sides(
+    sides: list[DataFrame],
+    k: int,
+    docs_meta: DataFrame | None,
+    host_col: str = "host",
+) -> DataFrame:
+    from functools import reduce as _reduce
+
+    joined = _reduce(lambda a, b: a.join(b, "doc_id", "inner"), sides)
+    sum_rank = _reduce(
+        lambda a, b: a + b, [F.col(f"trank_{i}") for i in range(len(sides))]
+    )
+    co = F.lit(1.0)
+    for i in range(len(sides) - 1):
+        diff = _min_posdiff(i, i + 1) - 1
+        co = co * F.greatest(
+            F.pow(F.lit(CORANK_DECAY), diff.cast("double")), F.lit(CORANK_MIN)
+        )
+    scored = (
+        joined.select("doc_id", F.round(sum_rank * co, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+    if docs_meta is None:
+        return scored
+    return _host_dedup(scored, docs_meta, host_col)
+
+
+def _host_dedup(scored: DataFrame, docs_meta: DataFrame, host_col: str) -> DataFrame:
+    with_host = scored.join(
+        docs_meta.select(F.col("doc_id"), F.col(host_col).alias("host")), "doc_id"
+    )
+    w = W.partitionBy("host").orderBy(F.desc("score"), "doc_id")
+    return (
+        with_host.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_host_docs", F.count("*").over(W.partitionBy("host")))
+        .where(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            "score",
+            "host",
+            (F.col("n_host_docs") - 1).alias("n_more_from_host"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+    )
+
+
+def phrase_doc_matches(
+    tokens: DataFrame, phrase_words: list[str]
+) -> DataFrame:
+    """True adjacent-position phrase match over the token stream
+    (doc_id, word, position): the reference stores phrases as dict
+    entries (getWords' '.'/' '-folding builds them) and matches the
+    quoted string by prefix compare (SearchEngine.h:389-404); the
+    positional equivalent is requiring each phrase word at its exact
+    offset from the anchor. Stop words inside the phrase occupy their
+    position but add no constraint (they are unindexed, exactly like
+    the reference's filterWord drop).
+
+    Returns (doc_id, start) — start = position of the first word."""
+    parts = [
+        (i, w.lower())
+        for i, w in enumerate(phrase_words)
+        if w.lower() not in STOPWORDS_REF
+    ]
+    if not parts:
+        raise ValueError("phrase contains only stop words")
+    o0, w0 = parts[0]
+    out = tokens.where(F.col("word") == w0).select(
+        "doc_id", (F.col("position") - o0).alias("start")
+    )
+    for oi, wi in parts[1:]:
+        nxt = tokens.where(F.col("word") == wi).select(
+            "doc_id", (F.col("position") - oi).alias("start")
+        )
+        out = out.join(nxt, ["doc_id", "start"], "left_semi")
+    return out.distinct()
+
+
 def parse_query(q: str) -> list[dict]:
     """splitSentence, PageSearcher.cpp:69-108: whitespace-split terms;
     double-quoted spans become phrase terms; a trailing '*' marks a
@@ -176,19 +523,55 @@ def parse_query(q: str) -> list[dict]:
     return out
 
 
+def _phrase_side(
+    postings: DataFrame, tokens: DataFrame, phrase: str, idx: int
+) -> DataFrame:
+    """Quoted-phrase term: adjacency matches from the token stream,
+    ranked by the anchor word's posting. Up to two match starts are
+    kept (the PosRanks shape); termRank = anchor rank summed over the
+    kept matches — the positional analogue of the reference's two
+    matched phrase-dict entries (which carry near-identical ranks for
+    the same page)."""
+    words = phrase.split()
+    matches = phrase_doc_matches(tokens, words)
+    parts = [(i, w.lower()) for i, w in enumerate(words) if w.lower() not in STOPWORDS_REF]
+    o0, w0 = parts[0]
+    w = W.partitionBy("doc_id").orderBy("start")
+    kept = matches.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= 2)
+    agg = kept.groupBy("doc_id").agg(
+        F.count("*").alias("_nk"),
+        F.min(F.when(F.col("_rn") == 1, F.col("start") + o0)).alias(f"p{idx}a"),
+        F.min(F.when(F.col("_rn") == 2, F.col("start") + o0)).alias(f"p{idx}b"),
+    )
+    anchor = postings.where(F.col("term") == w0).select("doc_id", "rank")
+    return agg.join(anchor, "doc_id").select(
+        "doc_id",
+        (F.col("rank") * F.col("_nk")).alias(f"trank_{idx}"),
+        f"p{idx}a",
+        f"p{idx}b",
+    )
+
+
 def search_query(
     postings: DataFrame,
     q: str,
     docs_meta: DataFrame | None = None,
     host_col: str = "host",
     k: int = MAX_SHOW,
+    tokens: DataFrame | None = None,
+    max_search: int = MAX_SEARCH,
 ) -> DataFrame:
-    """Console-style entry: parse the query string, expand prefix terms
-    against the dictionary, then run the k-way AND search. Phrase terms
-    are matched as their first word plus a position-adjacency rank
-    boost through the proximity co-rank (A8)."""
+    """Console-style entry (splitSentence + searchPages,
+    PageSearcher.cpp:69-108,348-559): parse the query string, then
+    score with the weighted-dict semantics — word terms via the
+    prefix+boundary range compare, quoted phrases via true
+    adjacent-position matching over the token stream (requires the
+    `tokens` index; without it a phrase degrades to its words), an
+    explicit trailing-'*' term via most-common-dict-word expansion."""
+    postings = _norm_postings(postings)
     parsed = parse_query(q)
-    terms: list[str] = []
+    sides: list[DataFrame] = []
+    idx = 0
     for p in parsed:
         if p["kind"] == "prefix":
             hits = (
@@ -200,14 +583,23 @@ def search_query(
                 .collect()
             )
             if hits:
-                terms.append(hits[0]["term"])
+                sides.append(_word_side(postings, hits[0]["term"], idx, max_search))
+                idx += 1
         elif p["kind"] == "phrase":
-            terms.extend(p["term"].split())
+            if tokens is not None:
+                sides.append(_phrase_side(postings, tokens, p["term"], idx))
+                idx += 1
+            else:
+                for w in p["term"].split():
+                    if w.lower() not in STOPWORDS_REF:
+                        sides.append(_word_side(postings, w, idx, max_search))
+                        idx += 1
         else:
-            terms.append(p["term"])
-    if not terms:
+            sides.append(_word_side(postings, p["term"], idx, max_search))
+            idx += 1
+    if not sides:
         raise ValueError("empty query")
-    return search(postings, terms, docs_meta, host_col, k)
+    return _score_sides(sides, k, docs_meta, host_col)
 
 
 def prefix_search(postings: DataFrame, prefix: str) -> DataFrame:

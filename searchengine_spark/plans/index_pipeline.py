@@ -16,9 +16,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from searchengine_spark.operators.index import (
-    build_postings,
     build_small_postings,
+    build_weighted_postings,
     search_query,
+    tokenize_sections,
 )
 from searchengine_spark.operators.pagerank import edges_from_docs, pagerank
 from searchengine_spark.sources.statestore import TableStore
@@ -26,19 +27,27 @@ from searchengine_spark.sources.statestore import TableStore
 PAGERANK_ITERS = 5  # reference default loops (SearchEngine.cpp:1210-1264)
 
 
-def doc_text_expr() -> F.Column:
-    """Indexable text of an interleaved doc: title + text spans in
-    document order (getWords scans URL -> Title -> Body,
-    SearchEngine.cpp:321-331; media/link spans carry no words)."""
+def _span_text(kind: str) -> F.Column:
     return F.array_join(
         F.transform(
-            F.filter(
-                "spans",
-                lambda s: (s["kind"] == F.lit("title")) | (s["kind"] == F.lit("text")),
-            ),
+            F.filter("spans", lambda s: s["kind"] == F.lit(kind)),
             lambda s: s["text"],
         ),
         " ",
+    )
+
+
+def doc_sections(docs: DataFrame) -> DataFrame:
+    """Interleaved docs -> the getWords section columns: the self URL
+    (state URL, weight 40 — SearchEngine.cpp:306,321-331), title spans
+    (weight 100) and text spans (body, weight 1) in document order;
+    media/link spans carry no words."""
+    return docs.select(
+        F.col("url_md5").alias("doc_id"),
+        F.col("url"),
+        _span_text("title").alias("title"),
+        _span_text("text").alias("body"),
+        F.col("host"),
     )
 
 
@@ -51,33 +60,24 @@ def rank_docs(docs: DataFrame, n_iter: int = PAGERANK_ITERS) -> DataFrame:
 
 
 def build_index(docs: DataFrame, with_pagerank: bool = True) -> DataFrame:
-    """docs -> rank-weighted postings.
+    """docs -> reference-faithful weighted postings (getWords,
+    SearchEngine.cpp:306-490): URL/title/body section weights, capital
+    factor, per-word decay, stop-word drop, maxWordPerPage cap, and the
+    pageRank/totalRank normalization (:479-488) folded in at index time
+    exactly where getWords_helper reads m_pageRank (:512-528)."""
+    sections = doc_sections(docs)
+    pr = None
+    if with_pagerank:
+        pr = rank_docs(docs).withColumnRenamed("url_md5", "doc_id")
+    return build_weighted_postings(sections, page_rank=pr)
 
-    Word rank = (tf / n_words) * page_rank — the reference's A5
-    normalization (rank *= pageRank/totalRank, SearchEngine.cpp:479-488)
-    with pageRank folded in at index time, exactly where getWords_helper
-    reads m_tmp.m_rank[] (SearchEngine.cpp:512-528).
-    """
-    text_docs = docs.select(
-        F.col("url_md5").alias("doc_id"),
-        doc_text_expr().alias("text"),
-        F.col("host"),
-    ).where(F.length("text") > 0)
-    postings = build_postings(text_docs)
-    if not with_pagerank:
-        return postings
-    pr = rank_docs(docs)
-    return (
-        postings.join(
-            F.broadcast(pr.withColumnRenamed("url_md5", "doc_id")), "doc_id", "left"
-        )
-        .withColumn(
-            "rank",
-            F.round(F.col("rank") * F.coalesce(F.col("page_rank"), F.lit(1.0)), 6),
-        )
-        .drop("page_rank")
-        .repartitionByRange("term")
-        .sortWithinPartitions("term", "rank", "doc_id")
+
+def build_token_index(docs: DataFrame) -> DataFrame:
+    """The positional token stream (doc_id, word, position) used by
+    quoted-phrase adjacency matching — the Spark analogue of the
+    reference's in-dict phrase entries."""
+    return tokenize_sections(doc_sections(docs)).select(
+        "doc_id", "word", "position"
     )
 
 
@@ -88,23 +88,34 @@ class SearchService:
     def __init__(self, store: TableStore):
         self.store = store
         self._postings: DataFrame | None = None
+        self._tokens: DataFrame | None = None
         self._meta: DataFrame | None = None
 
     def refresh(self) -> None:
         docs = self.store.read("docs")
         self._postings = build_index(docs).cache()
+        self._tokens = build_token_index(docs).cache()
         self._meta = docs.select(
             F.col("url_md5").alias("doc_id"), "url", "host"
         ).cache()
         self.store.commit("postings", self._postings, meta={"kind": "index"})
         self.store.commit(
-            "postings_small", build_small_postings(self._postings), meta={"kind": "index"}
+            "postings_small",
+            build_small_postings(self._postings, pos_col="pos"),
+            meta={"kind": "index"},
         )
+        self.store.commit("tokens", self._tokens, meta={"kind": "index"})
 
     def search(self, q: str, k: int = 20) -> DataFrame:
         if self._postings is None:
             self.refresh()
-        hits = search_query(self._postings, q, self._meta.select("doc_id", "host"), k=k)
+        hits = search_query(
+            self._postings,
+            q,
+            self._meta.select("doc_id", "host"),
+            k=k,
+            tokens=self._tokens,
+        )
         return hits.join(self._meta.select("doc_id", "url"), "doc_id").orderBy(
             F.desc("score"), "doc_id"
         )

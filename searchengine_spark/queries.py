@@ -393,29 +393,164 @@ FROM postings GROUP BY term ORDER BY term
 """
 )
 
+# ---------------------------------------------------------------------------
+# weighted dict (getWords parity — SearchEngine.cpp:306-490)
+# ---------------------------------------------------------------------------
+
+def _weighted_sections(spark, sf_dir):
+    """Section columns for the weighted index over the documents table:
+    url = the grammar URL, title = first 4 words with the first
+    uppercased (so capitalFactor has real work), body = text."""
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        raw_url_expr("doc_id").alias("url"),
+        F.concat_ws(
+            " ",
+            F.upper(F.element_at(w, 1)),
+            F.element_at(w, 2),
+            F.element_at(w, 3),
+            F.element_at(w, 4),
+        ).alias("title"),
+        F.col("text").alias("body"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in IX.STOPWORDS_REF)
+
+# DuckDB twin of tokenize_sections + build_weighted_postings over the
+# same derived sections. `acc` is the token stream (phrase matching),
+# `wpostings` the final dict.
+WEIGHTED_CTES = f"""
+  secsrc AS (
+    SELECT doc_id, {raw_url_sql('doc_id')} AS url,
+           concat_ws(' ', upper(string_split(text,' ')[1]),
+                     string_split(text,' ')[2], string_split(text,' ')[3],
+                     string_split(text,' ')[4]) AS title,
+           text AS body
+    FROM documents
+  ),
+  sections AS (
+    SELECT doc_id, 0 AS sec_no, 40.0 AS sec_w, url AS sec_text FROM secsrc
+    UNION ALL SELECT doc_id, 1, 100.0, title FROM secsrc
+    UNION ALL SELECT doc_id, 2, 1.0, body FROM secsrc
+  ),
+  rawtok AS (
+    SELECT doc_id, sec_no, sec_w,
+           unnest(regexp_extract_all(coalesce(sec_text,''), '[A-Za-z0-9.]+')) AS tok0,
+           unnest(range(1, len(regexp_extract_all(coalesce(sec_text,''), '[A-Za-z0-9.]+')) + 1)) AS sec_pos
+    FROM sections
+  ),
+  cleantok AS (
+    SELECT doc_id, sec_no, sec_w, sec_pos,
+           substr(regexp_replace(regexp_replace(tok0, '\\.{{2,}}', '.', 'g'),
+                                 '^\\.+|\\.+$', '', 'g'), 1, {IX.MAXWORDLEN}) AS tok
+    FROM rawtok
+  ),
+  stream AS (
+    SELECT doc_id, sec_w, lower(tok) AS word, (tok <> lower(tok)) AS capital,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sec_no, sec_pos) AS position
+    FROM cleantok WHERE length(tok) > 0
+  ),
+  acc AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY position) AS decay_idx
+    FROM stream WHERE word NOT IN ({_STOP_SQL})
+  ),
+  wtok AS (
+    SELECT doc_id, word, position,
+           sec_w * (CASE WHEN capital THEN {IX.CAPITAL_FACTOR} ELSE 1.0 END)
+                 * power({IX.DECAY}, decay_idx - 1) AS weight
+    FROM acc
+  ),
+  wf AS (SELECT doc_id, word, min(position) AS fp FROM wtok GROUP BY 1, 2),
+  capn AS (SELECT doc_id, fp,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fp) AS ins FROM wf),
+  cappos AS (SELECT doc_id, max(CASE WHEN ins = {IX.MAXWORDPERPAGE} THEN fp END) AS cp
+             FROM capn GROUP BY doc_id),
+  capped AS (
+    SELECT w.* FROM wtok w JOIN cappos c USING (doc_id)
+    WHERE c.cp IS NULL OR w.position <= c.cp
+  ),
+  best AS (
+    SELECT doc_id, word AS term, weight, position AS pos FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id, word ORDER BY weight DESC, position ASC) AS rn
+      FROM capped) WHERE rn = 1
+  ),
+  tot AS (SELECT doc_id, sum(weight) AS tw FROM best GROUP BY doc_id),
+  wpostings AS (
+    SELECT term, b.doc_id, CAST(pos AS INT) AS pos, round(weight / tw, 6) AS rank
+    FROM best b JOIN tot t ON b.doc_id = t.doc_id
+  )
+"""
+
+
+def q_weighted_postings(spark, sf_dir):
+    """The full getWords-parity dict: every (term, doc, pos, rank) row
+    hash-checked against the DuckDB twin — any drift in section
+    weights, capital factor, decay, stop list, cap, or normalization
+    fails this query."""
+    return IX.build_weighted_postings(_weighted_sections(spark, sf_dir)).orderBy(
+        "term", "doc_id"
+    )
+
+
+SQL_WEIGHTED_POSTINGS = (
+    "WITH " + WEIGHTED_CTES + """
+SELECT term, doc_id, pos, rank FROM wpostings ORDER BY term, doc_id
+"""
+)
+
+
+def _top2_sql(src: str, idx: int) -> str:
+    return f"""
+  k{idx} AS (
+    SELECT doc_id, sum(rank) AS trank_{idx},
+           min(CASE WHEN rn = 1 THEN pos END) AS p{idx}a,
+           min(CASE WHEN rn = 2 THEN pos END) AS p{idx}b
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY rank DESC, term, pos) AS rn
+          FROM {src})
+    WHERE rn <= 2 GROUP BY doc_id
+  )"""
+
+
+def _min_posdiff_sql(i: int, j: int) -> str:
+    return (
+        f"least(abs(p{i}a - p{j}a), coalesce(abs(p{i}a - p{j}b), 65535), "
+        f"coalesce(abs(p{i}b - p{j}a), 65535), coalesce(abs(p{i}b - p{j}b), 65535))"
+    )
+
+
 SEARCH_TERMS = ["join", "sort"]
 
 
-def q_search_2term(spark, sf_dir):
-    docs_meta = _docs(spark, sf_dir).select(
-        "doc_id", F.col("source").alias("host")
-    )
-    return IX.search(_postings(spark, sf_dir), SEARCH_TERMS, docs_meta, k=50)
-
-
-SQL_SEARCH_2TERM = (
-    "WITH "
-    + _POSTINGS_CTES
-    + f""",
-  p0 AS (SELECT doc_id, rank r0, first_pos q0 FROM postings WHERE term = '{SEARCH_TERMS[0]}'),
-  p1 AS (SELECT doc_id, rank r1, first_pos q1 FROM postings WHERE term = '{SEARCH_TERMS[1]}'),
+def _search_sql(terms: list[str], k: int = 50) -> str:
+    """DuckDB twin of search_weighted over the weighted dict: boundary
+    expansion, PosRanks top-2, min-posdiff coRank, top-K, host dedup."""
+    parts = [
+        f"t{i} AS (SELECT * FROM wpostings WHERE {IX.expand_word_term_sql(t)})"
+        for i, t in enumerate(terms)
+    ]
+    parts += [_top2_sql(f"t{i}", i) for i in range(len(terms))]
+    joins = " JOIN ".join(["k0"] + [f"k{i} USING (doc_id)" for i in range(1, len(terms))])
+    sum_rank = " + ".join(f"trank_{i}" for i in range(len(terms)))
+    co = " * ".join(
+        f"greatest(power(0.9, {_min_posdiff_sql(i, i + 1)} - 1), 1e-6)"
+        for i in range(len(terms) - 1)
+    ) or "1.0"
+    return (
+        "WITH "
+        + WEIGHTED_CTES
+        + ","
+        + ",".join(parts)
+        + f""",
   j AS (
-    SELECT p0.doc_id,
-           round((r0 + r1) * greatest(power(0.9, abs(q0 - q1) - 1), 1e-6), 6)
-             AS score
-    FROM p0 JOIN p1 USING (doc_id)
+    SELECT k0.doc_id, round(({sum_rank}) * {co}, 6) AS score
+    FROM {joins}
   ),
-  top AS (SELECT doc_id, score FROM j ORDER BY score DESC, doc_id LIMIT 50),
+  top AS (SELECT doc_id, score FROM j ORDER BY score DESC, doc_id LIMIT {k}),
   wh AS (SELECT t.doc_id, t.score, d.source AS host
          FROM top t JOIN documents d ON d.doc_id = t.doc_id),
   dd AS (
@@ -425,7 +560,20 @@ SQL_SEARCH_2TERM = (
 SELECT doc_id, score, host, (nh - 1) AS n_more_from_host
 FROM dd WHERE rn = 1 ORDER BY score DESC, doc_id
 """
-)
+    )
+
+
+def q_search_2term(spark, sf_dir):
+    """J4/A8/O3/A9 over the weighted dict: boundary-rule expansion,
+    PosRanks top-2 per (doc, term), min-posdiff proximity co-rank."""
+    docs_meta = _docs(spark, sf_dir).select(
+        "doc_id", F.col("source").alias("host")
+    )
+    p = IX.build_weighted_postings(_weighted_sections(spark, sf_dir))
+    return IX.search_weighted(p, SEARCH_TERMS, docs_meta, k=50)
+
+
+SQL_SEARCH_2TERM = _search_sql(SEARCH_TERMS)
 
 
 def q_prefix_search(spark, sf_dir):
@@ -1154,36 +1302,14 @@ SEARCH3 = ["join", "sort", "batch"]
 
 
 def q_search_3term(spark, sf_dir):
-    """J4 with k=3: three-way inner join on doc, chained proximity."""
+    """J4 with k=3 over the weighted dict: three-way inner join on doc,
+    chained adjacent-pair min-posdiff proximity."""
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
-    return IX.search(_postings(spark, sf_dir), SEARCH3, docs_meta, k=50)
+    p = IX.build_weighted_postings(_weighted_sections(spark, sf_dir))
+    return IX.search_weighted(p, SEARCH3, docs_meta, k=50)
 
 
-SQL_SEARCH_3TERM = (
-    "WITH "
-    + _POSTINGS_CTES
-    + f""",
-  p0 AS (SELECT doc_id, rank r0, first_pos q0 FROM postings WHERE term = '{SEARCH3[0]}'),
-  p1 AS (SELECT doc_id, rank r1, first_pos q1 FROM postings WHERE term = '{SEARCH3[1]}'),
-  p2 AS (SELECT doc_id, rank r2, first_pos q2 FROM postings WHERE term = '{SEARCH3[2]}'),
-  j AS (
-    SELECT p0.doc_id,
-           round((r0 + r1 + r2) *
-                 greatest(power(0.9, abs(q0 - q1) - 1)
-                          * power(0.9, abs(q1 - q2) - 1), 1e-6), 6) AS score
-    FROM p0 JOIN p1 USING (doc_id) JOIN p2 USING (doc_id)
-  ),
-  top AS (SELECT doc_id, score FROM j ORDER BY score DESC, doc_id LIMIT 50),
-  wh AS (SELECT t.doc_id, t.score, d.source AS host
-         FROM top t JOIN documents d ON d.doc_id = t.doc_id),
-  dd AS (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY score DESC, doc_id) rn,
-           COUNT(*) OVER (PARTITION BY host) AS nh
-    FROM wh)
-SELECT doc_id, score, host, (nh - 1) AS n_more_from_host
-FROM dd WHERE rn = 1 ORDER BY score DESC, doc_id
-"""
-)
+SQL_SEARCH_3TERM = _search_sql(SEARCH3)
 
 
 def q_doc_lookup(spark, sf_dir):
@@ -1204,6 +1330,84 @@ WHERE doc_id IN (3, 77, 142, 400) ORDER BY doc_id
 
 QUERIES["search_3term"] = q_search_3term
 ORACLE_SQL["search_3term"] = SQL_SEARCH_3TERM
+
+SEARCH_PHRASE = ["table", "value"]  # adjacent in ~7% of docs; both words in ~63%
+
+
+def q_search_phrase(spark, sf_dir):
+    """True quoted-phrase search: only docs where the words are
+    position-adjacent match (the oracle joins the token stream on
+    position+1, so a words-present-but-not-adjacent doc failing THIS
+    query while passing search_2term is the tested behavior)."""
+    sections = _weighted_sections(spark, sf_dir)
+    p = IX.build_weighted_postings(sections)
+    toks = IX.tokenize_sections(sections).select("doc_id", "word", "position")
+    docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
+    return IX.search_query(
+        p, f'"{" ".join(SEARCH_PHRASE)}"', docs_meta, k=50, tokens=toks
+    )
+
+
+SQL_SEARCH_PHRASE = (
+    "WITH "
+    + WEIGHTED_CTES
+    + f""",
+  ph AS (
+    SELECT DISTINCT a.doc_id, a.position AS start
+    FROM acc a JOIN acc b ON a.doc_id = b.doc_id AND b.position = a.position + 1
+    WHERE a.word = '{SEARCH_PHRASE[0]}' AND b.word = '{SEARCH_PHRASE[1]}'
+  ),
+  kept AS (
+    SELECT * FROM (
+      SELECT doc_id, start,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) AS rn
+      FROM ph) WHERE rn <= 2
+  ),
+  agg AS (
+    SELECT doc_id, count(*) AS nk,
+           min(CASE WHEN rn = 1 THEN start END) AS p0a,
+           min(CASE WHEN rn = 2 THEN start END) AS p0b
+    FROM kept GROUP BY doc_id
+  ),
+  j AS (
+    SELECT a.doc_id, round(w.rank * a.nk, 6) AS score
+    FROM agg a JOIN wpostings w ON w.doc_id = a.doc_id
+    WHERE w.term = '{SEARCH_PHRASE[0]}'
+  ),
+  top AS (SELECT doc_id, score FROM j ORDER BY score DESC, doc_id LIMIT 50),
+  wh AS (SELECT t.doc_id, t.score, d.source AS host
+         FROM top t JOIN documents d ON d.doc_id = t.doc_id),
+  dd AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY host ORDER BY score DESC, doc_id) rn,
+           COUNT(*) OVER (PARTITION BY host) AS nh
+    FROM wh)
+SELECT doc_id, score, host, (nh - 1) AS n_more_from_host
+FROM dd WHERE rn = 1 ORDER BY score DESC, doc_id
+"""
+)
+
+BOUNDARY_TERM = "host1"  # expands to host1.com, host10.net, ... NOT 'hosted'
+
+
+def q_search_boundary(spark, sf_dir):
+    """The English-boundary prefix rule (SearchEngine.h:389-415) as a
+    single-term search: 'host1' range-matches every dict word it
+    prefixes whose next char is not a letter (URL tokens host1.com,
+    host19.org, ...), and PosRanks top-2 aggregates multi-word
+    expansions per doc."""
+    docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
+    p = IX.build_weighted_postings(_weighted_sections(spark, sf_dir))
+    return IX.search_weighted(p, [BOUNDARY_TERM], docs_meta, k=50)
+
+
+SQL_SEARCH_BOUNDARY = _search_sql([BOUNDARY_TERM])
+
+QUERIES["weighted_postings"] = q_weighted_postings
+ORACLE_SQL["weighted_postings"] = SQL_WEIGHTED_POSTINGS
+QUERIES["search_phrase"] = q_search_phrase
+ORACLE_SQL["search_phrase"] = SQL_SEARCH_PHRASE
+QUERIES["search_boundary"] = q_search_boundary
+ORACLE_SQL["search_boundary"] = SQL_SEARCH_BOUNDARY
 QUERIES["doc_lookup"] = q_doc_lookup
 ORACLE_SQL["doc_lookup"] = SQL_DOC_LOOKUP
 

@@ -10,7 +10,7 @@ from searchengine_spark.plans.crawl import CrawlDriver
 from searchengine_spark.plans.index_pipeline import (
     SearchService,
     build_index,
-    doc_text_expr,
+    doc_sections,
     rank_docs,
 )
 
@@ -26,11 +26,12 @@ def crawled(spark, tmp_path_factory):
     return d
 
 
-def test_doc_text_from_spans(crawled):
+def test_doc_sections_from_spans(crawled):
     docs = crawled.store.read("docs")
-    row = docs.select("url", doc_text_expr().alias("t")).limit(1).collect()[0]
-    assert row["t"].startswith("page ")  # title span first
-    assert "body of" in row["t"]
+    row = doc_sections(docs).limit(1).collect()[0]
+    assert row["url"]  # state URL: the self link is indexed at weight 40
+    assert row["title"].startswith("page ")
+    assert "body of" in row["body"]
 
 
 def test_rank_docs_produces_valid_ranks(crawled):
@@ -66,6 +67,24 @@ def test_search_service_end_to_end(crawled):
     # postings snapshots committed for reuse
     assert crawled.store.exists("postings")
     assert crawled.store.exists("postings_small")
+    assert crawled.store.exists("tokens")
+
+
+def test_search_service_phrase_adjacency(crawled):
+    """Quoted phrases match only position-adjacent docs: every title is
+    'page <canonical_url>', and only https docs keep their scheme, so
+    '"page https"' must select exactly the https subset of 'page'."""
+    svc = SearchService(crawled.store)
+    svc.refresh()
+    hits = svc.search('"page https"', k=500).collect()
+    assert hits
+    # adjacency: only https docs have 'https' right after 'page' in the
+    # title ('page <canonical>'; http canonicals lost their scheme)
+    assert all(h["url"].startswith("https:") for h in hits)
+    loose = svc.search("page", k=500).collect()
+    assert len(loose) >= len(hits)
+    # a stop word inside a phrase occupies its position, no constraint
+    assert svc.search('"body of"', k=500).collect()
 
 
 def test_get_doc_dump(crawled):

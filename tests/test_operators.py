@@ -198,3 +198,108 @@ def test_parse_query_and_search_query(spark):
     assert [r["doc_id"] for r in got.collect()] == ["d1"]
     got2 = search_query(p, "pea*", docs.select("doc_id", "host"))
     assert [r["doc_id"] for r in got2.collect()] == ["d2"]
+
+
+# ---- weighted dict (getWords parity) ----------------------------------------
+
+def _sections_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, url string, title string, body string"
+    )
+
+
+def test_weighted_postings_weight_model(spark):
+    """Hand-computed getWords semantics: section weights 40/100/1,
+    capitalFactor 4, defactor 0.999 per accepted token, stop words
+    dropped (but occupying a position), max-rank occurrence wins,
+    rank normalized by the doc's total."""
+    docs = _sections_df(
+        spark, [("d1", "x.io/Q", "Alpha beta", "beta gamma the alpha")]
+    )
+    got = {r["term"]: r for r in IX.build_weighted_postings(docs).collect()}
+    d = 0.999
+    w = {
+        "x.io": 40.0 * d**0,          # pos 1
+        "q": 40.0 * 4 * d**1,         # pos 2, capital
+        "alpha": 100.0 * 4 * d**2,    # pos 3 (title, capital) beats body pos 8
+        "beta": 100.0 * d**3,         # pos 4 (title) beats body pos 5
+        "gamma": 1.0 * d**5,          # pos 6 ('the' at 7 holds a position)
+    }
+    tot = sum(w.values())
+    assert set(got) == set(w)
+    for term, exp in w.items():
+        assert got[term]["rank"] == round(exp / tot, 6), term
+    assert got["alpha"]["pos"] == 3
+    assert got["beta"]["pos"] == 4
+    assert got["gamma"]["pos"] == 6
+
+
+def test_weighted_postings_max_words_cap(spark):
+    """The scan stops once max_words distinct words were inserted
+    (SearchEngine.cpp:466): later tokens — updates included — vanish."""
+    docs = _sections_df(spark, [("d1", "", "", "aa bb cc dd AA")])
+    got = {r["term"] for r in
+           IX.build_weighted_postings(docs, max_words=3).collect()}
+    assert got == {"aa", "bb", "cc"}
+    # and the capital 'AA' at pos 5 did NOT update aa's rank
+    full = {r["term"]: r["rank"] for r in
+            IX.build_weighted_postings(docs, max_words=3).collect()}
+    uncapped = {r["term"]: r["rank"] for r in
+                IX.build_weighted_postings(docs).collect()}
+    assert uncapped["aa"] > full["aa"]  # uncapped sees the 4x capital update
+
+
+def test_expand_word_term_boundary_rule(spark):
+    """SearchEngine.h:404-414: prefix hit only counts when the next
+    char is not an ASCII letter."""
+    p = spark.createDataFrame(
+        [("sort", "d1", 1, 0.5), ("sorted", "d2", 1, 0.5),
+         ("sort.x", "d3", 1, 0.5), ("sort9", "d4", 1, 0.5)],
+        "term string, doc_id string, pos int, rank double",
+    )
+    got = {r["term"] for r in IX.expand_word_term(p, "sort").collect()}
+    assert got == {"sort", "sort.x", "sort9"}  # NOT 'sorted'
+
+
+def test_search_top2_posranks_and_min_posdiff(spark):
+    """PosRanks keeps the best two postings per (doc, term); the
+    proximity uses the min |p-q| over kept pairs."""
+    p = spark.createDataFrame(
+        [
+            # term 'ho' expands to ho1/ho2/ho3 on d1: top-2 = 0.5+0.3
+            ("ho1", "d1", 10, 0.5), ("ho2", "d1", 50, 0.3), ("ho3", "d1", 2, 0.1),
+            ("zz", "d1", 49, 0.2),  # min diff vs {10, 50} = 1
+        ],
+        "term string, doc_id string, pos int, rank double",
+    )
+    got = IX.search_weighted(p, ["ho", "zz"], k=10).collect()
+    assert len(got) == 1
+    # score = (0.8 + 0.2) * 0.9^(1-1)  -> 1.0
+    assert got[0]["score"] == 1.0
+
+
+def test_search_max_search_cap(spark):
+    """PageSearcher.cpp:425: per-term postings capped before the join."""
+    p = spark.createDataFrame(
+        [("t", f"d{i}", 1, float(5 - i)) for i in range(4)],
+        "term string, doc_id string, pos int, rank double",
+    )
+    got = {r["doc_id"] for r in
+           IX.search_weighted(p, ["t"], k=10, max_search=2).collect()}
+    assert got == {"d0", "d1"}
+
+
+def test_phrase_doc_matches_adjacency(spark):
+    toks = spark.createDataFrame(
+        [("A", "new", 1), ("A", "york", 2),
+         ("B", "new", 1), ("B", "x", 2), ("B", "york", 3),
+         # C: 'of' was a stop word occupying position 2
+         ("C", "statue", 1), ("C", "liberty", 3)],
+        "doc_id string, word string, position int",
+    )
+    got = {r["doc_id"] for r in
+           IX.phrase_doc_matches(toks, ["new", "york"]).collect()}
+    assert got == {"A"}
+    got2 = {r["doc_id"] for r in
+            IX.phrase_doc_matches(toks, ["statue", "of", "liberty"]).collect()}
+    assert got2 == {"C"}
