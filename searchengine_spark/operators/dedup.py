@@ -20,11 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from searchengine_spark.functions.hashes import hash60, hash60_sql
 
 N_MINHASH = 8
 LSH_BAND_SIZE = 2  # 4 bands of 2 -> catches jaccard >~ 0.6 reliably
-SIMHASH_BITS = 16
+SIMHASH_BITS = 64  # two 32-bit halves of a salted md5; hex-string packed
 
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -76,10 +75,6 @@ def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _window_of(i: int):
     # NB: must stay unary — pyspark gives a 2-arg lambda (element, index)
     return lambda h: _mh_window(h, i)
-
-
-def _salted_hash(salt: str):
-    return lambda w: hash60(w, salt)
 
 
 def minhash_signature_sql(text: str) -> list[str]:
@@ -144,50 +139,72 @@ def minhash_dedup(
     return jaccard_verify(pairs, docs, text_col, threshold)
 
 
-def simhash_expr(text_col: str = "text", bits: int = SIMHASH_BITS) -> Column:
-    """Sign-of-sum simhash over the word set, packed into an int.
+def simhash_expr(text_col: str = "text") -> Column:
+    """64-bit sign-of-sum simhash over the word set, packed as a
+    16-hex-char string (two 32-bit halves — avoids the sign bit of a
+    64-bit integer diverging between engines).
 
-    bit b = 1 iff sum over words of (word_hash bit b ? +1 : -1) > 0.
-    Native `aggregate` over the transformed array — no shuffle at all.
+    bit b of each half = 1 iff sum over words of (±1 per digest bit)
+    > 0; digests are md5('sh|'+word), halves = hex chars 1-8 / 9-16.
+    ONE native `aggregate` pass with a 64-counter accumulator — each
+    word hashed once, no shuffle at all.
     """
     words = _word_set(text_col)
-    hashes = F.transform(words, lambda w: hash60(w, "sh"))
+    digests = F.transform(words, lambda w: F.md5(F.concat(F.lit("sh|"), w)))
+    zero = F.array(*[F.lit(0).cast("long") for _ in range(64)])
 
-    # ONE aggregate pass: accumulator = 16 vote counters; each word is
-    # hashed once and votes ±1 on every bit via zip_with (the previous
-    # form ran 16 separate aggregates, re-hashing every word 16x)
-    zero = F.array(*[F.lit(0).cast("long") for _ in range(bits)])
-
-    def merge(acc, h):
-        # low `bits` bits of h; (shiftright needs a literal count, so
-        # extract bit i as floor(hm / 2^i) % 2 — exact for i < 16)
-        hm = F.pmod(h, F.lit(1 << bits))
+    def merge(acc, d):
+        hi = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
+        # bit i of a 32-bit half as floor(h / 2^i) % 2 — exact doubles
         bit_votes = F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
+            F.sequence(F.lit(0), F.lit(63)),
             lambda i: F.when(
-                F.pmod(F.floor(hm / F.pow(F.lit(2.0), i.cast("double"))), 2) == 1, 1
-            ).otherwise(-1).cast("long"),
+                F.pmod(
+                    F.floor(
+                        F.when(i < 32, hi).otherwise(lo)
+                        / F.pow(F.lit(2.0), F.pmod(i, F.lit(32)).cast("double"))
+                    ),
+                    2,
+                )
+                == 1,
+                1,
+            )
+            .otherwise(-1)
+            .cast("long"),
         )
         return F.zip_with(acc, bit_votes, lambda a, b: a + b)
 
-    votes = F.aggregate(hashes, zero, merge)
-    out = F.lit(0)
-    for b in range(bits):
-        out = out + F.when(F.element_at(votes, b + 1) > 0, F.lit(1 << b)).otherwise(0)
-    return out
+    votes = F.aggregate(digests, zero, merge)
+    hi_val = F.lit(0).cast("long")
+    lo_val = F.lit(0).cast("long")
+    for b in range(32):
+        hi_val = hi_val + F.when(
+            F.element_at(votes, b + 1) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        lo_val = lo_val + F.when(
+            F.element_at(votes, b + 33) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return F.format_string("%08x%08x", hi_val, lo_val)
 
 
-def simhash_sql(text: str, bits: int = SIMHASH_BITS) -> str:
+def simhash_sql(text: str) -> str:
+    """DuckDB twin — bit-identical 16-hex-char simhash."""
     ws = f"list_distinct(string_split({text}, ' '))"
-    hashes = f"list_transform({ws}, w -> {hash60_sql('w', 'sh')})"
-    terms = []
-    for b in range(bits):
-        vote = (
-            f"list_sum(list_transform({hashes}, "
-            f"h -> CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END))"
-        )
-        terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
-    return "(" + " + ".join(terms) + ")"
+    digests = f"list_transform({ws}, w -> md5('sh|' || w))"
+
+    def half(off: int) -> str:
+        terms = []
+        for b in range(32):
+            vote = (
+                f"list_sum(list_transform({digests}, d -> CASE WHEN "
+                f"((('0x' || substr(d, {off}, 8))::BIGINT >> {b}) & 1) = 1 "
+                f"THEN 1 ELSE -1 END))"
+            )
+            terms.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
+        return "(" + " + ".join(terms) + ")"
+
+    return f"printf('%08x%08x', {half(1)}, {half(9)})"
 
 
 def simhash_dup_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -72,6 +72,21 @@ def _pseudo_ip_expr(host):
     )
 
 
+def content_type_allowed(ct) -> F.Column:
+    """P8 — the fetch content-type gate (httpDownload.h:12-14,48-63):
+    a page is kept only when its Content-Type starts 'text/html' or
+    'html' (case-insensitive); anything else is dropped pre-storage."""
+    low = F.lower(ct)
+    return low.startswith("text/html") | low.startswith("html")
+
+
+def _synth_content_type_expr(url) -> F.Column:
+    """The synthetic adapter serves HTML only (the corpus has no binary
+    bodies); the production HTTP adapter fills this column from the
+    response header and the same gate drops non-HTML fetches."""
+    return F.lit("text/html")
+
+
 def _fetch_fails_expr(host, round_no: int):
     return (
         F.pmod(hash60(F.concat(host, F.lit(f"|{round_no}")), "fail"), F.lit(FETCH_FAIL_MOD))
@@ -240,7 +255,12 @@ class CrawlDriver:
         ).cache()
 
         failed_c = _fetch_fails_expr(F.col("host"), round_no)
-        ok = scheduled.where(~failed_c)
+        ok = (
+            scheduled.where(~failed_c)
+            .withColumn("content_type", _synth_content_type_expr(F.col("url")))
+            .where(content_type_allowed(F.col("content_type")))
+            .drop("content_type")
+        )
         failed = scheduled.where(failed_c)
 
         # synthetic fetch — vectorized spans generation (Arrow batches)

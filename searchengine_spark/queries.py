@@ -711,11 +711,11 @@ _NEARDUP_CTES = """
 """
 
 
-def q_dedup_minhash(spark, sf_dir):
-    """MinHash(3-gram shingles) -> banded LSH -> exact-Jaccard verify."""
-    # no .cache() here: one-shot catalog queries must leave no pinned
-    # storage behind (the driver's DuckDB oracle runs in the same VM)
-    aug = _docs_neardup_aug(spark, sf_dir).withColumn("_sh", _shingles_expr())
+def _minhash_lsh_verify(aug: DataFrame, shingles, threshold: float) -> DataFrame:
+    """Shared shape for shingle-dedup queries: md5-window minhash sigs
+    -> banded LSH candidate pairs -> exact-Jaccard verify on candidates
+    only. Never an all-pairs product."""
+    aug = aug.withColumn("_sh", shingles)
     sigs = aug.select(
         "doc_id", F.transform("_sh", lambda w: F.md5(w)).alias("_hs")
     )
@@ -725,7 +725,7 @@ def q_dedup_minhash(spark, sf_dir):
         )
     pairs = DD.lsh_candidate_pairs(sigs.drop("_hs"))
     wsets = aug.select("doc_id", F.col("_sh").alias("wset"))
-    j = (
+    return (
         pairs.join(
             wsets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("wset", "wa"),
             "doc_a",
@@ -737,14 +737,22 @@ def q_dedup_minhash(spark, sf_dir):
         .withColumn("_i", F.size(F.array_intersect("wa", "wb")))
         .withColumn("_u", F.size(F.array_union("wa", "wb")))
         .withColumn("jaccard", F.round(F.col("_i") / F.col("_u"), 4))
-        .where(F.col("jaccard") >= 0.5)
+        .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
-    return j
 
 
-def _minhash_band_sql() -> str:
+def q_dedup_minhash(spark, sf_dir):
+    """MinHash(3-gram shingles) -> banded LSH -> exact-Jaccard verify.
+    No .cache(): one-shot catalog queries must leave no pinned storage
+    behind (the driver's DuckDB oracle runs in the same VM)."""
+    return _minhash_lsh_verify(
+        _docs_neardup_aug(spark, sf_dir), _shingles_expr(), 0.5
+    )
+
+
+def _minhash_band_sql(shingle_sql: str) -> str:
     sigs = ", ".join(
         f"list_min(list_transform(hs, h -> {DD._mh_window_sql('h', i)})) AS mh_{i}"
         for i in range(DD.N_MINHASH)
@@ -755,8 +763,8 @@ def _minhash_band_sql() -> str:
         key = " || ':' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
         band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sigs")
     return f"""
-  shingled AS (SELECT doc_id, {_SHINGLES_SQL} AS sh,
-                      list_transform({_SHINGLES_SQL}, w -> md5(w)) AS hs
+  shingled AS (SELECT doc_id, {shingle_sql} AS sh,
+                      list_transform({shingle_sql}, w -> md5(w)) AS hs
                FROM docs_aug),
   sigs AS (SELECT doc_id, {sigs} FROM shingled),
   bands AS ({' UNION ALL '.join(band_selects)}),
@@ -767,12 +775,10 @@ def _minhash_band_sql() -> str:
   )"""
 
 
-SQL_DEDUP_MINHASH = (
-    "WITH "
-    + _NEARDUP_CTES
-    + ","
-    + _minhash_band_sql()
-    + """
+def _minhash_verify_sql(shingle_sql: str, threshold: float) -> str:
+    return (
+        _minhash_band_sql(shingle_sql)
+        + f"""
 SELECT doc_a, doc_b,
        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
              / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) AS jaccard
@@ -780,9 +786,14 @@ FROM pairs
 JOIN shingled sa ON sa.doc_id = doc_a
 JOIN shingled sb ON sb.doc_id = doc_b
 WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.5
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= {threshold}
 ORDER BY doc_a, doc_b
 """
+    )
+
+
+SQL_DEDUP_MINHASH = (
+    "WITH " + _NEARDUP_CTES + "," + _minhash_verify_sql(_SHINGLES_SQL, 0.5)
 )
 
 
@@ -801,36 +812,24 @@ GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash
 )
 
 
-def q_dedup_ngram_jaccard(spark, sf_dir):
-    """Pairwise bigram Jaccard among doc_id<80 (bounded candidate set)."""
+def _bigrams_expr():
     w = F.split(F.col("text"), " ")
     n = F.size(w)
-    bigrams = F.array_distinct(
+    return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
             lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
         )
     )
-    d = (
-        _docs(spark, sf_dir)
-        .where(F.col("doc_id") < 80)
-        .select("doc_id", bigrams.alias("bg"))
-    )
-    a, b = d.alias("a"), d.alias("b")
-    return (
-        a.crossJoin(b)
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(
-                F.size(F.array_intersect("a.bg", "b.bg"))
-                / F.size(F.array_union("a.bg", "b.bg")),
-                4,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= 0.05)
-        .orderBy("doc_a", "doc_b")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """n-gram (bigram) Jaccard near-dup over the FULL augmented corpus,
+    routed through banded minhash LSH — the scale path: candidates come
+    from bucket collisions, exact bigram Jaccard verifies candidates
+    only. No crossJoin anywhere in the plan (asserted in tests)."""
+    return _minhash_lsh_verify(
+        _docs_neardup_aug(spark, sf_dir), _bigrams_expr(), 0.4
     )
 
 
@@ -840,17 +839,9 @@ _BIGRAMS_SQL = (
     "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]))"
 )
 
-SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH d AS (SELECT doc_id, {_BIGRAMS_SQL} AS bg FROM documents WHERE doc_id < 80)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.bg, b.bg))), 4) AS jaccard
-FROM d a, d b
-WHERE a.doc_id < b.doc_id
-  AND round(CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE)
-            / len(list_distinct(list_concat(a.bg, b.bg))), 4) >= 0.05
-ORDER BY doc_a, doc_b
-"""
+SQL_DEDUP_NGRAM_JACCARD = (
+    "WITH " + _NEARDUP_CTES + "," + _minhash_verify_sql(_BIGRAMS_SQL, 0.4)
+)
 
 
 # ---------------------------------------------------------------------------
@@ -889,43 +880,70 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
-def q_embedding_near_dups(spark, sf_dir):
-    """Exact near-dup pairs (cosine >= 0.999) over a clone-augmented set."""
+def _emb_aug(spark, sf_dir):
     e = _emb(spark, sf_dir).where(F.col("vec_id") < 500)
     clones = e.where(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
-    aug = e.unionByName(clones)
-    a, b = aug.alias("a"), aug.alias("b")
-    return (
-        a.crossJoin(b)
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn(
-            "cosine",
-            F.round(SIM.cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 4),
-        )
-        .where(F.col("cosine") >= 0.999)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cosine",
-        )
-        .orderBy("vec_a", "vec_b")
+    return e.unionByName(clones)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Near-dup pairs (cosine >= 0.999) over a clone-augmented set via
+    the multi-table LSH bucket join (SIM.embedding_near_dups) — the
+    scale path; identical vectors always share every table's bucket, so
+    recall at this threshold is exact. No crossJoin in the plan."""
+    return SIM.embedding_near_dups(_emb_aug(spark, sf_dir), threshold=0.999).orderBy(
+        "vec_a", "vec_b"
     )
 
 
-SQL_EMBEDDING_NEAR_DUPS = """
+def _lsh_bucket_cols_sql(vcol: str = "v") -> str:
+    """Per-table bucket-id columns b0..b{L-1} from the deterministic
+    hyperplane literals (the DuckDB twin of SIM.add_lsh_buckets)."""
+    planes = SIM._all_planes(SIM.N_TABLES, SIM.N_HYPERPLANES)
+
+    def lit(t: int, j: int) -> str:
+        return "[" + ", ".join(f"{x:.3f}" for x in planes[t, j]) + "]"
+
+    cols = []
+    for t in range(SIM.N_TABLES):
+        expr = " + ".join(
+            f"(CASE WHEN list_dot_product({vcol}, {lit(t, j)}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(SIM.N_HYPERPLANES)
+        )
+        cols.append(f"({expr}) AS b{t}")
+    return ", ".join(cols)
+
+
+def _lsh_explode_sql(src: str, keep: str) -> str:
+    """(…, b0..b{L-1}) -> one row per (tbl, bucket)."""
+    bl = ", ".join(f"b{t}" for t in range(SIM.N_TABLES))
+    return (
+        f"SELECT {keep}, unnest(range(0, {SIM.N_TABLES})) AS tbl, "
+        f"unnest([{bl}]) AS bucket FROM {src}"
+    )
+
+
+SQL_EMBEDDING_NEAR_DUPS = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings WHERE vec_id < 500),
   aug AS (SELECT * FROM e
-          UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 50 = 0)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          UNION ALL SELECT vec_id + 100000, v FROM e WHERE vec_id % 50 = 0),
+  bk AS (SELECT vec_id, v, {_lsh_bucket_cols_sql('v')} FROM aug),
+  bx AS ({_lsh_explode_sql('bk', 'vec_id, v')}),
+  cand AS (
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM bx a JOIN bx b USING (tbl, bucket)
+    WHERE a.vec_id < b.vec_id
+  )
+SELECT vec_a, vec_b,
        round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v))
                 * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
-FROM aug a, aug b
-WHERE a.vec_id < b.vec_id
-  AND round(list_dot_product(a.v, b.v)
+FROM cand JOIN aug a ON a.vec_id = vec_a JOIN aug b ON b.vec_id = vec_b
+WHERE round(list_dot_product(a.v, b.v)
             / (sqrt(list_dot_product(a.v, a.v))
                * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.999
 ORDER BY vec_a, vec_b
@@ -1460,38 +1478,32 @@ ORACLE_SQL["corpus_clean"] = SQL_CORPUS_CLEAN
 
 
 def _ann_lsh_sql() -> str:
-    """Full SQL twin of the hyperplane-LSH ANN: the deterministic
-    planes are embedded as literals, bucket/probe/rerank replicated."""
-    import numpy as np
-
-    planes = SIM._hyperplanes(SIM.DIM, SIM.N_HYPERPLANES)
-
-    def plane_lit(j: int) -> str:
-        return "[" + ", ".join(f"{x:.3f}" for x in planes[j]) + "]"
-
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {plane_lit(j)}) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(SIM.N_HYPERPLANES)
-    )
+    """Full SQL twin of the multi-table hyperplane-LSH ANN: the
+    deterministic planes are embedded as literals; per-table bucket,
+    hamming-1 multi-probe, candidate dedup and exact re-rank all
+    replicated."""
     probes = ", ".join(
-        ["qb"] + [f"xor(qb, {1 << j})" for j in range(SIM.N_HYPERPLANES)]
+        ["bucket"] + [f"xor(bucket, {1 << j})" for j in range(SIM.N_HYPERPLANES)]
     )
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-  b AS (SELECT vec_id, v, ({bucket}) AS bucket FROM e),
-  q AS (SELECT vec_id AS query_id, v AS qvec, bucket AS qb FROM b WHERE vec_id < 3),
-  probes AS (SELECT query_id, qvec, unnest([{probes}]) AS bucket FROM q),
+  bk AS (SELECT vec_id, v, {_lsh_bucket_cols_sql('v')} FROM e),
+  bx AS ({_lsh_explode_sql('bk', 'vec_id, v')}),
+  qx AS (SELECT vec_id AS query_id, v AS qvec, tbl, bucket
+         FROM bx WHERE vec_id < 3),
+  probes AS (SELECT query_id, qvec, tbl, unnest([{probes}]) AS bucket FROM qx),
   cand AS (
-    SELECT p.query_id, p.qvec, c.vec_id, c.v
-    FROM probes p JOIN b c USING (bucket)
+    SELECT DISTINCT p.query_id, c.vec_id
+    FROM probes p JOIN bx c USING (tbl, bucket)
     WHERE c.vec_id <> p.query_id
   ),
   scored AS (
-    SELECT query_id, vec_id,
-           round(list_dot_product(v, qvec)
-                 / (sqrt(list_dot_product(v, v))
-                    * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
-    FROM cand
+    SELECT query_id, cand.vec_id,
+           round(list_dot_product(c.v, q.v)
+                 / (sqrt(list_dot_product(c.v, c.v))
+                    * sqrt(list_dot_product(q.v, q.v))), 4) AS cosine
+    FROM cand JOIN e c ON c.vec_id = cand.vec_id
+              JOIN e q ON q.vec_id = cand.query_id
   ),
   ranked AS (
     SELECT *, CAST(ROW_NUMBER() OVER (

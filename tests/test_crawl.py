@@ -119,3 +119,18 @@ def test_incremental_bloom_equals_full_rebuild(engine_state):
         for r in build_bloom_blocks(driver.store.read("seen"), CFG).collect()
     }
     assert got == want
+
+
+def test_content_type_gate(spark):
+    """P8 (httpDownload.h:12-14,48-63): only text/html / html survive."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.plans.crawl import content_type_allowed
+
+    df = spark.createDataFrame(
+        [("text/html; charset=utf-8",), ("HTML",), ("Text/Html",),
+         ("application/pdf",), ("image/png",), ("text/plain",)],
+        "ct string",
+    )
+    kept = [r["ct"] for r in df.where(content_type_allowed(F.col("ct"))).collect()]
+    assert kept == ["text/html; charset=utf-8", "HTML", "Text/Html"]

@@ -49,7 +49,9 @@ def test_simhash_identical_and_disjoint(spark):
     sh = {r["doc_id"]: r["sh"] for r in rows}
     assert sh["a"] == sh["b"]
     assert sh["a"] != sh["c"]
-    assert 0 <= sh["a"] < (1 << DD.SIMHASH_BITS)
+    # 64-bit simhash packed as 16 lowercase hex chars
+    assert len(sh["a"]) == 16
+    assert int(sh["a"], 16) >= 0
 
 
 # ---- similarity ----------------------------------------------------------
@@ -70,7 +72,23 @@ def test_ann_lsh_recall_vs_brute_force(spark, emb):
     e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
-    assert recall >= 0.4, recall  # multi-probe hamming-1, 12 planes
+    # 16 tables x 6 planes, hamming-1 multi-probe (0.96 measured)
+    assert recall >= 0.9, recall
+
+
+def test_no_cartesian_product_in_scale_paths(spark):
+    """The dedup/similarity catalog queries must never plan an
+    all-pairs product — LSH bucket joins only."""
+    from searchengine_spark.queries import QUERIES
+
+    for name in ("dedup_ngram_jaccard", "embedding_near_dups", "ann_lsh",
+                 "dedup_minhash"):
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 def test_cosine_expr_matches_numpy(spark, emb):
