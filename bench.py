@@ -297,6 +297,7 @@ def run_suite(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
         "sf": sf,
         "pages_per_sec": rb["pages_per_sec"],
         "round_fetched": rb["n_fetched"],
+        "round_hosts": rb["n_hosts"],
         "round_new_urls": rb["n_new_urls"],
         "frontier_urls": rb["n_frontier"],
         "throughput_urls_per_sec": fb["urls_per_sec"] if fb else None,
@@ -306,91 +307,139 @@ def run_suite(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str = SF_DIR) -> None:
-    """Same crawl round at N and 4N parallelism (two pairs: 2->8 and
-    8->32), fresh subprocess per level, warm-up inside each run."""
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
-    results = {}
-    for n in (2, 8, 32):
-        best = None
-        for _ in range(repeats):  # fresh JVM per repeat; keep the best
-            env = dict(
-                os.environ,
-                SPARK_GRAFT_CPUS=str(n),
-                BENCH_MASTER=f"local[{n}]",
-                BENCH_FRONTIER_URLS=os.environ.get("BENCH_SCALING_URLS", "2000000"),
-                BENCH_SKIP_QUERIES="1",
-            )
-            p = subprocess.run(
-                [sys.executable, __file__, "--single"],
-                env=env, capture_output=True, text=True, cwd=REPO,
-            )
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-            r = json.loads(line)
-            if best is None or r["pages_per_sec"] > best["pages_per_sec"]:
-                best = r
-        results[n] = best
-    # full suite (default sizing) for the per-query table
+def _run_level(n: int, urls: str) -> dict:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_CPUS=str(n),
+        BENCH_MASTER=f"local[{n}]",
+        BENCH_FRONTIER_URLS=urls,
+        BENCH_SKIP_QUERIES="1",
+    )
     p = subprocess.run(
         [sys.executable, __file__, "--single"],
-        env=dict(os.environ, SPARK_GRAFT_CPUS="32", BENCH_MASTER="local[32]"),
-        capture_output=True, text=True, cwd=REPO,
+        env=env, capture_output=True, text=True, cwd=REPO,
+    )
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling(sf_dir: str = SF_DIR) -> None:
+    """Same crawl round at N and 4N parallelism (two pairs: 2->8 and
+    8->32), fresh subprocess per level, warm-up inside each run.
+
+    Every number in the generated BENCH/BASELINE.md comes from THIS
+    run; each run also appends its summary to BENCH/variance.jsonl and
+    the report renders the dated history from that log — nothing is
+    hard-coded, stale sessions are visible as data.
+    """
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    urls = os.environ.get("BENCH_SCALING_URLS", "2000000")
+    levels = (2, 8, 32)
+    runs: dict[int, list[dict]] = {}
+    for n in levels:
+        rs = sorted(
+            (_run_level(n, urls) for _ in range(repeats)),
+            key=lambda r: r["pages_per_sec"],
+        )
+        runs[n] = rs
+    best = {n: runs[n][-1] for n in levels}
+    med = {n: runs[n][len(runs[n]) // 2] for n in levels}
+
+    def eff(tp, a, b):
+        return (tp[b]["pages_per_sec"] / tp[a]["pages_per_sec"]) / (b / a)
+
+    record = {
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "urls": int(urls),
+        "repeats": repeats,
+        "pages_per_sec_best": {n: best[n]["pages_per_sec"] for n in levels},
+        "pages_per_sec_median": {n: med[n]["pages_per_sec"] for n in levels},
+        "eff_2_8_best": round(eff(best, 2, 8), 3),
+        "eff_2_8_median": round(eff(med, 2, 8), 3),
+        "eff_8_32_best": round(eff(best, 8, 32), 3),
+        "eff_8_32_median": round(eff(med, 8, 32), 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    var_log = os.path.join(REPO, "BENCH", "variance.jsonl")
+    with open(var_log, "a") as f:
+        f.write(json.dumps(record) + "\n")
+    with open(var_log) as f:
+        history = [json.loads(ln) for ln in f if ln.strip()]
+
+    # full suite (default sizing) for the per-query table
+    suite_env = dict(os.environ, SPARK_GRAFT_CPUS="32", BENCH_MASTER="local[32]")
+    suite_env.pop("BENCH_SKIP_QUERIES", None)  # the suite must run queries
+    p = subprocess.run(
+        [sys.executable, __file__, "--single"],
+        env=suite_env, capture_output=True, text=True, cwd=REPO,
     )
     suite = json.loads([ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1])
-    tp = {n: results[n]["pages_per_sec"] for n in (2, 8, 32)}
-    eff28 = (tp[8] / tp[2]) / 4
-    eff832 = (tp[32] / tp[8]) / 4
+
+    # Amdahl parallel fraction from THIS run's median 2->8 walls:
+    # s = T2/T8, f = (1 - 1/s) * (8/2) / (8/2 - 1)
+    t2 = med[2]["queries"]["crawl_round"]
+    t8 = med[8]["queries"]["crawl_round"]
+    s = t2 / t8 if t8 else 1.0
+    par_frac = max(0.0, min(1.0, (1 - 1 / s) * 4 / 3)) if s > 0 else 0.0
+
     md = f"""# BENCH — measured baseline (searchengine_spark)
+
+Generated by `python bench.py --scaling` on {record['ts']}; every number
+below was measured in that run (history: BENCH/variance.jsonl).
 
 Headline metric (BASELINE.json): fetch-schedule throughput — pages
 fetched per second through one full crawl round (politeness schedule ->
 synthetic fetch -> HTML span extraction -> link extraction -> candidate
 canonicalize/key/shard -> batch dedup -> seen anti-join), frontier of
-{results[32]['frontier_urls']:,} URLs / {results[32]['round_fetched']:,} hosts,
-warm-run steady state.
+{best[32]['frontier_urls']:,} URLs over {best[32].get('round_hosts', 0):,} hosts
+({best[32]['round_fetched']:,} pages fetched/round), warm-run steady state.
 
 ## Cluster-size scaling (north_rule: N vs 4N executors)
 
 Sandbox stand-in: the same job at three parallelism levels on identical
 input; per level: {repeats} fresh-JVM repeats, warm-up round untimed,
-min-of-2 timed rounds within each, best repeat reported. Two N->4N pairs:
+min-of-2 timed rounds within each. Median AND best reported (the
+sandbox VM is a shared host; medians are the honest central estimate,
+best approximates a quiet machine):
 
-| parallelism | round wall (s) | pages/s |
-|---|---|---|
-| local[2]  | {results[2]['queries']['crawl_round']} | {tp[2]:,.0f} |
-| local[8]  | {results[8]['queries']['crawl_round']} | {tp[8]:,.0f} |
-| local[32] | {results[32]['queries']['crawl_round']} | {tp[32]:,.0f} |
+| parallelism | median wall (s) | median pages/s | best pages/s |
+|---|---|---|---|
+| local[2]  | {med[2]['queries']['crawl_round']} | {med[2]['pages_per_sec']:,.0f} | {best[2]['pages_per_sec']:,.0f} |
+| local[8]  | {med[8]['queries']['crawl_round']} | {med[8]['pages_per_sec']:,.0f} | {best[8]['pages_per_sec']:,.0f} |
+| local[32] | {med[32]['queries']['crawl_round']} | {med[32]['pages_per_sec']:,.0f} | {best[32]['pages_per_sec']:,.0f} |
 
-- **2 -> 8 cores: efficiency {eff28:.3f}** (target >= 0.8)
-- 8 -> 32 cores: efficiency {eff832:.3f}
+- **2 -> 8 cores: efficiency median {record['eff_2_8_median']:.3f} / best {record['eff_2_8_best']:.3f}** (target >= 0.8)
+- 8 -> 32 cores: efficiency median {record['eff_8_32_median']:.3f} / best {record['eff_8_32_best']:.3f}
 
-### Variance across sessions
-
-The sandbox VM shows heavy run-to-run variance (shared-host noisy
-neighbors): complete 3-level sessions on identical code+input measured
-2->8 efficiency of 0.67, 0.85, 0.50, 0.75, 0.79, 0.70, 0.75 across one afternoon, and
-single-level throughput swings up to 1.6x between fresh JVMs minutes
-apart. The best quiet-session measurement was **0.849** (recorded
-2026-08-16); peak observed 32-core throughput across sessions was
-128,951 pages/s. Amdahl fit of quiet-session walls (T2=94.8s, T8=27.9s):
-~95% of the 2-core wall is parallel work (the Arrow-batched
-fetch/extract/ingest UDFs scale linearly); the residual ~5 s/round is
-Spark job orchestration, constant per round — it amortizes exactly in
-the 10^10-frontier regime where a round processes 100-1000x more data
-per job.
+Amdahl fit of this run's median walls (T2={t2}s, T8={t8}s): parallel
+fraction ~{par_frac:.0%}. The serial residual is Spark job
+orchestration, constant per round — it amortizes in the 10^10-frontier
+regime where a round processes orders of magnitude more data per job.
 
 The 2->8 pair is the honest analogue of adding executors: at low core
 counts each core has full memory-bandwidth headroom, as each node does
 on a real cluster. The 8->32 pair shares one JVM heap, one shuffle
 disk, and one memory bus across all 32 threads — a single-machine
-ceiling real multi-node scaling does not have (executor-parallel work,
-i.e. the Arrow-batched UDFs, scales ~linearly even there; the shuffle
-stages are what saturate the shared bus).
+ceiling real multi-node scaling does not have.
 
+### Measured session history (BENCH/variance.jsonl)
+
+| date | 2->8 eff (median/best) | 8->32 eff (median/best) | 32-core pages/s (median/best) |
+|---|---|---|---|
+"""
+    for h in history:
+        md += (
+            f"| {h['ts']} | {h.get('eff_2_8_median', '')}/{h['eff_2_8_best']} "
+            f"| {h.get('eff_8_32_median', '')}/{h['eff_8_32_best']} "
+            f"| {h['pages_per_sec_median'].get('32', h['pages_per_sec_median'].get(32, 0)):,.0f}"
+            f"/{h['pages_per_sec_best'].get('32', h['pages_per_sec_best'].get(32, 0)):,.0f} |\n"
+        )
+    md += f"""
 Reference comparison: the reference reports 2,000 pages/s end-to-end on
 one i7 with ~1000 threads, network-bound (README.md:5). This engine's
-compute path sustains {tp[32]:,.0f} pages/s on 32 local cores including
-the per-page HTML span extraction and per-URL frontier bookkeeping.
+compute path sustains {med[32]['pages_per_sec']:,.0f} pages/s (median)
+on 32 local cores including per-page HTML span extraction and per-URL
+frontier bookkeeping.
 
 ## Full suite (sf={suite['sf']}, local[32])
 
@@ -402,11 +451,15 @@ Ingest-only pipeline (canonicalize+dedup+anti-join+schedule, no fetch):
 """
     for k, v in suite["queries"].items():
         md += f"| {k} | {v} |\n"
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
-    print(json.dumps({"eff_2_8": round(eff28, 3), "eff_8_32": round(eff832, 3),
-                      "pages_per_sec": tp}))
+    print(json.dumps({
+        "eff_2_8_median": record["eff_2_8_median"],
+        "eff_2_8_best": record["eff_2_8_best"],
+        "eff_8_32_median": record["eff_8_32_median"],
+        "pages_per_sec_median": record["pages_per_sec_median"],
+        "pages_per_sec_best": record["pages_per_sec_best"],
+    }))
 
 
 if __name__ == "__main__":
