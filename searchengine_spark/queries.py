@@ -1515,3 +1515,35 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 
 SQL_ANN_LSH = _ann_lsh_sql()
 ORACLE_SQL["ann_lsh"] = SQL_ANN_LSH
+
+
+# ---------------------------------------------------------------------------
+# oracle hardening: force DuckDB CTE materialization
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_CTE_OPEN = _re.compile(r"(\bWITH\s+|,\s*)(\w+) AS \(")
+
+
+def _materialize_ctes(sql: str) -> str:
+    """Rewrite every `name AS (` CTE opener to `AS MATERIALIZED (`.
+
+    DuckDB inlines single-reference CTEs, so a chained derivation
+    (grammar -> canonicalize -> host -> registered domain -> shard)
+    multiplies into one enormous expression tree: executing it was
+    measured to allocate ~65k memory mappings for a 262-row result,
+    exhausting the PROCESS's vm.max_map_count budget — after which
+    every DuckDB allocation in the same process fails with a tiny
+    'Out of Memory' (the round-1 driver-gate failure mode: one frontier
+    oracle poisoned the process for all later queries). Materializing
+    pins each stage to a small temp table (893 mappings, 0.1 s for the
+    same query) — the exact analogue of the engine's Arrow-boundary
+    staging on the Spark side. Applied uniformly: at oracle scales a
+    materialized stage is never slower than an exploded inline tree.
+    (`WINDOW w AS (...)` clauses are untouched: no leading WITH/comma.)
+    """
+    return _CTE_OPEN.sub(lambda m: f"{m.group(1)}{m.group(2)} AS MATERIALIZED (", sql)
+
+
+ORACLE_SQL = {name: _materialize_ctes(sql) for name, sql in ORACLE_SQL.items()}

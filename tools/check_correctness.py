@@ -61,14 +61,20 @@ def main():
         return c
 
     def run_oracle(sql):
-        for attempt in (0, 1):
+        # the sandbox microVM sporadically reclaims guest memory
+        # (balloon): tiny DuckDB allocations fail transiently with the
+        # whole machine idle — retry with a pause, fresh connection
+        import time as _t
+
+        for attempt in range(4):
             c = fresh_con()
             try:
                 res = c.execute(sql)
                 return [d[0] for d in res.description], res.fetchall()
             except duckdb.OutOfMemoryException:
-                if attempt:
+                if attempt == 3:
                     raise
+                _t.sleep(2 * (attempt + 1))
             finally:
                 c.close()
     n_pass = n_fail = n_rowsonly = 0
