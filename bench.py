@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_simhash",
     "ann_cosine_topk",
+    "ann_lsh",
+    "dedup_ngram_jaccard",
+    "weighted_postings",
+    "search_phrase",
     "text_stats",
     "events_window",
     "sessionize",

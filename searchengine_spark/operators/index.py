@@ -47,10 +47,29 @@ _TOKEN_RE = "[A-Za-z0-9.]+"  # isValidWordChar runs with '.'-folding
 def _clean_token_expr(tok):
     """Reference word building: a run of ' '/'.' separators collapses to
     one (SearchEngine.cpp:419-425), leading/trailing '.' trimmed
-    (:433-434); words truncate at MaxWordLen."""
-    t = F.regexp_replace(tok, r"\.{2,}", ".")
-    t = F.regexp_replace(t, r"^\.+|\.+$", "")
+    (:433-434); words truncate at MaxWordLen. The dot regexes only run
+    on tokens that contain a dot (URL tokens) — body words skip them."""
+    dotted = F.regexp_replace(
+        F.regexp_replace(tok, r"\.{2,}", "."), r"^\.+|\.+$", ""
+    )
+    t = F.when(F.contains(tok, F.lit(".")), dotted).otherwise(tok)
     return F.substring(t, 1, MAXWORDLEN)
+
+
+def _section_tok_array(col, sec_w: float):
+    toks = F.regexp_extract_all(
+        F.coalesce(col, F.lit("")), F.lit(_TOKEN_RE), F.lit(0)
+    )
+    cleaned = F.transform(toks, _clean_token_expr)
+    kept = F.filter(cleaned, lambda t: F.length(t) > 0)
+    return F.transform(
+        kept,
+        lambda t: F.struct(
+            F.lower(t).alias("word"),
+            (t != F.lower(t)).alias("capital"),
+            F.lit(sec_w).alias("sec_w"),
+        ),
+    )
 
 
 def tokenize_sections(
@@ -61,48 +80,51 @@ def tokenize_sections(
     doc_col: str = "doc_id",
 ) -> DataFrame:
     """(doc, url, title, body) -> the getWords token stream:
-    (doc_id, word, capital, sec_w, position, decay_idx).
+    (doc_id, word, capital, sec_w, position, decay_idx, n_acc).
 
     Mirrors the reference scan order URL -> Title -> Body
     (state machine SearchEngine.cpp:321-331): `position` is the 1-based
-    global token index per doc (increments for stop words too,
-    :478), `decay_idx` counts only accepted tokens (defactor decays
-    inside the !filterWord branch, :459-460). Stop-word filter =
-    SearchEngine.h:597-611 (the six short words; only len<=4 words are
-    ever checked and all six are <=4, so membership is the whole rule).
+    global token index per doc (increments for stop words too, :478),
+    `decay_idx` counts only accepted tokens (defactor decays inside the
+    !filterWord branch, :459-460), `n_acc` = accepted tokens per doc.
+    Stop-word filter = SearchEngine.h:597-611 (the six short words;
+    only len<=4 words are ever checked and all six are <=4, so
+    membership is the whole rule).
+
+    Shape: pure per-doc ARRAY algebra — one scan, one explode, zero
+    windows and zero shuffles (a getWords call is per-page in the
+    reference too; nothing about it needs cross-row exchange). Both
+    indexes come from array positions: `position` from the cleaned
+    token array, `decay_idx` from the stop-filtered one.
     """
-    parts = []
-    for name, sec_no, sec_w in _SECTIONS:
-        col = {"url": url_col, "title": title_col, "body": body_col}[name]
-        parts.append(
-            docs.select(
-                F.col(doc_col).alias("doc_id"),
-                F.lit(sec_no).alias("sec_no"),
-                F.lit(sec_w).alias("sec_w"),
-                F.posexplode(
-                    F.regexp_extract_all(F.coalesce(F.col(col), F.lit("")), F.lit(_TOKEN_RE), F.lit(0))
-                ).alias("sec_pos", "tok0"),
-            )
-        )
-    raw = parts[0].unionByName(parts[1]).unionByName(parts[2])
-    toks = (
-        raw.withColumn("tok", _clean_token_expr(F.col("tok0")))
-        .where(F.length("tok") > 0)
-        .select(
-            "doc_id",
-            "sec_no",
-            "sec_w",
-            "sec_pos",
-            F.lower(F.col("tok")).alias("word"),
-            (F.col("tok") != F.lower(F.col("tok"))).alias("capital"),
-        )
+    arr = F.concat(
+        _section_tok_array(F.col(url_col), URL_WEIGHT),
+        _section_tok_array(F.col(title_col), TITLE_WEIGHT),
+        _section_tok_array(F.col(body_col), BODY_WEIGHT),
     )
-    w_doc = W.partitionBy("doc_id").orderBy("sec_no", "sec_pos")
-    stream = toks.withColumn("position", F.row_number().over(w_doc))
-    accepted = stream.where(~F.col("word").isin(*STOPWORDS_REF))
-    w_acc = W.partitionBy("doc_id").orderBy("position")
-    return accepted.withColumn("decay_idx", F.row_number().over(w_acc)).select(
-        "doc_id", "word", "capital", "sec_w", "position", "decay_idx"
+    pos_arr = F.transform(
+        arr,
+        lambda x, i: F.struct(
+            x["word"].alias("word"),
+            x["capital"].alias("capital"),
+            x["sec_w"].alias("sec_w"),
+            (i + 1).cast("int").alias("position"),
+        ),
+    )
+    acc_arr = F.filter(pos_arr, lambda x: ~x["word"].isin(*STOPWORDS_REF))
+    base = docs.select(F.col(doc_col).alias("doc_id"), acc_arr.alias("_acc"))
+    return base.select(
+        "doc_id",
+        F.size("_acc").alias("n_acc"),
+        F.posexplode("_acc").alias("_di", "_t"),
+    ).select(
+        "doc_id",
+        F.col("_t.word").alias("word"),
+        F.col("_t.capital").alias("capital"),
+        F.col("_t.sec_w").alias("sec_w"),
+        F.col("_t.position").alias("position"),
+        (F.col("_di") + 1).cast("int").alias("decay_idx"),
+        "n_acc",
     )
 
 
@@ -115,6 +137,7 @@ def build_weighted_postings(
     page_rank: DataFrame | None = None,
     max_words: int = MAXWORDPERPAGE,
     n_term_partitions: int = 8,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """The reference-faithful index build (getWords,
     SearchEngine.cpp:306-490): per accepted token
@@ -146,9 +169,12 @@ def build_weighted_postings(
 
     # maxWordPerPage: the scan ends when the max_words-th DISTINCT word
     # is inserted — every later token (updates included) is unseen.
-    first_pos = weighted.groupBy("doc_id", "word").agg(
-        F.min("position").alias("_fp")
-    )
+    # Fast path: a doc with <= max_words ACCEPTED tokens can never bind
+    # the cap (distinct <= accepted), so only over-cap docs — rare even
+    # on real web pages — pay the insertion-order windows.
+    small = weighted.where(F.col("n_acc") <= max_words)
+    big = weighted.where(F.col("n_acc") > max_words)
+    first_pos = big.groupBy("doc_id", "word").agg(F.min("position").alias("_fp"))
     w_ins = W.partitionBy("doc_id").orderBy("_fp")
     cap_pos = (
         first_pos.withColumn("_ins", F.row_number().over(w_ins))
@@ -157,9 +183,10 @@ def build_weighted_postings(
             F.max(F.when(F.col("_ins") == max_words, F.col("_fp"))).alias("_cap")
         )
     )
-    capped = weighted.join(cap_pos, "doc_id", "left").where(
+    big_capped = big.join(cap_pos, "doc_id", "left").where(
         F.col("_cap").isNull() | (F.col("position") <= F.col("_cap"))
-    )
+    ).drop("_cap")
+    capped = small.unionByName(big_capped)
 
     # per (doc, word): max weight wins, earliest position on ties
     best = (
@@ -187,6 +214,11 @@ def build_weighted_postings(
         "pos",
         F.round(F.col("_rank_raw") * F.col("_pr") / F.col("_tot"), 6).alias("rank"),
     )
+    if not sorted_output:
+        # ephemeral use (a one-shot search over a freshly built dict):
+        # repartitionByRange SAMPLES its input, which evaluates the
+        # whole build twice — only pay that when the dict is persisted
+        return postings
     return postings.repartitionByRange(n_term_partitions, "term").sortWithinPartitions(
         "term", "rank", "doc_id"
     )
@@ -386,10 +418,79 @@ def search_weighted(
     * top-K then best-doc-per-host + n_more (A9).
     """
     postings = _norm_postings(postings)
-    sides = [
-        _word_side(postings, t, i, max_search) for i, t in enumerate(terms)
+    n = len(terms)
+
+    # ONE pass over the dict: tag each posting with every query term it
+    # boundary-matches (the k separate filter-branches would each
+    # re-evaluate the whole upstream dict build k times in an ephemeral
+    # plan), then PosRanks top-2 per (doc, term) via a bounded
+    # sort_array/slice aggregate — no windows on the big input.
+    conds = [
+        (F.col("term") == t)
+        | (
+            F.col("term").startswith(t)
+            & ~F.substring("term", len(t) + 1, 1).rlike("^[a-z]$")
+        )
+        for t in terms
     ]
-    return _score_sides(sides, k, docs_meta, host_col)
+    tag_arr = F.array(
+        *[F.when(c, F.lit(i)).otherwise(F.lit(None).cast("int")) for i, c in enumerate(conds)]
+    )
+    tagged = postings.select(
+        "doc_id",
+        "term",
+        "pos",
+        "rank",
+        F.explode(F.filter(tag_arr, lambda x: x.isNotNull())).alias("_ti"),
+    )
+    if max_search is not None and max_search < MAX_SEARCH:
+        # per-term read cap (PageSearcher.cpp:425); only on the capped
+        # path — k partitions is fine there, the cap bounds the data
+        w_cap = W.partitionBy("_ti").orderBy(F.desc("rank"), "term", "doc_id")
+        tagged = (
+            tagged.withColumn("_cr", F.row_number().over(w_cap))
+            .where(F.col("_cr") <= max_search)
+            .drop("_cr")
+        )
+    top2 = (
+        tagged.groupBy("doc_id", "_ti")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("rank")).alias("nr"),
+                            F.col("term").alias("t"),
+                            F.col("pos").alias("p"),
+                        )
+                    )
+                ),
+                1,
+                2,
+            ).alias("_k")
+        )
+        .select(
+            "doc_id",
+            "_ti",
+            (
+                -F.element_at("_k", 1)["nr"]
+                + F.coalesce(-F.element_at("_k", 2)["nr"], F.lit(0.0))
+            ).alias("_trank"),
+            F.element_at("_k", 1)["p"].alias("_pa"),
+            F.element_at("_k", 2)["p"].alias("_pb"),
+        )
+    )
+    aggs = []
+    for i in range(n):
+        aggs += [
+            F.max(F.when(F.col("_ti") == i, F.col("_trank"))).alias(f"trank_{i}"),
+            F.max(F.when(F.col("_ti") == i, F.col("_pa"))).alias(f"p{i}a"),
+            F.max(F.when(F.col("_ti") == i, F.col("_pb"))).alias(f"p{i}b"),
+        ]
+    joined = top2.groupBy("doc_id").agg(*aggs)
+    for i in range(n):  # AND semantics: every term present
+        joined = joined.where(F.col(f"trank_{i}").isNotNull())
+    return _score_joined(joined, n, k, docs_meta, host_col)
 
 
 def _norm_postings(p: DataFrame) -> DataFrame:
@@ -419,11 +520,21 @@ def _score_sides(
     from functools import reduce as _reduce
 
     joined = _reduce(lambda a, b: a.join(b, "doc_id", "inner"), sides)
-    sum_rank = _reduce(
-        lambda a, b: a + b, [F.col(f"trank_{i}") for i in range(len(sides))]
-    )
+    return _score_joined(joined, len(sides), k, docs_meta, host_col)
+
+
+def _score_joined(
+    joined: DataFrame,
+    n: int,
+    k: int,
+    docs_meta: DataFrame | None,
+    host_col: str = "host",
+) -> DataFrame:
+    from functools import reduce as _reduce
+
+    sum_rank = _reduce(lambda a, b: a + b, [F.col(f"trank_{i}") for i in range(n)])
     co = F.lit(1.0)
-    for i in range(len(sides) - 1):
+    for i in range(n - 1):
         diff = _min_posdiff(i, i + 1) - 1
         co = co * F.greatest(
             F.pow(F.lit(CORANK_DECAY), diff.cast("double")), F.lit(CORANK_MIN)

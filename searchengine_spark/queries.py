@@ -569,7 +569,9 @@ def q_search_2term(spark, sf_dir):
     docs_meta = _docs(spark, sf_dir).select(
         "doc_id", F.col("source").alias("host")
     )
-    p = IX.build_weighted_postings(_weighted_sections(spark, sf_dir))
+    p = IX.build_weighted_postings(
+        _weighted_sections(spark, sf_dir), sorted_output=False
+    )
     return IX.search_weighted(p, SEARCH_TERMS, docs_meta, k=50)
 
 
@@ -1323,7 +1325,9 @@ def q_search_3term(spark, sf_dir):
     """J4 with k=3 over the weighted dict: three-way inner join on doc,
     chained adjacent-pair min-posdiff proximity."""
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
-    p = IX.build_weighted_postings(_weighted_sections(spark, sf_dir))
+    p = IX.build_weighted_postings(
+        _weighted_sections(spark, sf_dir), sorted_output=False
+    )
     return IX.search_weighted(p, SEARCH3, docs_meta, k=50)
 
 
@@ -1358,7 +1362,7 @@ def q_search_phrase(spark, sf_dir):
     position+1, so a words-present-but-not-adjacent doc failing THIS
     query while passing search_2term is the tested behavior)."""
     sections = _weighted_sections(spark, sf_dir)
-    p = IX.build_weighted_postings(sections)
+    p = IX.build_weighted_postings(sections, sorted_output=False)
     toks = IX.tokenize_sections(sections).select("doc_id", "word", "position")
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
     return IX.search_query(
@@ -1414,7 +1418,9 @@ def q_search_boundary(spark, sf_dir):
     host19.org, ...), and PosRanks top-2 aggregates multi-word
     expansions per doc."""
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
-    p = IX.build_weighted_postings(_weighted_sections(spark, sf_dir))
+    p = IX.build_weighted_postings(
+        _weighted_sections(spark, sf_dir), sorted_output=False
+    )
     return IX.search_weighted(p, [BOUNDARY_TERM], docs_meta, k=50)
 
 
