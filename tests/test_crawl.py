@@ -134,3 +134,39 @@ def test_content_type_gate(spark):
     )
     kept = [r["ct"] for r in df.where(content_type_allowed(F.col("ct"))).collect()]
     assert kept == ["text/html; charset=utf-8", "HTML", "Text/Html"]
+
+
+def test_torn_round_commit_is_invisible(spark, tmp_path_factory, oracle_state):
+    """Crash mid-commit: some tables' pointers advanced for round 2 but
+    the round manifest was never written. Resume must re-run round 2
+    against the manifest-pinned state — the orphan snapshots (including
+    would-be-duplicate docs rows) are unreachable, and the final fetch
+    log still equals the uninterrupted oracle byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path_factory.mktemp("tornstore"))
+    d1 = CrawlDriver(spark, root, CFG)
+    d1.seed(SEEDS)
+    d1.run(2)
+    store, pinned = d1.store, d1._pinned_versions()
+    # simulate the torn round-2 attempt: docs appended (duplicate rows!)
+    # and frontier advanced, process dies before commit_manifest
+    orphan_docs = store.read("docs", pinned["docs"]).limit(3).withColumn(
+        "round", F.lit(2)
+    )
+    store.commit("docs", orphan_docs, mode="append", meta={"round": 2})
+    store.commit(
+        "frontier",
+        store.read("frontier", pinned["frontier"]).limit(1),
+        meta={"round": 2},
+    )
+    # restart: the manifest still says round 1
+    d2 = CrawlDriver(spark, root, CFG)
+    assert d2.last_round == 1
+    d2.run(N_ROUNDS - 2, resume=True)
+    got = [
+        (r["round"], r["seq_in_round"], r["url"], r["host"])
+        for r in d2.fetch_log().collect()
+    ]
+    assert got == oracle_state.fetch_log
+    assert {r["url_md5"] for r in d2.seen_set().collect()} == oracle_state.seen
