@@ -362,6 +362,7 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
         "eff_2_8_median": round(eff(med, 2, 8), 3),
         "eff_8_32_best": round(eff(best, 8, 32), 3),
         "eff_8_32_median": round(eff(med, 8, 32), 3),
+        "note": os.environ.get("BENCH_NOTE", ""),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     var_log = os.path.join(REPO, "BENCH", "variance.jsonl")
@@ -428,15 +429,16 @@ ceiling real multi-node scaling does not have.
 
 ### Measured session history (BENCH/variance.jsonl)
 
-| date | 2->8 eff (median/best) | 8->32 eff (median/best) | 32-core pages/s (median/best) |
-|---|---|---|---|
+| date | 2->8 eff (median/best) | 8->32 eff (median/best) | 32-core pages/s (median/best) | note |
+|---|---|---|---|---|
 """
     for h in history:
         md += (
             f"| {h['ts']} | {h.get('eff_2_8_median', '')}/{h['eff_2_8_best']} "
             f"| {h.get('eff_8_32_median', '')}/{h['eff_8_32_best']} "
             f"| {h['pages_per_sec_median'].get('32', h['pages_per_sec_median'].get(32, 0)):,.0f}"
-            f"/{h['pages_per_sec_best'].get('32', h['pages_per_sec_best'].get(32, 0)):,.0f} |\n"
+            f"/{h['pages_per_sec_best'].get('32', h['pages_per_sec_best'].get(32, 0)):,.0f} "
+            f"| {h.get('note', '')} |\n"
         )
     md += f"""
 Reference comparison: the reference reports 2,000 pages/s end-to-end on

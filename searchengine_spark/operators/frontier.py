@@ -147,8 +147,14 @@ def schedule_round(
     Ordering contract (replaces the reference's randomness): pick by
     (discovered_round, url_md5) at both the host and shard level.
     """
+    # no broadcast HINT: AQE auto-broadcasts a small hosts dim, while a
+    # huge one (bench stress shapes use 1 host per 2 URLs) gets a
+    # parallel shuffle join — a forced broadcast made the driver
+    # serially collect+build millions of rows per round, a serial term
+    # that capped N->4N scaling efficiency. At production scale both
+    # state tables live bucketed by host (co-located join, no exchange).
     eligible = frontier.join(
-        F.broadcast(hosts.select("host", "next_allowed_round")), "host", "left"
+        hosts.select("host", "next_allowed_round"), "host", "left"
     ).where(F.coalesce(F.col("next_allowed_round"), F.lit(0)) <= F.lit(round_no))
 
     # per-host pick = min(struct(discovered_round, url_md5, ...)):

@@ -661,14 +661,15 @@ FROM docs_aug GROUP BY 1 HAVING count(*) > 1 ORDER BY content_hash
 
 
 def _shingles_expr(text_col="text"):
+    """3-gram shingles via slide over a STAGED split array: the whole
+    window is one slice, so `split` appears once per shingle instead of
+    three element_at re-expansions."""
     w = F.split(F.col(text_col), " ")
     n = F.size(w)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)
-            ),
+            lambda i: F.array_join(F.slice(w, i, 3), " "),
         )
     )
 
@@ -820,7 +821,7 @@ def _bigrams_expr():
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+            lambda i: F.array_join(F.slice(w, i, 2), " "),
         )
     )
 

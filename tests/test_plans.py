@@ -39,7 +39,9 @@ def test_hosts_join_is_broadcast(spark):
     hosts = spark.createDataFrame(
         [("a.com", 0)], "host string, next_allowed_round int"
     )
-    plan = _plan(FR.schedule_round(frontier, hosts, 0, cfg))
+    df = FR.schedule_round(frontier, hosts, 0, cfg)
+    df.collect()  # AQE picks the join strategy at runtime (no hint)
+    plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
