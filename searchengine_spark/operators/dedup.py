@@ -156,7 +156,11 @@ def simhash_expr(text_col: str = "text") -> Column:
     def merge(acc, d):
         hi = F.conv(F.substring(d, 1, 8), 16, 10).cast("long")
         lo = F.conv(F.substring(d, 9, 8), 16, 10).cast("long")
-        # bit i of a 32-bit half as floor(h / 2^i) % 2 — exact doubles
+        # bit i of a 32-bit half as floor(h / 2^i) % 2 — exact doubles.
+        # NB: keep the transform-with-index form: unrolling 64 literal
+        # branches inlines the conv(substring(...)) subtrees into every
+        # branch (interpreted HOF eval has no CSE) and measured 2x
+        # SLOWER than one lambda with a runtime pow.
         bit_votes = F.transform(
             F.sequence(F.lit(0), F.lit(63)),
             lambda i: F.when(

@@ -324,7 +324,6 @@ class CrawlDriver:
         stats.fetch_failed = int(srow["nf"] or 0)
         stats.fetched_ok = stats.scheduled - stats.fetch_failed
         stats.candidates = cand.count()
-        stats.new_urls = new_rows.count()
         stats.admitted = stats.candidates  # detailed admitted count folded away
 
         # ---- state merges ----
@@ -396,6 +395,8 @@ class CrawlDriver:
             .fillna(0)
             .collect()
         ]
+        # total new_urls from the per-shard rows — one fewer action
+        stats.new_urls = sum(s["new_urls"] for s in stats.per_shard)
 
         # ---- commit snapshots; the manifest written LAST is the round's
         # commit point (cross-table atomicity — see TableStore docstring).
