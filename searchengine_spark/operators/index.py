@@ -722,7 +722,12 @@ def prefix_search(postings: DataFrame, prefix: str) -> DataFrame:
         .groupBy("term")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.sum("rank"), 6).alias("total_rank"),
+            # exact fixed-point sum: rank is a 6 dp grid value, so the
+            # lifted integers sum order-independently (round-after-
+            # float-SUM is the cross-engine hash-flip class)
+            F.sum(F.round(F.col("rank") * 1e6).cast("long")).alias(
+                "total_rank_e6"
+            ),
         )
         .orderBy("term")
     )

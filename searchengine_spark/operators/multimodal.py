@@ -98,6 +98,16 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     )
 
 
+def _avg_e2(col: str):
+    """Exact fixed-point average of an integer column, scaled by 100:
+    floor((200*sum + n) / (2n)) = round-half-up(100 * sum / n) in pure
+    integer arithmetic (one double division of exact integers — bit-
+    identical in every engine). round-after-float-AVG was order-
+    nondeterministic between Spark and DuckDB (round-2 hash fail)."""
+    num = F.lit(200) * F.sum(col) + F.count("*")
+    return F.floor(num / (F.lit(2) * F.count("*"))).cast("long")
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must never read the payload column
     (parquet pruning; asserted via .explain in tests)."""
@@ -106,8 +116,8 @@ def media_stats(media: DataFrame) -> DataFrame:
         .agg(
             F.count("*").alias("n_assets"),
             F.sum("n_bytes").alias("total_bytes"),
-            F.round(F.avg("width"), 2).alias("avg_width"),
-            F.round(F.avg("height"), 2).alias("avg_height"),
+            _avg_e2("width").alias("avg_width_e2"),
+            _avg_e2("height").alias("avg_height_e2"),
         )
         .orderBy("media_type")
     )

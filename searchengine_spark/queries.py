@@ -370,6 +370,21 @@ def _postings(spark, sf_dir):
     return IX.build_postings(_docs(spark, sf_dir))
 
 
+def _e(col, scale: int):
+    """Exact fixed-point lift: per-row values that already sit on a
+    10^-scale decimal grid become exact integers, so the following SUM
+    is order-independent (integer addition associates). round-after-
+    float-SUM was the round-2 red surface: summing grid values lands
+    EXACTLY on .5 rounding boundaries, where Spark's partition-order
+    and DuckDB's scan-order accumulations flip the last digit."""
+    return F.round(col * (10**scale)).cast("long")
+
+
+def _e_sql(expr: str, scale: int) -> str:
+    """DuckDB twin of :func:`_e`."""
+    return f"CAST(round(({expr}) * 1e{scale}) AS BIGINT)"
+
+
 def q_term_stats(spark, sf_dir):
     return (
         _postings(spark, sf_dir)
@@ -377,7 +392,7 @@ def q_term_stats(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("tf").alias("total_tf"),
-            F.round(F.sum("rank"), 4).alias("total_rank"),
+            F.sum(_e(F.col("rank"), 6)).alias("total_rank_e6"),
         )
         .orderBy("term")
     )
@@ -386,9 +401,9 @@ def q_term_stats(spark, sf_dir):
 SQL_TERM_STATS = (
     "WITH "
     + _POSTINGS_CTES
-    + """
+    + f"""
 SELECT term, count(*) AS n_docs, sum(tf) AS total_tf,
-       round(sum(rank), 4) AS total_rank
+       CAST(sum({_e_sql('rank', 6)}) AS BIGINT) AS total_rank_e6
 FROM postings GROUP BY term ORDER BY term
 """
 )
@@ -585,8 +600,9 @@ def q_prefix_search(spark, sf_dir):
 SQL_PREFIX_SEARCH = (
     "WITH "
     + _POSTINGS_CTES
-    + """
-SELECT term, count(*) AS n_docs, round(sum(rank), 6) AS total_rank
+    + f"""
+SELECT term, count(*) AS n_docs,
+       CAST(sum({_e_sql('rank', 6)}) AS BIGINT) AS total_rank_e6
 FROM postings WHERE term LIKE 's%' GROUP BY term ORDER BY term
 """
 )
@@ -598,7 +614,7 @@ def q_small_postings(spark, sf_dir):
         .groupBy("sterm")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.sum("rank"), 4).alias("total_rank"),
+            F.sum(_e(F.col("rank"), 6)).alias("total_rank_e6"),
         )
         .orderBy("sterm")
     )
@@ -607,7 +623,7 @@ def q_small_postings(spark, sf_dir):
 SQL_SMALL_POSTINGS = (
     "WITH "
     + _POSTINGS_CTES
-    + """,
+    + f""",
   small AS (
     SELECT * FROM (
       SELECT doc_id, substr(term, 1, 8) AS sterm, rank, term,
@@ -616,7 +632,8 @@ SQL_SMALL_POSTINGS = (
                ORDER BY rank DESC, term) rn
       FROM postings) WHERE rn = 1
   )
-SELECT sterm, count(*) AS n_docs, round(sum(rank), 4) AS total_rank
+SELECT sterm, count(*) AS n_docs,
+       CAST(sum({_e_sql('rank', 6)}) AS BIGINT) AS total_rank_e6
 FROM small GROUP BY sterm ORDER BY sterm
 """
 )
@@ -1032,13 +1049,14 @@ def q_events_window(spark, sf_dir):
         F.unix_timestamp("window_start").alias("window_epoch"),
         "event_type",
         "n_events",
-        "total_value",
+        "total_value_e4",
     ).orderBy("window_epoch", "event_type")
 
 
-SQL_EVENTS_WINDOW = """
+SQL_EVENTS_WINDOW = f"""
 SELECT CAST(epoch(time_bucket(INTERVAL 5 MINUTE, ts)) AS BIGINT) AS window_epoch,
-       event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+       event_type, count(*) AS n_events,
+       CAST(sum({_e_sql('value', 4)}) AS BIGINT) AS total_value_e4
 FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
@@ -1052,11 +1070,11 @@ def q_sessionize(spark, sf_dir):
         "n_events",
         F.unix_timestamp("session_start").alias("start_epoch"),
         F.unix_timestamp("session_end").alias("end_epoch"),
-        "session_value",
+        "session_value_e4",
     )
 
 
-SQL_SESSIONIZE = """
+SQL_SESSIONIZE = f"""
 WITH g AS (
   SELECT *, CASE WHEN lag(ts) OVER w IS NULL
                    OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
@@ -1071,7 +1089,7 @@ s AS (
 SELECT user_id, session_no, count(*) AS n_events,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
-       round(sum(value), 4) AS session_value
+       CAST(sum({_e_sql('value', 4)}) AS BIGINT) AS session_value_e4
 FROM s GROUP BY user_id, session_no
 """
 
@@ -1098,12 +1116,20 @@ def _media_meta_sql() -> str:
   )"""
 
 
+def _avg_e2_sql(col: str) -> str:
+    """DuckDB twin of multimodal._avg_e2 (exact integer fixed-point avg)."""
+    return (
+        f"CAST(floor((200 * sum({col}) + count(*)) / (2.0 * count(*))) AS BIGINT)"
+    )
+
+
 SQL_MEDIA_STATS = (
     "WITH "
     + _media_meta_sql()
-    + """
+    + f"""
 SELECT media_type, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
-       round(avg(width), 2) AS avg_width, round(avg(height), 2) AS avg_height
+       {_avg_e2_sql('width')} AS avg_width_e2,
+       {_avg_e2_sql('height')} AS avg_height_e2
 FROM media GROUP BY media_type ORDER BY media_type
 """
 )
@@ -1132,23 +1158,28 @@ def q_media_features(spark, sf_dir):
 
 def q_tpch_q1ish(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # quantity is integer-valued, price/discount sit on a cents grid:
+    # lift to exact integers so the sums are order-independent
     return (
         li.where(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(
+                _e(F.col("l_extendedprice"), 2)
+                * (F.lit(100) - _e(F.col("l_discount"), 2))
+            ).alias("revenue_e4"),
             F.count("*").alias("n_rows"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
 
 
-SQL_TPCH_Q1ISH = """
-SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+SQL_TPCH_Q1ISH = f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum({_e_sql('l_extendedprice', 2)}
+                * (100 - {_e_sql('l_discount', 2)})) AS BIGINT) AS revenue_e4,
        count(*) AS n_rows
 FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
 GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
@@ -1258,17 +1289,21 @@ def q_events_props_json(spark, sf_dir):
         .groupBy("k_bucket")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)), 4).alias("purchase_value"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", _e(F.col("value"), 4))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("purchase_value_e4"),
         )
         .orderBy("k_bucket")
     )
 
 
-SQL_EVENTS_PROPS_JSON = """
+SQL_EVENTS_PROPS_JSON = f"""
 SELECT CAST(CAST(json_extract_string(props, '$.k') AS INT) % 10 AS INT) AS k_bucket,
        count(*) AS n_events,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4)
-         AS purchase_value
+       CAST(sum(CASE WHEN event_type = 'purchase'
+                     THEN {_e_sql('value', 4)} ELSE 0 END) AS BIGINT)
+         AS purchase_value_e4
 FROM events GROUP BY 1 ORDER BY 1
 """
 
@@ -1286,12 +1321,16 @@ def q_ranked_term_stats(spark, sf_dir):
         .select(F.col("node").alias("doc_id"), F.col("rank").alias("page_rank"))
     )
     p = _postings(spark, sf_dir).join(F.broadcast(pr), "doc_id")
+    # rank and page_rank are both 6 dp grid values; lifting each to an
+    # exact integer BEFORE the product keeps the whole aggregate in
+    # integer arithmetic (a float product of two grid values lands on
+    # .5e-6 boundaries, where cross-engine round() parity is luck)
     return (
-        p.withColumn("wrank", F.round(F.col("rank") * F.col("page_rank"), 6))
+        p.withColumn("wrank_e12", _e(F.col("rank"), 6) * _e(F.col("page_rank"), 6))
         .groupBy("term")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.sum("wrank"), 4).alias("total_wrank"),
+            F.sum("wrank_e12").alias("total_wrank_e12"),
         )
         .orderBy("term")
     )
@@ -1306,10 +1345,11 @@ SQL_RANKED_TERM_STATS = (
     + _pr_iter_sql("r2", "r3")
     + ","
     + _POSTINGS_CTES.lstrip()
-    + """
+    + f"""
 SELECT p.term, count(*) AS n_docs,
-       round(sum(round(p.rank * round(least(r.rank, 100.0), 6), 6)), 4)
-         AS total_wrank
+       CAST(sum({_e_sql('p.rank', 6)}
+                * {_e_sql('round(least(r.rank, 100.0), 6)', 6)}) AS BIGINT)
+         AS total_wrank_e12
 FROM postings p JOIN r3 r ON r.node = p.doc_id
 GROUP BY p.term ORDER BY p.term
 """
@@ -1451,10 +1491,17 @@ def q_corpus_clean(spark, sf_dir):
         .withColumn("quality", TX.quality_score_expr("text"))
         .withColumn("lang_guess", TX.lang_guess_expr("text"))
         .where((F.col("quality") >= 0.5) & (F.col("lang_guess") != "und"))
+        .withColumn("q_e4", _e(F.col("quality"), 4))
         .groupBy("lang_guess")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            # exact integer fixed-point average (see multimodal._avg_e2):
+            # quality is a 4 dp grid value, so avg-then-round is the
+            # order-nondeterministic class the round-2 verdict flagged
+            F.floor(
+                (F.lit(2) * F.sum("q_e4") + F.count("*"))
+                / (F.lit(2) * F.count("*"))
+            ).cast("long").alias("avg_quality_e4"),
         )
         .orderBy("lang_guess")
     )
@@ -1474,7 +1521,9 @@ SQL_CORPUS_CLEAN = (
            {TX.lang_guess_sql('text')} AS lang_guess
     FROM kept
   )
-SELECT lang_guess, count(*) AS n_docs, round(avg(quality), 4) AS avg_quality
+SELECT lang_guess, count(*) AS n_docs,
+       CAST(floor((2 * sum({_e_sql('quality', 4)}) + count(*))
+                  / (2.0 * count(*))) AS BIGINT) AS avg_quality_e4
 FROM scored WHERE quality >= 0.5 AND lang_guess <> 'und'
 GROUP BY lang_guess ORDER BY lang_guess
 """

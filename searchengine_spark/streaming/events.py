@@ -38,13 +38,20 @@ def windowed_event_agg(events: DataFrame, streaming: bool = False) -> DataFrame:
         src.groupBy(F.window("ts", WINDOW).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # exact fixed-point sum: per-row `value` sits on a <=4 dp
+            # decimal grid, so the lifted integers sum order-
+            # independently — round-after-float-SUM flips the last
+            # digit when a sum of grid values lands exactly on a .5
+            # boundary (the round-2 driver hash failure)
+            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias(
+                "total_value_e4"
+            ),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_e4",
         )
     )
 
@@ -76,7 +83,10 @@ def sessionize(events: DataFrame) -> DataFrame:
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 4).alias("session_value"),
+            # exact fixed-point sum (see windowed_event_agg)
+            F.sum(F.round(F.col("value") * 1e4).cast("long")).alias(
+                "session_value_e4"
+            ),
         )
         .orderBy("user_id", "session_no")
     )

@@ -14,7 +14,7 @@ SF = "/root/testdata/sf0.001"
 def test_stream_agg_equals_batch(spark, tmp_path):
     batch = spark.read.parquet(f"{SF}/events.parquet")
     expected = {
-        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value_e4"])
         for r in windowed_event_agg(batch).collect()
     }
     # streaming file sources read directories
@@ -25,7 +25,7 @@ def test_stream_agg_equals_batch(spark, tmp_path):
         spark, str(stream_dir), batch.schema, "t_stream_out"
     )
     got = {
-        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value_e4"])
         for r in streamed.collect()
     }
     assert got == expected
