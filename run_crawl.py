@@ -49,13 +49,29 @@ def main(argv=None) -> int:
         use_bloom=not args.no_bloom,
     )
     driver = CrawlDriver(spark, args.store, cfg)
-    if args.resume and driver.store.read_manifest() is None:
-        print(
-            f"error: --resume given but {args.store} has no committed crawl "
-            "state (run once without --resume to seed it)",
-            file=sys.stderr,
-        )
-        return 2
+    if args.resume:
+        if driver.store.read_manifest() is None:
+            print(
+                f"error: --resume given but {args.store} has no committed "
+                "crawl state (run once without --resume to seed it)",
+                file=sys.stderr,
+            )
+            return 2
+        # shard/bloom geometry is baked into the persisted state: a
+        # resume must run the config the store was seeded with, not the
+        # CLI defaults (use_bloom stays CLI-controlled — it's derived
+        # data and safe to toggle)
+        stored = driver.store.read_config()
+        if stored is not None:
+            stored["use_bloom"] = cfg.use_bloom
+            resumed = CrawlConfig(**stored)
+            if resumed != cfg:
+                print(
+                    f"note: resuming with the store's pinned config {stored}",
+                    file=sys.stderr,
+                )
+            cfg = resumed
+            driver = CrawlDriver(spark, args.store, cfg)
     if not args.resume:
         driver.seed([raw_url_py(i) for i in range(args.seeds)])
     for st in driver.run(args.rounds, resume=args.resume):
@@ -66,6 +82,8 @@ def main(argv=None) -> int:
                     "scheduled": st.scheduled,
                     "fetched_ok": st.fetched_ok,
                     "fetch_failed": st.fetch_failed,
+                    "candidates": st.candidates,
+                    "admitted": st.admitted,
                     "new_urls": st.new_urls,
                     "wall_sec": round(st.wall_sec, 2),
                 }

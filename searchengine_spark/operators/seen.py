@@ -19,43 +19,67 @@ verdict — SURVEY.md §7.4-3) while the shuffled side of the hot J1 join
 shrinks by roughly the new-URL fraction, which at steady-state crawl is
 the dominant fraction.
 
-Bit positions come from hash60(url_md5, salt=k) so the filter is
-deterministic and identical in the pure-Python oracle.
+Bit positions come from non-overlapping 15-hex windows of the
+(uniformly distributed) url_md5 key, computed as NATIVE columns
+(`conv(substr(md5,…),16,10) % nbits`) so no per-row Python runs
+anywhere on the J1 hot path; the pandas UDFs that remain are pure
+vectorized numpy bitmap gathers over Arrow batches. The pure-Python
+twin (_bit_positions) keeps the oracle/tests in lockstep.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from searchengine_spark.config import CrawlConfig
 
 
 def _bit_positions(md5_hex: str, cfg: CrawlConfig) -> list[int]:
     """k independent positions from k overlapping 15-hex windows of the
-    (already uniformly distributed) md5 key — no re-hashing needed."""
+    (already uniformly distributed) md5 key — no re-hashing needed.
+    Pure-Python twin of :func:`bloom_position_cols` (tests pin them
+    equal)."""
     return [
         int(md5_hex[4 * k : 4 * k + 15], 16) % cfg.bloom_bits_per_shard
         for k in range(cfg.bloom_hashes)
     ]
 
 
+def bloom_position_cols(md5_col: Column, cfg: CrawlConfig) -> list[Column]:
+    """The k bloom bit positions as native JVM columns (no Python):
+    position_k = int(md5_hex[4k:4k+15], 16) % bits."""
+    return [
+        F.pmod(
+            F.conv(F.substring(md5_col, 4 * k + 1, 15), 16, 10).cast("long"),
+            F.lit(cfg.bloom_bits_per_shard),
+        ).cast("long")
+        for k in range(cfg.bloom_hashes)
+    ]
+
+
 def build_bloom_blocks(seen: DataFrame, cfg: CrawlConfig) -> DataFrame:
-    """seen(url_md5, shard) -> blocks(shard, bitmap binary)."""
+    """seen(url_md5, shard) -> blocks(shard, bitmap binary).
+
+    Positions are computed natively and exploded before the grouped
+    pandas stage, so the numpy body is one vectorized scatter
+    (`np.bitwise_or.at`) per shard — no per-row Python."""
     nbytes = cfg.bloom_bits_per_shard // 8
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(nbytes, dtype=np.uint8)
-        for m in pdf["url_md5"]:
-            for pos in _bit_positions(m, cfg):
-                bits[pos >> 3] |= 1 << (pos & 7)
+        pos = pdf["pos"].to_numpy(dtype=np.int64)
+        np.bitwise_or.at(
+            bits, pos >> 3, np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
+        )
         return pd.DataFrame(
             {"shard": [int(pdf["shard"].iloc[0])], "bitmap": [bits.tobytes()]}
         )
 
+    positions = F.array(*bloom_position_cols(F.col("url_md5"), cfg))
     return (
-        seen.select("url_md5", "shard")
+        seen.select("shard", F.explode(positions).alias("pos"))
         .groupBy("shard")
         .applyInPandas(build, schema="shard int, bitmap binary")
     )
@@ -85,30 +109,48 @@ def merge_bloom_blocks(a: DataFrame, b: DataFrame, cfg: CrawlConfig) -> DataFram
 def bloom_prefilter(
     spark: SparkSession, candidates: DataFrame, blocks: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:
-    """Tag candidates with maybe_seen; bloom-negatives are exact-new."""
-    block_map = {r["shard"]: np.frombuffer(r["bitmap"], dtype=np.uint8) for r in blocks.collect()}
+    """Tag candidates with maybe_seen; bloom-negatives are exact-new.
+
+    The UDF body is a vectorized numpy bitmap gather over Arrow
+    batches — the k bit positions arrive as native columns, so no
+    hex-parsing or per-row Python runs here (the last per-row loop on
+    the J1 hot path, removed per the round-2 verdict).
+
+    A shard with NO bitmap returns maybe_seen=True (suspect), routing
+    those rows through the exact anti-join. Under a consistent config
+    a missing bitmap means "no seen keys in this shard" and True only
+    costs a no-op join probe; under config drift (e.g. a resume with a
+    different n_shards) False would silently skip the exact check —
+    a dedup-exactness violation caught live in round-3 verification.
+    """
+    block_map = {
+        r["shard"]: np.frombuffer(r["bitmap"], dtype=np.uint8)
+        for r in blocks.collect()
+    }
     bc = spark.sparkContext.broadcast(block_map)
-    khashes, nbits = cfg.bloom_hashes, cfg.bloom_bits_per_shard
 
     @F.pandas_udf("boolean")
-    def maybe_seen(md5s: pd.Series, shards: pd.Series) -> pd.Series:
+    def probe(shards: pd.Series, *pos_cols: pd.Series) -> pd.Series:
         blocks_local = bc.value
-        out = []
-        for m, s in zip(md5s, shards):
+        sh = shards.to_numpy(dtype=np.int64)
+        n = len(sh)
+        if n == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        pos = np.column_stack([p.to_numpy(dtype=np.int64) for p in pos_cols])
+        out = np.ones(n, dtype=bool)  # default: suspect (exact-join path)
+        for s in np.unique(sh):
             bm = blocks_local.get(int(s))
             if bm is None:
-                out.append(False)
                 continue
-            hit = True
-            for k in range(khashes):
-                pos = int(m[4 * k : 4 * k + 15], 16) % nbits
-                if not (bm[pos >> 3] >> (pos & 7)) & 1:
-                    hit = False
-                    break
-            out.append(hit)
+            m = sh == s
+            p = pos[m]
+            out[m] = (((bm[p >> 3] >> (p & 7)) & 1) != 0).all(axis=1)
         return pd.Series(out)
 
-    return candidates.withColumn("maybe_seen", maybe_seen(F.col("url_md5"), F.col("shard")))
+    return candidates.withColumn(
+        "maybe_seen",
+        probe(F.col("shard"), *bloom_position_cols(F.col("url_md5"), cfg)),
+    )
 
 
 def dedup_seen_with_bloom(

@@ -170,6 +170,7 @@ def run_round(state: SimState, round_no: int, cfg: CrawlConfig) -> dict:
         "fetched_ok": n_ok,
         "fetch_failed": n_fail,
         "candidates": len(candidates),
+        "admitted": len(admitted),
         "new_urls": n_new,
     }
 

@@ -55,6 +55,11 @@ HOSTS_SCHEMA = (
     "fetch_count int, url_count long, robots_state string, ip string"
 )
 
+METRICS_SCHEMA = (
+    "round int, shard int, scheduled long, candidates long, "
+    "admitted long, new_urls long, wall_sec double"
+)
+
 
 def _pseudo_ip_expr(host):
     """S7 DNS-cache parity: deterministic pseudo-IPv4 per host (the
@@ -181,10 +186,7 @@ class CrawlDriver:
             ),
             "metrics": self.store.commit(
                 "metrics",
-                self.spark.createDataFrame(
-                    [],
-                    "round int, shard int, scheduled long, new_urls long, wall_sec double",
-                ),
+                self.spark.createDataFrame([], METRICS_SCHEMA),
                 meta=meta,
             ),
         }
@@ -195,6 +197,11 @@ class CrawlDriver:
             versions["bloom"] = self.store.commit(
                 "bloom", build_bloom_blocks(seen0, cfg), meta=meta
             )
+        # pin the config to the store: shard/bloom geometry is baked into
+        # the persisted state, so a resume must run the SAME config
+        from dataclasses import asdict
+
+        self.store.write_config(asdict(cfg))
         # manifest LAST: the cross-table commit point — old bloom/metrics
         # snapshots from a previous life of this store become unreachable
         self.store.commit_manifest(-1, versions)
@@ -294,13 +301,13 @@ class CrawlDriver:
         from pyspark.sql import Window as W
 
         w_host = W.partitionBy("host").orderBy("url_md5", "url")
-        admitted = (
+        admitted0 = (
             cand.join(F.broadcast(remaining), "host", "left")
             .withColumn("_rem", F.coalesce(F.col("_rem"), F.lit(cfg.max_urls_per_host)))
             .withColumn("_rn", F.row_number().over(w_host))
-            .where(F.col("_rn") <= F.col("_rem"))
-            .drop("_rn", "_rem")
+            .withColumn("_adm", F.col("_rn") <= F.col("_rem"))
         )
+        admitted = admitted0.where(F.col("_adm")).drop("_rn", "_rem", "_adm")
         deduped = dedup_batch(admitted)
         if cfg.use_bloom:
             # incremental blocks: read last round's, never rescan seen
@@ -323,8 +330,15 @@ class CrawlDriver:
         stats.scheduled = srow["n"] or 0
         stats.fetch_failed = int(srow["nf"] or 0)
         stats.fetched_ok = stats.scheduled - stats.fetch_failed
-        stats.candidates = cand.count()
-        stats.admitted = stats.candidates  # detailed admitted count folded away
+        # candidates (post-filter/robots) vs admitted (post host-cap):
+        # one per-shard agg serves both the totals and the metrics rows
+        adm_shard = (
+            admitted0.groupBy("shard")
+            .agg(
+                F.count("*").alias("candidates"),
+                F.sum(F.when(F.col("_adm"), 1).otherwise(0)).alias("admitted"),
+            )
+        )
 
         # ---- state merges ----
         retry_rows = failed.select(
@@ -383,10 +397,13 @@ class CrawlDriver:
             {
                 "shard": r["shard"],
                 "scheduled": r["scheduled"],
+                "candidates": r["candidates"],
+                "admitted": r["admitted"],
                 "new_urls": r["new_urls"],
             }
             for r in scheduled.groupBy("shard")
             .agg(F.count("*").alias("scheduled"))
+            .join(adm_shard, "shard", "full_outer")
             .join(
                 new_rows.groupBy("shard").agg(F.count("*").alias("new_urls")),
                 "shard",
@@ -395,8 +412,10 @@ class CrawlDriver:
             .fillna(0)
             .collect()
         ]
-        # total new_urls from the per-shard rows — one fewer action
+        # totals from the per-shard rows — one action for all counters
         stats.new_urls = sum(s["new_urls"] for s in stats.per_shard)
+        stats.candidates = sum(s["candidates"] for s in stats.per_shard)
+        stats.admitted = sum(s["admitted"] for s in stats.per_shard)
 
         # ---- commit snapshots; the manifest written LAST is the round's
         # commit point (cross-table atomicity — see TableStore docstring).
@@ -421,6 +440,13 @@ class CrawlDriver:
         versions["seen"] = self.store.commit("seen", seen2, meta=meta)
         if cfg.use_bloom:
             versions["bloom"] = self.store.commit("bloom", blocks2, meta=meta)
+        else:
+            # a no-bloom round must NOT carry the old bloom version
+            # forward: seen keeps growing, so a later bloom-enabled
+            # resume would trust a bitmap that lags the pinned seen set
+            # and mark already-seen URLs definitely-new (exact-dedup
+            # violation). Dropping it forces a rebuild from pinned seen.
+            versions.pop("bloom", None)
 
         stats.wall_sec = time.time() - t0
         metrics_rows = [
@@ -428,15 +454,14 @@ class CrawlDriver:
                 round_no,
                 int(s["shard"]) if s["shard"] is not None else -1,
                 int(s["scheduled"]),
+                int(s["candidates"]),
+                int(s["admitted"]),
                 int(s["new_urls"]),
                 float(stats.wall_sec),
             )
             for s in stats.per_shard
-        ] or [(round_no, -1, 0, 0, float(stats.wall_sec))]
-        metrics_df = spark.createDataFrame(
-            metrics_rows,
-            "round int, shard int, scheduled long, new_urls long, wall_sec double",
-        )
+        ] or [(round_no, -1, 0, 0, 0, 0, float(stats.wall_sec))]
+        metrics_df = spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
         versions["metrics"] = self.store.commit(
             "metrics",
             metrics_df,
@@ -454,7 +479,36 @@ class CrawlDriver:
             h.unpersist()
         return stats
 
+    def check_config(self) -> None:
+        """Refuse to run against a store seeded under a different
+        config: seen.shard, bloom bitmaps and frontier shards are all
+        keyed by it — a drifted resume would mis-route bloom probes and
+        silently re-admit seen URLs (exact-dedup violation)."""
+        from dataclasses import asdict
+
+        stored = self.store.read_config()
+        given = asdict(self.cfg)
+        if stored is not None:
+            # use_bloom is exempt: the bloom is DERIVED data and a
+            # no-bloom round drops its version from the manifest, so
+            # toggling it cannot desync state
+            stored = {k: v for k, v in stored.items() if k != "use_bloom"}
+            given = {k: v for k, v in given.items() if k != "use_bloom"}
+        if stored is not None and stored != given:
+            diff = {
+                k: (stored.get(k), v)
+                for k, v in given.items()
+                if stored.get(k) != v
+            }
+            raise ValueError(
+                f"store {self.store.root} was seeded with a different "
+                f"CrawlConfig (stored vs given: {diff}); resume with the "
+                "stored config (run_crawl.py --resume reloads it)"
+            )
+
     def run(self, n_rounds: int, resume: bool = False) -> list[RoundStats]:
+        if resume:
+            self.check_config()
         start = self.last_round + 1 if resume else 0
         return [self.run_round(r) for r in range(start, start + n_rounds)]
 

@@ -91,8 +91,18 @@ class SearchService:
         self._tokens: DataFrame | None = None
         self._meta: DataFrame | None = None
 
+    def _docs_pinned(self) -> DataFrame:
+        """Docs via the round manifest, never bare _latest: after a torn
+        round (crash between the docs append and commit_manifest) the
+        orphan snapshot holds duplicate rows — the manifest is the only
+        cross-table commit point (same rule as CrawlDriver reads)."""
+        m = self.store.read_manifest()
+        if m is not None and "docs" in m.get("versions", {}):
+            return self.store.read("docs", m["versions"]["docs"])
+        return self.store.read("docs")
+
     def refresh(self) -> None:
-        docs = self.store.read("docs")
+        docs = self._docs_pinned()
         self._postings = build_index(docs).cache()
         self._tokens = build_token_index(docs).cache()
         self._meta = docs.select(
@@ -123,4 +133,4 @@ class SearchService:
     def get_doc(self, url_md5: str) -> DataFrame:
         """'#get' page dump (PageSearcher.cpp:111-150): fetch one doc's
         spans by key — a pruned snapshot scan."""
-        return self.store.read("docs").where(F.col("url_md5") == url_md5)
+        return self._docs_pinned().where(F.col("url_md5") == url_md5)

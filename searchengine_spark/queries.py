@@ -1597,9 +1597,30 @@ def _materialize_ctes(sql: str) -> str:
     same query) — the exact analogue of the engine's Arrow-boundary
     staging on the Spark side. Applied uniformly: at oracle scales a
     materialized stage is never slower than an exploded inline tree.
-    (`WINDOW w AS (...)` clauses are untouched: no leading WITH/comma.)
+
+    The rewrite is anchored to the WITH-clause region: substitution
+    stops at the first top-level SELECT (paren depth 0), so a
+    `WINDOW a AS (...), b AS (...)` clause in the final query — whose
+    second entry also matches `, name AS (` — can never be mangled
+    into invalid `AS MATERIALIZED` SQL.
     """
-    return _CTE_OPEN.sub(lambda m: f"{m.group(1)}{m.group(2)} AS MATERIALIZED (", sql)
+    depth = 0
+    cut = len(sql)
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and sql[i : i + 6].upper() == "SELECT":
+            cut = i
+            break
+        i += 1
+    head = _CTE_OPEN.sub(
+        lambda m: f"{m.group(1)}{m.group(2)} AS MATERIALIZED (", sql[:cut]
+    )
+    return head + sql[cut:]
 
 
 ORACLE_SQL = {name: _materialize_ctes(sql) for name, sql in ORACLE_SQL.items()}

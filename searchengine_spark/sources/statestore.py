@@ -103,10 +103,13 @@ class TableStore:
         writer = df.write
         base = base_version if base_version is not None else prev
         if mode == "append" and base > 0:
-            # append = write only the delta files, then union via a manifest:
-            # simplest portable form is delta-dir + read-time union; to keep
-            # read paths single-dir we materialize the union (cheap at test
-            # scale; Iceberg's fast append replaces this in production).
+            # TODO(iceberg-port): this materialized union REWRITES the
+            # full table on every append — O(corpus) per crawl round for
+            # `docs`. It is ONLY acceptable as the sandbox's plain-
+            # parquet stand-in; a production deployment MUST replace it
+            # with Iceberg fast-append (`df.writeTo(tbl).append()` —
+            # new data files + a manifest entry, never a rewrite).
+            # The commit/manifest protocol around it ports unchanged.
             df = self.read(table, base).unionByName(df)
             writer = df.write
         if partition_by:
@@ -144,6 +147,32 @@ class TableStore:
     # to manifest versions never observe a torn round — orphan snapshot
     # versions from a crashed attempt are simply never referenced
     # (Iceberg's multi-table transaction played on plain parquet).
+
+    # -- store-pinned crawl config -------------------------------------------
+    #
+    # Shard assignment, bloom geometry and politeness are baked into the
+    # persisted state (seen.shard, bloom bitmaps, frontier shards); a
+    # resume under a DIFFERENT config silently mis-routes bloom probes
+    # and re-admits seen URLs (exactness violation — caught live in
+    # round-3 verification when a --resume defaulted to other n_shards).
+    # The config is therefore written once at seed time and re-read on
+    # resume.
+
+    def _config_path(self) -> str:
+        return os.path.join(self.root, "_crawl_config")
+
+    def write_config(self, cfg: dict) -> None:
+        tmp = self._config_path() + ".tmp-" + uuid.uuid4().hex[:8]
+        with open(tmp, "w") as f:
+            json.dump(cfg, f)
+        os.replace(tmp, self._config_path())
+
+    def read_config(self) -> dict | None:
+        p = self._config_path()
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def _manifest_path(self) -> str:
         return os.path.join(self.root, "_round_manifest")

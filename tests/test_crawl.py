@@ -60,7 +60,12 @@ def test_round_stats_match(engine_state, oracle_state):
         assert st.scheduled == expect["scheduled"], r
         assert st.fetched_ok == expect["fetched_ok"], r
         assert st.fetch_failed == expect["fetch_failed"], r
+        assert st.candidates == expect["candidates"], r
+        assert st.admitted == expect["admitted"], r
         assert st.new_urls == expect["new_urls"], r
+        # the cap binds in this config: admitted must be a REAL count,
+        # not an alias of candidates (round-2 verdict wrong-#5)
+        assert st.admitted <= st.candidates, r
 
 
 def test_politeness_gap(engine_state):
@@ -102,6 +107,49 @@ def test_resume_from_snapshot(spark, tmp_path_factory, oracle_state):
     ]
     assert got == oracle_state.fetch_log
     assert {r["url_md5"] for r in d2.seen_set().collect()} == oracle_state.seen
+
+
+def test_resume_rejects_config_drift(spark, tmp_path_factory):
+    """Shard/bloom geometry is baked into the persisted state: resuming
+    under a different config must fail loudly instead of silently
+    re-admitting seen URLs (caught live in round-3 verification when a
+    --resume fell back to CLI-default n_shards)."""
+    import dataclasses
+
+    root = str(tmp_path_factory.mktemp("driftstore"))
+    d1 = CrawlDriver(spark, root, CFG)
+    d1.seed(SEEDS)
+    d1.run(1)
+    drifted = dataclasses.replace(CFG, n_shards=CFG.n_shards * 2)
+    with pytest.raises(ValueError, match="different"):
+        CrawlDriver(spark, root, drifted).run(1, resume=True)
+    # use_bloom is exempt (derived data) — toggling must NOT raise
+    no_bloom = dataclasses.replace(CFG, use_bloom=False)
+    CrawlDriver(spark, root, no_bloom).check_config()
+
+
+def test_bloom_toggle_keeps_dedup_exact(spark, tmp_path_factory, oracle_state):
+    """Rounds run with bloom off must not leave a stale bitmap version
+    in the manifest: re-enabling bloom later has to rebuild from the
+    pinned seen set, keeping the crawl byte-equal to the oracle
+    (round-2 ADVICE finding)."""
+    import dataclasses
+
+    root = str(tmp_path_factory.mktemp("togglestore"))
+    d1 = CrawlDriver(spark, root, CFG)
+    d1.seed(SEEDS)
+    d1.run(2)
+    no_bloom = dataclasses.replace(CFG, use_bloom=False)
+    CrawlDriver(spark, root, no_bloom).run(1, resume=True)
+    assert "bloom" not in CrawlDriver(spark, root, CFG)._pinned_versions()
+    d3 = CrawlDriver(spark, root, CFG)
+    d3.run(N_ROUNDS - 3, resume=True)
+    got = [
+        (r["round"], r["seq_in_round"], r["url"], r["host"])
+        for r in d3.fetch_log().collect()
+    ]
+    assert got == oracle_state.fetch_log
+    assert {r["url_md5"] for r in d3.seen_set().collect()} == oracle_state.seen
 
 
 def test_incremental_bloom_equals_full_rebuild(engine_state):
