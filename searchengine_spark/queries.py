@@ -1136,11 +1136,16 @@ FROM media GROUP BY media_type ORDER BY media_type
 
 
 def q_media_features(spark, sf_dir):
-    """binary decode->feature plumbing (mapInPandas) — rows-only oracle.
+    """binary decode->feature plumbing (mapInPandas) — now FULLY
+    oracle-checked: the payload is n_rep repeats of the 16-byte
+    md5('payload'||doc_id) digest (multimodal.synth_media_df), so the
+    L1-normalized 8-bin byte histogram equals the single-digest
+    histogram / 16 — derivable in pure SQL (the repeat factor cancels).
 
     The driver's row canonicalizer hashes cell values, so the
     array<double> feature vector is emitted as a fixed-format CSV
-    string (hashable scalar) instead of a raw array."""
+    string (hashable scalar) instead of a raw array; every k/16 value
+    is binary-exact, so '%.6f' never rounds on either engine."""
     feats = MM.extract_media_features(MM.synth_media_df(spark, sf_dir))
     return feats.select(
         "media_id",
@@ -1150,6 +1155,27 @@ def q_media_features(spark, sf_dir):
             ",", F.transform("features", lambda x: F.format_string("%.6f", x))
         ).alias("features_csv"),
     )
+
+
+SQL_MEDIA_FEATURES = (
+    "WITH "
+    + _media_meta_sql()
+    + f""",
+  dg AS (
+    SELECT doc_id, media_type, n_bytes,
+           list_transform(range(0, 16),
+             i -> ('0x' || substr(md5('payload' || doc_id), 2*i + 1, 2))::BIGINT
+                  // 32) AS bins
+    FROM media
+  )
+SELECT 'm' || doc_id AS media_id, media_type, n_bytes,
+       array_to_string(
+         list_transform(range(0, {MM.FEATURE_DIM}),
+           bn -> printf('%.6f', len(list_filter(bins, x -> x = bn)) / 16.0)),
+         ',') AS features_csv
+FROM dg
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1274,7 +1300,7 @@ ORACLE_SQL = {
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
     "media_stats": SQL_MEDIA_STATS,
-    # media_features: rows-only (binary decode stub via mapInPandas)
+    "media_features": SQL_MEDIA_FEATURES,
     "tpch_q1ish": SQL_TPCH_Q1ISH,
     "semi_anti_join": SQL_SEMI_ANTI_JOIN,
 }
