@@ -12,6 +12,7 @@ compute over bit-identical inputs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from searchengine_spark.config import CrawlConfig
@@ -259,6 +260,241 @@ WITH urls AS (SELECT doc_id, {raw_url_sql('doc_id')} AS raw_url FROM documents),
   hosts AS (SELECT DISTINCT host FROM ok)
 SELECT {robots_state_sql('host')} AS robots_state, count(*) AS n_hosts
 FROM hosts GROUP BY 1 ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# one full crawl round, driver-verified end-to-end
+# ---------------------------------------------------------------------------
+#
+# The crawl lifecycle (S1 seed -> S9/O4 schedule -> S5 fetch -> T2 spans
+# -> T5 outlinks -> P1-P5 ingest -> A1 host cap -> J1 dedup) was pinned
+# only by pytest byte-equality vs oracle/simulator.py; these two queries
+# put the SAME round on the driver's hash gate. The engine side runs the
+# real operators (schedule_round, the fetch pandas UDF, span array ops,
+# normalize_candidates); the oracle re-derives every value from the
+# hash-deterministic corpus formulas (corpus.py:212-257) in pure SQL.
+
+DIGCFG = CrawlConfig(
+    n_shards=NSHARDS,
+    per_shard_quota=50,
+    shard_salt=SALT,
+    max_urls_per_host=4,  # small cap so A1 admission BINDS in the digest
+)
+
+
+def _digest_round(spark, sf_dir):
+    """Round 0 of a crawl seeded with the full grammar universe:
+    returns (cand_pre, hostcnt, frontier, fetched, ok_with_spans)."""
+    from searchengine_spark.functions.spans import SPANS_TYPE
+    from searchengine_spark.plans.crawl import _fetch_fails_expr
+    from searchengine_spark.corpus import fetch_spans_py
+
+    docs = _docs(spark, sf_dir)
+    max_doc = docs.count()
+    raw = docs.select(raw_url_expr("doc_id").alias("raw_url"))
+    cand_pre = FR.normalize_candidates(raw, DIGCFG)
+    hostcnt = cand_pre.groupBy("host").agg(F.count("*").alias("url_count"))
+    frontier = FR.dedup_batch(cand_pre).withColumn(
+        "discovered_round", F.lit(0).cast("int")
+    )
+    hosts = hostcnt.select("host", F.lit(0).alias("next_allowed_round"))
+    sched = FR.schedule_round(frontier, hosts, 0, DIGCFG)
+    fetched = sched.withColumn("failed", _fetch_fails_expr(F.col("host"), 0))
+
+    @F.pandas_udf(SPANS_TYPE)
+    def fetch_udf(urls: pd.Series) -> pd.Series:
+        return urls.map(lambda u: fetch_spans_py(u, max_doc))
+
+    ok = fetched.where(~F.col("failed")).withColumn("spans", fetch_udf(F.col("url")))
+    return cand_pre, hostcnt, frontier, fetched, ok
+
+
+# shared schedule CTEs: grammar seeds -> dedup -> per-host pick ->
+# per-shard quota -> seq -> deterministic fetch failures
+_DIGEST_CTES = f"""
+  {CAND_CTES},
+  hostcnt AS (SELECT host, count(*) AS url_count FROM cand GROUP BY host),
+  front AS (
+    SELECT * FROM (
+      SELECT c.*, ROW_NUMBER() OVER (PARTITION BY url_md5 ORDER BY url) frn
+      FROM cand c) WHERE frn = 1
+  ),
+  picked AS (
+    SELECT * FROM (
+      SELECT f.*, ROW_NUMBER() OVER (PARTITION BY host ORDER BY url_md5) hrn
+      FROM front f) WHERE hrn = 1
+  ),
+  quota AS (
+    SELECT * FROM (
+      SELECT p.*, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY url_md5) srn
+      FROM picked p) WHERE srn <= {DIGCFG.per_shard_quota}
+  ),
+  sched AS (
+    SELECT url, url_md5, host, shard,
+           CAST(ROW_NUMBER() OVER (ORDER BY url_md5) AS INT) AS seq_in_round
+    FROM quota
+  ),
+  fetched AS (
+    SELECT s.*, ({hash60_sql("host || '|0'", 'fail')} % 13 = 0) AS failed
+    FROM sched s
+  ),
+  ok AS (SELECT * FROM fetched WHERE NOT failed)
+"""
+
+
+def q_crawl_fetch_log(spark, sf_dir):
+    """The round-0 fetch log with per-page span digests computed from
+    the REAL spans column (fetch UDF output): title text, body length,
+    link/media span counts — the oracle recomputes each from the
+    hash formulas, so any drift in scheduling order, the fetch-failure
+    gate, or span generation hash-fails this query."""
+    *_, ok = _digest_round(spark, sf_dir)
+    s = F.col("spans")
+    first_of = lambda kind: F.element_at(  # noqa: E731
+        F.filter(s, lambda x: x["kind"] == F.lit(kind)), 1
+    )["text"]
+    return ok.select(
+        "url",
+        "url_md5",
+        "host",
+        "shard",
+        "seq_in_round",
+        first_of("title").alias("title"),
+        F.length(first_of("text")).alias("body_len"),
+        F.size(F.filter(s, lambda x: x["kind"] == F.lit("link"))).alias("n_links"),
+        F.exists(s, lambda x: x["kind"] == F.lit("media")).alias("has_media"),
+        F.size(s).alias("n_spans"),
+    ).orderBy("seq_in_round")
+
+
+SQL_CRAWL_FETCH_LOG = f"""
+WITH {_DIGEST_CTES}
+SELECT url, url_md5, host, shard, seq_in_round,
+       'page ' || url AS title,
+       (9 + length(url) + ({hash60_sql('url', 'len')} % 40)) AS body_len,
+       4 AS n_links,
+       ({hash60_sql('url', 'media')} % 3 = 0) AS has_media,
+       (6 + CASE WHEN {hash60_sql('url', 'media')} % 3 = 0 THEN 1 ELSE 0 END)
+         AS n_spans
+FROM ok ORDER BY seq_in_round
+"""
+
+
+def q_crawl_round_digest(spark, sf_dir):
+    """Per-shard digest of the full round: outlink extraction from the
+    real spans, candidate normalization, host-cap admission (the cap
+    binds under DIGCFG), batch dedup and the J1 seen anti-join — the
+    run_round DAG (plans/crawl.py) minus the state-store commits."""
+    cand_pre, hostcnt, frontier, fetched, ok = _digest_round(spark, sf_dir)
+    outlinks = ok.select(
+        F.explode(
+            F.transform(
+                F.filter("spans", lambda x: x["kind"] == F.lit("link")),
+                lambda x: x["media_ref"],
+            )
+        ).alias("raw_url")
+    )
+    cnd = FR.normalize_candidates(outlinks, DIGCFG)
+    remaining = hostcnt.select(
+        "host",
+        (F.lit(DIGCFG.max_urls_per_host) - F.col("url_count")).alias("_rem"),
+    )
+    w_host = W.partitionBy("host").orderBy("url_md5", "url")
+    adm0 = (
+        cnd.join(F.broadcast(remaining), "host", "left")
+        .withColumn(
+            "_rem", F.coalesce(F.col("_rem"), F.lit(DIGCFG.max_urls_per_host))
+        )
+        .withColumn("_rn", F.row_number().over(w_host))
+        .withColumn("_adm", F.col("_rn") <= F.col("_rem"))
+    )
+    admitted = adm0.where(F.col("_adm")).drop("_rn", "_rem", "_adm")
+    new = FR.dedup_seen(FR.dedup_batch(admitted), frontier.select("url_md5"))
+    sch_s = fetched.groupBy("shard").agg(
+        F.count("*").alias("scheduled"),
+        F.sum(F.when(F.col("failed"), 0).otherwise(1)).alias("fetched_ok"),
+        F.sum(F.when(F.col("failed"), 1).otherwise(0)).alias("fetch_failed"),
+    )
+    cand_s = adm0.groupBy("shard").agg(
+        F.count("*").alias("candidates"),
+        F.sum(F.when(F.col("_adm"), 1).otherwise(0)).alias("admitted"),
+    )
+    new_s = new.groupBy("shard").agg(F.count("*").alias("new_urls"))
+    return (
+        sch_s.join(cand_s, "shard", "full_outer")
+        .join(new_s, "shard", "full_outer")
+        .fillna(0)
+        .orderBy("shard")
+    )
+
+
+SQL_CRAWL_ROUND_DIGEST = f"""
+WITH {_DIGEST_CTES},
+  nn AS (SELECT count(*) AS n FROM documents),
+  outl AS (
+    SELECT ({hash60_sql("o.url || '#' || CAST(t.j AS VARCHAR)", 'link')}
+            % (SELECT n FROM nn)) AS tid
+    FROM ok o, range(0, 4) t(j)
+  ),
+  rawu AS (SELECT {raw_url_sql('tid')} AS raw_url FROM outl),
+  canon2 AS (SELECT {canonicalize_sql('raw_url')} AS url FROM rawu),
+  cnd0 AS (
+    SELECT url, {url_md5_sql('url')} AS url_md5, {_HOST} AS host,
+           {host_shard_sql(_HOST, NSHARDS, SALT)} AS shard
+    FROM canon2
+    WHERE url IS NOT NULL AND ({filter_url_sql('url')})
+      AND {url_md5_sql('url')} IS NOT NULL
+  ),
+  cnd AS (
+    SELECT * FROM (
+      SELECT c.*, {robots_state_sql('host')} AS _robots,
+             CASE WHEN url LIKE 'https://%' THEN substr(url, 9 + length(host))
+                  ELSE substr(url, 1 + length(host)) END AS _path
+      FROM cnd0 c
+    )
+    WHERE _robots <> 'deny'
+      AND NOT (_robots LIKE 'disallow:%' AND _path LIKE '{ROBOTS_DISALLOWED_PREFIX}%')
+  ),
+  adm AS (
+    SELECT c.url, c.url_md5, c.host, c.shard,
+           ROW_NUMBER() OVER (PARTITION BY c.host ORDER BY url_md5, url) AS rn,
+           ({DIGCFG.max_urls_per_host} - coalesce(h.url_count, 0)) AS rem
+    FROM cnd c LEFT JOIN hostcnt h USING (host)
+  ),
+  ddup AS (
+    SELECT * FROM (
+      SELECT a.*, ROW_NUMBER() OVER (PARTITION BY url_md5 ORDER BY url) r2
+      FROM adm a WHERE rn <= rem) WHERE r2 = 1
+  ),
+  seen0 AS (SELECT DISTINCT url_md5 FROM cand),
+  newu AS (
+    SELECT d.* FROM ddup d LEFT JOIN seen0 s USING (url_md5)
+    WHERE s.url_md5 IS NULL
+  ),
+  sch_s AS (
+    SELECT shard, count(*) AS scheduled,
+           sum(CASE WHEN failed THEN 0 ELSE 1 END) AS fetched_ok,
+           sum(CASE WHEN failed THEN 1 ELSE 0 END) AS fetch_failed
+    FROM fetched GROUP BY shard
+  ),
+  cand_s AS (
+    SELECT shard, count(*) AS candidates,
+           sum(CASE WHEN rn <= rem THEN 1 ELSE 0 END) AS admitted
+    FROM adm GROUP BY shard
+  ),
+  new_s AS (SELECT shard, count(*) AS new_urls FROM newu GROUP BY shard)
+SELECT shard,
+       coalesce(scheduled, 0) AS scheduled,
+       coalesce(fetched_ok, 0) AS fetched_ok,
+       coalesce(fetch_failed, 0) AS fetch_failed,
+       coalesce(candidates, 0) AS candidates,
+       coalesce(admitted, 0) AS admitted,
+       coalesce(new_urls, 0) AS new_urls
+FROM sch_s
+FULL OUTER JOIN cand_s USING (shard)
+FULL OUTER JOIN new_s USING (shard)
+ORDER BY shard
 """
 
 
@@ -1247,6 +1483,8 @@ QUERIES = {
     "host_shards": q_host_shards,
     "frontier_dedup": q_frontier_dedup,
     "schedule_round": q_schedule_round,
+    "crawl_fetch_log": q_crawl_fetch_log,
+    "crawl_round_digest": q_crawl_round_digest,
     "top_hosts": q_top_hosts,
     "robots_gate": q_robots_gate,
     "pagerank3": q_pagerank3,
@@ -1279,6 +1517,8 @@ ORACLE_SQL = {
     "host_shards": SQL_HOST_SHARDS,
     "frontier_dedup": SQL_FRONTIER_DEDUP,
     "schedule_round": SQL_SCHEDULE_ROUND,
+    "crawl_fetch_log": SQL_CRAWL_FETCH_LOG,
+    "crawl_round_digest": SQL_CRAWL_ROUND_DIGEST,
     "top_hosts": SQL_TOP_HOSTS,
     "robots_gate": SQL_ROBOTS_GATE,
     "pagerank3": SQL_PAGERANK3,
