@@ -41,7 +41,28 @@ STOPWORDS_REF = ("www", "com", "a", "of", "the", "for")  # SearchEngine.h:580-58
 MAX_SEARCH = 100_000_000  # per-term read cap default, PageSearcher.cpp:35,425
 
 _SECTIONS = (("url", 0, URL_WEIGHT), ("title", 1, TITLE_WEIGHT), ("body", 2, BODY_WEIGHT))
-_TOKEN_RE = "[A-Za-z0-9.]+"  # isValidWordChar runs with '.'-folding
+
+# getWords' two word-building branches (SearchEngine.cpp:407-447):
+# an ASCII word is a run of isValidWordChar ([A-Za-z0-9.] after
+# '.'-folding) that STOPS at any non-ASCII byte; a word starting with a
+# non-ASCII char (getNextUTF8Len, SearchEngine.h:167-194) absorbs both
+# further multi-byte chars AND trailing ASCII word chars. The regex
+# alternation reproduces exactly that asymmetry ('café' -> 'caf','é';
+# '北京abc' -> '北京abc') and is unambiguous (each alternative is
+# anchored on a disjoint first-char class), so Java regex and RE2
+# tokenize identically.
+_TOKEN_RE = "[A-Za-z0-9.]+|[\\x{80}-\\x{10FFFF}][A-Za-z0-9.\\x{80}-\\x{10FFFF}]*"
+
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _ascii_lower_expr(tok):
+    """C-locale tolower (SearchEngine.cpp:411,441): ASCII A-Z only —
+    non-ASCII chars keep their bytes verbatim. translate() is
+    bit-identical in Spark and DuckDB, with none of the Unicode-lower
+    edge cases (Turkish İ, ß) that differ between JVM and utf8proc."""
+    return F.translate(tok, _ASCII_UPPER, _ASCII_LOWER)
 
 
 def _clean_token_expr(tok):
@@ -62,11 +83,16 @@ def _section_tok_array(col, sec_w: float):
     )
     cleaned = F.transform(toks, _clean_token_expr)
     kept = F.filter(cleaned, lambda t: F.length(t) > 0)
+    # capital is only ever set in the reference's ASCII branch
+    # (SearchEngine.cpp:412; the non-English branch never sets it, even
+    # for embedded ASCII uppercase) — gate on the first char's class
     return F.transform(
         kept,
         lambda t: F.struct(
-            F.lower(t).alias("word"),
-            (t != F.lower(t)).alias("capital"),
+            _ascii_lower_expr(t).alias("word"),
+            ((t != _ascii_lower_expr(t)) & t.rlike("^[A-Za-z0-9.]")).alias(
+                "capital"
+            ),
             F.lit(sec_w).alias("sec_w"),
         ),
     )

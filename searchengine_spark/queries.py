@@ -648,12 +648,29 @@ FROM postings GROUP BY term ORDER BY term
 # weighted dict (getWords parity — SearchEngine.cpp:306-490)
 # ---------------------------------------------------------------------------
 
+# non-ASCII fixture tokens (P7): every ~29th title carries one, so the
+# UTF-8 tokenizer branch (ASCII words break at non-ASCII bytes; words
+# starting non-ASCII absorb trailing ASCII word chars) is exercised on
+# the driver's hash gate — 'Café' -> 'caf'(capital)+'é', 'naïve' ->
+# 'na'+'ïve', 'Über' stays 'Über' (C tolower touches ASCII only),
+# '北京大学' is one word.
+NONASCII_TOKENS = ["Café", "naïve", "Über", "北京大学"]
+
+
 def _weighted_sections(spark, sf_dir):
     """Section columns for the weighted index over the documents table:
     url = the grammar URL, title = first 4 words with the first
-    uppercased (so capitalFactor has real work), body = text."""
+    uppercased (so capitalFactor has real work) plus the periodic
+    non-ASCII fixture token, body = text."""
     d = _docs(spark, sf_dir)
     w = F.split(F.col("text"), " ")
+    extra = F.when(
+        F.col("doc_id") % 29 == 0,
+        F.element_at(
+            F.array(*[F.lit(t) for t in NONASCII_TOKENS]),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ),
+    )
     return d.select(
         "doc_id",
         raw_url_expr("doc_id").alias("url"),
@@ -663,6 +680,7 @@ def _weighted_sections(spark, sf_dir):
             F.element_at(w, 2),
             F.element_at(w, 3),
             F.element_at(w, 4),
+            extra,
         ).alias("title"),
         F.col("text").alias("body"),
     )
@@ -673,12 +691,18 @@ _STOP_SQL = ", ".join(f"'{s}'" for s in IX.STOPWORDS_REF)
 # DuckDB twin of tokenize_sections + build_weighted_postings over the
 # same derived sections. `acc` is the token stream (phrase matching),
 # `wpostings` the final dict.
+_NONASCII_SQL = (
+    "CASE WHEN doc_id % 29 = 0 THEN (CASE (doc_id % 4) "
+    + " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(NONASCII_TOKENS))
+    + " END) ELSE NULL END"
+)
+
 WEIGHTED_CTES = f"""
   secsrc AS (
     SELECT doc_id, {raw_url_sql('doc_id')} AS url,
            concat_ws(' ', upper(string_split(text,' ')[1]),
                      string_split(text,' ')[2], string_split(text,' ')[3],
-                     string_split(text,' ')[4]) AS title,
+                     string_split(text,' ')[4], {_NONASCII_SQL}) AS title,
            text AS body
     FROM documents
   ),
@@ -689,8 +713,8 @@ WEIGHTED_CTES = f"""
   ),
   rawtok AS (
     SELECT doc_id, sec_no, sec_w,
-           unnest(regexp_extract_all(coalesce(sec_text,''), '[A-Za-z0-9.]+')) AS tok0,
-           unnest(range(1, len(regexp_extract_all(coalesce(sec_text,''), '[A-Za-z0-9.]+')) + 1)) AS sec_pos
+           unnest(regexp_extract_all(coalesce(sec_text,''), '{IX._TOKEN_RE}')) AS tok0,
+           unnest(range(1, len(regexp_extract_all(coalesce(sec_text,''), '{IX._TOKEN_RE}')) + 1)) AS sec_pos
     FROM sections
   ),
   cleantok AS (
@@ -700,7 +724,10 @@ WEIGHTED_CTES = f"""
     FROM rawtok
   ),
   stream AS (
-    SELECT doc_id, sec_w, lower(tok) AS word, (tok <> lower(tok)) AS capital,
+    SELECT doc_id, sec_w,
+           translate(tok, '{IX._ASCII_UPPER}', '{IX._ASCII_LOWER}') AS word,
+           (tok <> translate(tok, '{IX._ASCII_UPPER}', '{IX._ASCII_LOWER}')
+            AND regexp_matches(tok, '^[A-Za-z0-9.]')) AS capital,
            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sec_no, sec_pos) AS position
     FROM cleantok WHERE length(tok) > 0
   ),

@@ -321,3 +321,27 @@ def test_phrase_doc_matches_adjacency(spark):
     got2 = {r["doc_id"] for r in
             IX.phrase_doc_matches(toks, ["statue", "of", "liberty"]).collect()}
     assert got2 == {"C"}
+
+
+def test_utf8_tokenizer_asymmetry(spark):
+    """P7 (getWords, SearchEngine.cpp:407-447 + getNextUTF8Len,
+    SearchEngine.h:167-194): an ASCII word stops at a non-ASCII byte,
+    a word STARTING non-ASCII absorbs trailing ASCII word chars, C
+    tolower touches ASCII only, and capital is only set in the ASCII
+    branch."""
+    docs = spark.createDataFrame(
+        [("d1", "", "Café naïve Über 北京大学x", "")],
+        "doc_id string, url string, title string, body string",
+    )
+    got = [
+        (r["word"], r["capital"])
+        for r in IX.tokenize_sections(docs).orderBy("position").collect()
+    ]
+    assert got == [
+        ("caf", True),
+        ("é", False),
+        ("na", False),
+        ("ïve", False),
+        ("Über", False),  # tolower is ASCII-only; non-ASCII start => no capital
+        ("北京大学x", False),  # non-ASCII word absorbs trailing ASCII
+    ]
