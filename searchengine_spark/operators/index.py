@@ -423,44 +423,63 @@ def _min_posdiff(i: int, j: int):
     return F.least(*diffs)
 
 
-def search_weighted(
+def _norm_small(small_postings: DataFrame) -> DataFrame:
+    """Small dict (sterm, doc_id, pos|first_pos, rank) -> the search
+    shape (term, doc_id, pos, rank)."""
+    return _norm_postings(small_postings.withColumnRenamed("sterm", "term"))
+
+
+def route_small(
+    small: DataFrame | None, term: str
+) -> bool:
+    """The reference's dict routing (PageSearcher.cpp:412-419): a query
+    word of length <= DictWordSmall::MaxWordLen probes the SMALL dict
+    first and uses it when the range is non-empty, falling back to the
+    main dict otherwise. DictWordSmall's cmp (Phrase=false,
+    SearchEngine.h:389-404) memcmp's the null terminator too, so the
+    small range is EXACT equality on the 8-byte truncated term — no
+    prefix/boundary expansion (that partial compare is Phrase-only).
+    The probe is a pruned limit(1) scan — the Spark analogue of the
+    reference's binary-search range probe. `small` must already be
+    normalized (_norm_small)."""
+    return (
+        small is not None
+        and len(term) <= SMALLWORDSIZE
+        and small.where(F.col("term") == term).limit(1).count() > 0
+    )
+
+
+def _tagged_top2(
     postings: DataFrame,
-    terms: list[str],
-    docs_meta: DataFrame | None = None,
-    host_col: str = "host",
-    k: int = MAX_SHOW,
-    max_search: int = MAX_SEARCH,
+    idx_terms: list[tuple[int, str]],
+    max_search: int,
+    exact: bool = False,
 ) -> DataFrame:
-    """Multi-term AND search over the weighted dict with the reference's
-    full ranking semantics:
-
-    * each word term expands through the prefix+boundary range compare
-      (expand_word_term — SearchEngine.h:389-415), capped at max_search
-      postings per term (PageSearcher.cpp:425; deterministic twin of
-      the tail-of-range cap: top by rank desc, term, doc);
-    * per (doc, term) PosRanks top-2 -> termRank = sum of kept ranks;
-    * coRank = prod over adjacent terms of max(0.9^(minPosDiff-1), 1e-6)
-      (PageSearcher.cpp:271-288), score = sum(termRanks) * coRank;
-    * top-K then best-doc-per-host + n_more (A9).
-    """
-    postings = _norm_postings(postings)
-    n = len(terms)
-
-    # ONE pass over the dict: tag each posting with every query term it
-    # boundary-matches (the k separate filter-branches would each
-    # re-evaluate the whole upstream dict build k times in an ephemeral
-    # plan), then PosRanks top-2 per (doc, term) via a bounded
-    # sort_array/slice aggregate — no windows on the big input.
-    conds = [
-        (F.col("term") == t)
-        | (
-            F.col("term").startswith(t)
-            & ~F.substring("term", len(t) + 1, 1).rlike("^[a-z]$")
-        )
-        for t in terms
-    ]
+    """ONE pass over a dict: tag each posting with every query term it
+    matches (separate filter-branches would re-evaluate the whole
+    upstream dict build once per term in an ephemeral plan), then
+    PosRanks top-2 per (doc, term) via a bounded sort_array/slice
+    aggregate — no windows on the big input. `idx_terms` carries the
+    GLOBAL term index so sides from different dicts union cleanly.
+    exact=True is the small dict's null-terminated memcmp (term
+    equality); exact=False the main dict's prefix+boundary partial
+    compare (DictWord::cmp, SearchEngine.h:389-415)."""
+    if exact:
+        conds = [(i, F.col("term") == t) for i, t in idx_terms]
+    else:
+        conds = [
+            (
+                i,
+                (F.col("term") == t)
+                | (
+                    F.col("term").startswith(t)
+                    & ~F.substring("term", len(t) + 1, 1).rlike("^[a-z]$")
+                ),
+            )
+            for i, t in idx_terms
+        ]
     tag_arr = F.array(
-        *[F.when(c, F.lit(i)).otherwise(F.lit(None).cast("int")) for i, c in enumerate(conds)]
+        *[F.when(c, F.lit(i)).otherwise(F.lit(None).cast("int")) for i, c in conds]
     )
     tagged = postings.select(
         "doc_id",
@@ -478,7 +497,7 @@ def search_weighted(
             .where(F.col("_cr") <= max_search)
             .drop("_cr")
         )
-    top2 = (
+    return (
         tagged.groupBy("doc_id", "_ti")
         .agg(
             F.slice(
@@ -506,6 +525,52 @@ def search_weighted(
             F.element_at("_k", 2)["p"].alias("_pb"),
         )
     )
+
+
+def search_weighted(
+    postings: DataFrame,
+    terms: list[str],
+    docs_meta: DataFrame | None = None,
+    host_col: str = "host",
+    k: int = MAX_SHOW,
+    max_search: int = MAX_SEARCH,
+    small: DataFrame | None = None,
+) -> DataFrame:
+    """Multi-term AND search over the weighted dict with the reference's
+    full ranking semantics:
+
+    * dict routing (PageSearcher.cpp:412-419): with a small dict
+      present, each query word of length <= SMALLWORDSIZE probes it
+      first (exact-match range — DictWordSmall cmp is a null-terminated
+      memcmp) and uses it when non-empty; everything else expands
+      through the MAIN dict's prefix+boundary range compare
+      (expand_word_term — SearchEngine.h:389-415), capped at max_search
+      postings per term (PageSearcher.cpp:425; deterministic twin of
+      the tail-of-range cap: top by rank desc, term, doc);
+    * per (doc, term) PosRanks top-2 -> termRank = sum of kept ranks;
+    * coRank = prod over adjacent terms of max(0.9^(minPosDiff-1), 1e-6)
+      (PageSearcher.cpp:271-288), score = sum(termRanks) * coRank;
+    * top-K then best-doc-per-host + n_more (A9).
+    """
+    postings = _norm_postings(postings)
+    small_n = _norm_small(small) if small is not None else None
+    n = len(terms)
+
+    main_terms: list[tuple[int, str]] = []
+    small_terms: list[tuple[int, str]] = []
+    for i, t in enumerate(terms):
+        if route_small(small_n, t):
+            small_terms.append((i, t))
+        else:
+            main_terms.append((i, t))
+
+    parts: list[DataFrame] = []
+    if main_terms:
+        parts.append(_tagged_top2(postings, main_terms, max_search))
+    if small_terms:
+        parts.append(_tagged_top2(small_n, small_terms, max_search, exact=True))
+    top2 = reduce(lambda a, b: a.unionByName(b), parts)
+
     aggs = []
     for i in range(n):
         aggs += [
@@ -524,6 +589,13 @@ def _norm_postings(p: DataFrame) -> DataFrame:
     if "pos" not in p.columns and "first_pos" in p.columns:
         return p.withColumnRenamed("first_pos", "pos")
     return p
+
+
+def _small_word_side(small: DataFrame, term: str, idx: int) -> DataFrame:
+    """Small-dict side of one query word: the exact-match range (one
+    max-rank entry per doc, PageSearcher.cpp:440-448) through the same
+    PosRanks shape so it joins/scores like any other side."""
+    return _top2_per_doc(small.where(F.col("term") == term), idx)
 
 
 def _word_side(postings: DataFrame, term: str, idx: int, max_search: int) -> DataFrame:
@@ -697,15 +769,18 @@ def search_query(
     k: int = MAX_SHOW,
     tokens: DataFrame | None = None,
     max_search: int = MAX_SEARCH,
+    small: DataFrame | None = None,
 ) -> DataFrame:
     """Console-style entry (splitSentence + searchPages,
     PageSearcher.cpp:69-108,348-559): parse the query string, then
-    score with the weighted-dict semantics — word terms via the
-    prefix+boundary range compare, quoted phrases via true
-    adjacent-position matching over the token stream (requires the
-    `tokens` index; without it a phrase degrades to its words), an
+    score with the weighted-dict semantics — word terms via the small
+    dict when its exact range is non-empty (PageSearcher.cpp:412-419)
+    else the main dict's prefix+boundary range compare, quoted phrases
+    via true adjacent-position matching over the token stream (requires
+    the `tokens` index; without it a phrase degrades to its words), an
     explicit trailing-'*' term via most-common-dict-word expansion."""
     postings = _norm_postings(postings)
+    small_n = _norm_small(small) if small is not None else None
     parsed = parse_query(q)
     sides: list[DataFrame] = []
     idx = 0
@@ -732,7 +807,11 @@ def search_query(
                         sides.append(_word_side(postings, w, idx, max_search))
                         idx += 1
         else:
-            sides.append(_word_side(postings, p["term"], idx, max_search))
+            t = p["term"]
+            if route_small(small_n, t):
+                sides.append(_small_word_side(small_n, t, idx))
+            else:
+                sides.append(_word_side(postings, t, idx, max_search))
             idx += 1
     if not sides:
         raise ValueError("empty query")

@@ -88,6 +88,7 @@ class SearchService:
     def __init__(self, store: TableStore):
         self.store = store
         self._postings: DataFrame | None = None
+        self._small: DataFrame | None = None
         self._tokens: DataFrame | None = None
         self._meta: DataFrame | None = None
 
@@ -104,16 +105,13 @@ class SearchService:
     def refresh(self) -> None:
         docs = self._docs_pinned()
         self._postings = build_index(docs).cache()
+        self._small = build_small_postings(self._postings, pos_col="pos").cache()
         self._tokens = build_token_index(docs).cache()
         self._meta = docs.select(
             F.col("url_md5").alias("doc_id"), "url", "host"
         ).cache()
         self.store.commit("postings", self._postings, meta={"kind": "index"})
-        self.store.commit(
-            "postings_small",
-            build_small_postings(self._postings, pos_col="pos"),
-            meta={"kind": "index"},
-        )
+        self.store.commit("postings_small", self._small, meta={"kind": "index"})
         self.store.commit("tokens", self._tokens, meta={"kind": "index"})
 
     def search(self, q: str, k: int = 20) -> DataFrame:
@@ -125,6 +123,7 @@ class SearchService:
             self._meta.select("doc_id", "host"),
             k=k,
             tokens=self._tokens,
+            small=self._small,
         )
         return hits.join(self._meta.select("doc_id", "url"), "doc_id").orderBy(
             F.desc("score"), "doc_id"

@@ -804,25 +804,18 @@ def _min_posdiff_sql(i: int, j: int) -> str:
 SEARCH_TERMS = ["join", "sort"]
 
 
-def _search_sql(terms: list[str], k: int = 50) -> str:
-    """DuckDB twin of search_weighted over the weighted dict: boundary
-    expansion, PosRanks top-2, min-posdiff coRank, top-K, host dedup."""
-    parts = [
-        f"t{i} AS (SELECT * FROM wpostings WHERE {IX.expand_word_term_sql(t)})"
-        for i, t in enumerate(terms)
-    ]
-    parts += [_top2_sql(f"t{i}", i) for i in range(len(terms))]
-    joins = " JOIN ".join(["k0"] + [f"k{i} USING (doc_id)" for i in range(1, len(terms))])
-    sum_rank = " + ".join(f"trank_{i}" for i in range(len(terms)))
+def _score_tail_sql(n: int, k: int) -> str:
+    """The shared scoring tail over per-term CTEs t0..t{n-1}: PosRanks
+    top-2, min-posdiff coRank, top-K, host dedup."""
+    parts = [_top2_sql(f"t{i}", i) for i in range(n)]
+    joins = " JOIN ".join(["k0"] + [f"k{i} USING (doc_id)" for i in range(1, n)])
+    sum_rank = " + ".join(f"trank_{i}" for i in range(n))
     co = " * ".join(
         f"greatest(power(0.9, {_min_posdiff_sql(i, i + 1)} - 1), 1e-6)"
-        for i in range(len(terms) - 1)
+        for i in range(n - 1)
     ) or "1.0"
     return (
-        "WITH "
-        + WEIGHTED_CTES
-        + ","
-        + ",".join(parts)
+        ",".join(parts)
         + f""",
   j AS (
     SELECT k0.doc_id, round(({sum_rank}) * {co}, 6) AS score
@@ -838,6 +831,65 @@ def _search_sql(terms: list[str], k: int = 50) -> str:
 SELECT doc_id, score, host, (nh - 1) AS n_more_from_host
 FROM dd WHERE rn = 1 ORDER BY score DESC, doc_id
 """
+    )
+
+
+def _search_sql(terms: list[str], k: int = 50) -> str:
+    """DuckDB twin of search_weighted over the weighted dict: boundary
+    expansion, PosRanks top-2, min-posdiff coRank, top-K, host dedup."""
+    parts = [
+        f"t{i} AS (SELECT * FROM wpostings WHERE {IX.expand_word_term_sql(t)})"
+        for i, t in enumerate(terms)
+    ]
+    return (
+        "WITH "
+        + WEIGHTED_CTES
+        + ","
+        + ",".join(parts)
+        + ","
+        + _score_tail_sql(len(terms), k)
+    )
+
+
+def _search_small_sql(terms: list[str], k: int = 50) -> str:
+    """DuckDB twin of search_weighted WITH the small dict: a query word
+    of length <= SMALLWORDSIZE uses the small dict's EXACT range when
+    non-empty (DictWordSmall cmp memcmp's the null terminator,
+    SearchEngine.h:389-404; routing PageSearcher.cpp:412-419), else
+    falls back to the main dict's boundary expansion. The routing is
+    data-dependent, so the twin encodes it with EXISTS guards."""
+    parts = [
+        """sdict AS (
+    SELECT doc_id, sterm AS term, pos, rank FROM (
+      SELECT doc_id, substr(term, 1, 8) AS sterm, pos, rank,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, substr(term, 1, 8)
+                                ORDER BY rank DESC, term) rn
+      FROM wpostings) WHERE rn = 1
+  )"""
+    ]
+    for i, t in enumerate(terms):
+        tq = t.replace("'", "''")
+        if len(t) <= IX.SMALLWORDSIZE:
+            parts.append(f"st{i} AS (SELECT * FROM sdict WHERE term = '{tq}')")
+            parts.append(
+                f"t{i} AS (SELECT * FROM st{i} WHERE EXISTS (SELECT 1 FROM st{i})\n"
+                f"    UNION ALL\n"
+                f"    SELECT doc_id, term, pos, rank FROM wpostings\n"
+                f"    WHERE {IX.expand_word_term_sql(t)}"
+                f" AND NOT EXISTS (SELECT 1 FROM st{i}))"
+            )
+        else:
+            parts.append(
+                f"t{i} AS (SELECT doc_id, term, pos, rank FROM wpostings "
+                f"WHERE {IX.expand_word_term_sql(t)})"
+            )
+    return (
+        "WITH "
+        + WEIGHTED_CTES
+        + ","
+        + ",".join(parts)
+        + ","
+        + _score_tail_sql(len(terms), k)
     )
 
 
@@ -1760,12 +1812,37 @@ def q_search_boundary(spark, sf_dir):
 
 SQL_SEARCH_BOUNDARY = _search_sql([BOUNDARY_TERM])
 
+# 'httpxhos' is the 8-byte truncation of httpxhost0.com, httpxhost10.
+# co.uk, ... URL tokens: the small dict's exact range finds those docs
+# while the main dict's boundary rule REJECTS the expansion (next char
+# 't' is a letter) — the query is only answerable via the small dict,
+# which is exactly why the reference builds it (PageSearcher.cpp:412-419).
+SMALLROUTE_TERMS = ["httpxhos"]
+
+
+def q_search_smallterm(spark, sf_dir):
+    """Small-dict routing (S13/A6 + PageSearcher.cpp:412-419): query
+    words <= SMALLWORDSIZE probe the 8-byte small dict first and use
+    its exact-match range when non-empty, falling back to the main
+    dict's prefix+boundary expansion otherwise."""
+    docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
+    p = IX.build_weighted_postings(
+        _weighted_sections(spark, sf_dir), sorted_output=False
+    )
+    small = IX.build_small_postings(p, pos_col="pos")
+    return IX.search_weighted(p, SMALLROUTE_TERMS, docs_meta, k=50, small=small)
+
+
+SQL_SEARCH_SMALLTERM = _search_small_sql(SMALLROUTE_TERMS)
+
 QUERIES["weighted_postings"] = q_weighted_postings
 ORACLE_SQL["weighted_postings"] = SQL_WEIGHTED_POSTINGS
 QUERIES["search_phrase"] = q_search_phrase
 ORACLE_SQL["search_phrase"] = SQL_SEARCH_PHRASE
 QUERIES["search_boundary"] = q_search_boundary
 ORACLE_SQL["search_boundary"] = SQL_SEARCH_BOUNDARY
+QUERIES["search_smallterm"] = q_search_smallterm
+ORACLE_SQL["search_smallterm"] = SQL_SEARCH_SMALLTERM
 QUERIES["doc_lookup"] = q_doc_lookup
 ORACLE_SQL["doc_lookup"] = SQL_DOC_LOOKUP
 

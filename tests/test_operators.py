@@ -296,6 +296,39 @@ def test_search_top2_posranks_and_min_posdiff(spark):
     assert got[0]["score"] == 1.0
 
 
+def test_small_dict_routing(spark):
+    """PageSearcher.cpp:412-419 + DictWordSmall cmp (Phrase=false,
+    SearchEngine.h:389-404): a short query word uses the small dict's
+    EXACT range when non-empty (losing the main dict's boundary
+    expansions), falls back to the main dict when absent, and finds
+    8-byte truncations of long words the main boundary rule rejects."""
+    p = spark.createDataFrame(
+        [("ho", "d1", 1, 0.5), ("ho9", "d2", 1, 0.4),
+         ("verylongword", "d3", 7, 0.3)],
+        "term string, doc_id string, pos int, rank double",
+    )
+    small = IX.build_small_postings(p, pos_col="pos")
+
+    # exact small hit: 'ho' matches ONLY d1 (main-only would add d2
+    # through the digit-boundary expansion ho9)
+    assert {r["doc_id"] for r in
+            IX.search_weighted(p, ["ho"], k=10, small=small).collect()} == {"d1"}
+    assert {r["doc_id"] for r in
+            IX.search_weighted(p, ["ho"], k=10).collect()} == {"d1", "d2"}
+
+    # truncation-only hit: 'verylong' (8 chars) is no main-dict word
+    # and its boundary expansion is rejected (next char 'w' a letter),
+    # but the small dict's 8-byte truncation of verylongword finds d3
+    got = IX.search_weighted(p, ["verylong"], k=10, small=small).collect()
+    assert {r["doc_id"] for r in got} == {"d3"}
+    assert got[0]["score"] == 0.3
+    assert IX.search_weighted(p, ["verylong"], k=10).count() == 0
+
+    # a query word longer than SMALLWORDSIZE never probes the small
+    # dict: the full word still resolves through the main dict
+    assert IX.search_weighted(p, ["verylongword"], k=10, small=small).count() == 1
+
+
 def test_search_max_search_cap(spark):
     """PageSearcher.cpp:425: per-term postings capped before the join."""
     p = spark.createDataFrame(
