@@ -250,6 +250,19 @@ def fetch_spans_py(canonical_url: str, max_doc: int) -> list[dict]:
                 "offset": off,
             }
         )
+        off += 1
+    st = hash60_py(canonical_url, "style")
+    if st % 4 == 0:
+        # styled body span: <b>/<h1>/<h2> markup the index maps to the
+        # reference's style amplifiers (SearchEngine.cpp:307,455-457)
+        spans.append(
+            {
+                "kind": ("b", "h1", "h2")[st % 3],
+                "text": f"highlight{st % 20}",
+                "media_ref": None,
+                "offset": off,
+            }
+        )
     return spans
 
 

@@ -33,6 +33,12 @@ MAX_SHOW = 200  # PageSearcher.cpp:226
 URL_WEIGHT = 40.0  # SearchEngine.cpp:306
 TITLE_WEIGHT = 100.0
 BODY_WEIGHT = 1.0
+BOLD_MULT = 2.0  # boldMult, SearchEngine.cpp:307
+HDR_MULT = (4.0, 1.5, 1.4, 1.3, 1.0, 0.8)  # hdrMult h1..h6, SearchEngine.cpp:307
+# span-kind -> amplifier (the reference toggles bold/hdrIndex while
+# scanning <b>/<h1..h6> markup, SearchEngine.cpp:375-391, and applies
+# rank *= hdrMult[hdrIndex] then *= boldMult, :455-457)
+STYLE_MULTS = {"b": BOLD_MULT, **{f"h{i + 1}": m for i, m in enumerate(HDR_MULT)}}
 CAPITAL_FACTOR = 4.0  # SearchEngine.cpp:308
 DECAY = 0.999  # defactorMult, SearchEngine.cpp:309
 MAXWORDPERPAGE = 2000  # SearchEngine.h:25
@@ -77,7 +83,9 @@ def _clean_token_expr(tok):
     return F.substring(t, 1, MAXWORDLEN)
 
 
-def _section_tok_array(col, sec_w: float):
+def _tok_struct_array(col, w_col):
+    """Tokenize one text block into (word, capital, sec_w) structs,
+    sec_w from a column (block weight = section base x style mult)."""
     toks = F.regexp_extract_all(
         F.coalesce(col, F.lit("")), F.lit(_TOKEN_RE), F.lit(0)
     )
@@ -93,9 +101,13 @@ def _section_tok_array(col, sec_w: float):
             ((t != _ascii_lower_expr(t)) & t.rlike("^[A-Za-z0-9.]")).alias(
                 "capital"
             ),
-            F.lit(sec_w).alias("sec_w"),
+            w_col.cast("double").alias("sec_w"),
         ),
     )
+
+
+def _section_tok_array(col, sec_w: float):
+    return _tok_struct_array(col, F.lit(sec_w))
 
 
 def tokenize_sections(
@@ -104,9 +116,18 @@ def tokenize_sections(
     title_col: str = "title",
     body_col: str = "body",
     doc_col: str = "doc_id",
+    blocks_col: str | None = None,
 ) -> DataFrame:
     """(doc, url, title, body) -> the getWords token stream:
     (doc_id, word, capital, sec_w, position, decay_idx, n_acc).
+
+    With `blocks_col` (array<struct<text string, w double>>) the page
+    is instead an ordered list of weighted text blocks — the general
+    form the reference's markup scan produces: each block's weight is
+    its section base x the style amplifiers in force (<b> x2,
+    <h1..h6> x{4.0,1.5,1.4,1.3,1.0,0.8} — SearchEngine.cpp:307,
+    455-457; STYLE_MULTS maps span kinds to them). The 3-section
+    column form is the special case [(url,40),(title,100),(body,1)].
 
     Mirrors the reference scan order URL -> Title -> Body
     (state machine SearchEngine.cpp:321-331): `position` is the 1-based
@@ -123,11 +144,19 @@ def tokenize_sections(
     indexes come from array positions: `position` from the cleaned
     token array, `decay_idx` from the stop-filtered one.
     """
-    arr = F.concat(
-        _section_tok_array(F.col(url_col), URL_WEIGHT),
-        _section_tok_array(F.col(title_col), TITLE_WEIGHT),
-        _section_tok_array(F.col(body_col), BODY_WEIGHT),
-    )
+    if blocks_col is not None:
+        arr = F.flatten(
+            F.transform(
+                F.col(blocks_col),
+                lambda b: _tok_struct_array(b["text"], b["w"]),
+            )
+        )
+    else:
+        arr = F.concat(
+            _section_tok_array(F.col(url_col), URL_WEIGHT),
+            _section_tok_array(F.col(title_col), TITLE_WEIGHT),
+            _section_tok_array(F.col(body_col), BODY_WEIGHT),
+        )
     pos_arr = F.transform(
         arr,
         lambda x, i: F.struct(
@@ -164,6 +193,7 @@ def build_weighted_postings(
     max_words: int = MAXWORDPERPAGE,
     n_term_partitions: int = 8,
     sorted_output: bool = True,
+    blocks_col: str | None = None,
 ) -> DataFrame:
     """The reference-faithful index build (getWords,
     SearchEngine.cpp:306-490): per accepted token
@@ -178,14 +208,16 @@ def build_weighted_postings(
     totalRank on an update (`totalRank = rank - old`, :468 — an
     order-dependent accumulator bug); we normalize by the sum of the
     final per-word ranks, which is what the surrounding code computes
-    everywhere else. Bold/header multipliers (:307) apply to HTML
-    markup the synthetic corpus does not carry; the slot is the sec_w
-    column (an HTML-bearing corpus maps <b>/<h1..6> spans to it).
+    everywhere else. Bold/header multipliers (:307) arrive through
+    `blocks_col`: styled spans fold their STYLE_MULTS amplifier into
+    the block weight before tokenization (sec_w = base x mult).
 
     Output: postings(term, doc_id, pos, rank) range-partitioned +
     sorted by term (the 'finaldict' shape for pushdown pruning).
     """
-    stream = tokenize_sections(docs, url_col, title_col, body_col, doc_col)
+    stream = tokenize_sections(
+        docs, url_col, title_col, body_col, doc_col, blocks_col=blocks_col
+    )
     weighted = stream.withColumn(
         "weight",
         F.col("sec_w")

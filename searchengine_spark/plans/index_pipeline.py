@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from searchengine_spark.operators.index import (
+    STYLE_MULTS,
     build_small_postings,
     build_weighted_postings,
     search_query,
@@ -38,15 +39,35 @@ def _span_text(kind: str) -> F.Column:
 
 
 def doc_sections(docs: DataFrame) -> DataFrame:
-    """Interleaved docs -> the getWords section columns: the self URL
-    (state URL, weight 40 — SearchEngine.cpp:306,321-331), title spans
-    (weight 100) and text spans (body, weight 1) in document order;
-    media/link spans carry no words."""
+    """Interleaved docs -> the getWords weighted-block form: the self
+    URL (state URL, weight 40 — SearchEngine.cpp:306,321-331), title
+    spans (weight 100), then every body-bearing span in document order
+    — plain text at weight 1, styled spans (<b>/<h1..h6>) amplified by
+    STYLE_MULTS (SearchEngine.cpp:307,455-457); media/link spans carry
+    no words. Keeps url/title/body string columns for token-stream
+    consumers; `blocks` is what the index weighs."""
+    style_kinds = list(STYLE_MULTS)
+    mult = F.create_map(
+        *[x for k, m in STYLE_MULTS.items() for x in (F.lit(k), F.lit(m))]
+    )
+    body_kinds = ["text", *style_kinds]
+    body_blocks = F.transform(
+        F.filter("spans", lambda s: s["kind"].isin(*body_kinds)),
+        lambda s: F.struct(
+            s["text"].alias("text"),
+            F.coalesce(mult[s["kind"]], F.lit(1.0)).alias("w"),
+        ),
+    )
+    head = F.array(
+        F.struct(F.col("url").alias("text"), F.lit(40.0).alias("w")),
+        F.struct(_span_text("title").alias("text"), F.lit(100.0).alias("w")),
+    )
     return docs.select(
         F.col("url_md5").alias("doc_id"),
         F.col("url"),
         _span_text("title").alias("title"),
         _span_text("text").alias("body"),
+        F.concat(head, body_blocks).alias("blocks"),
         F.col("host"),
     )
 
@@ -69,14 +90,14 @@ def build_index(docs: DataFrame, with_pagerank: bool = True) -> DataFrame:
     pr = None
     if with_pagerank:
         pr = rank_docs(docs).withColumnRenamed("url_md5", "doc_id")
-    return build_weighted_postings(sections, page_rank=pr)
+    return build_weighted_postings(sections, page_rank=pr, blocks_col="blocks")
 
 
 def build_token_index(docs: DataFrame) -> DataFrame:
     """The positional token stream (doc_id, word, position) used by
     quoted-phrase adjacency matching — the Spark analogue of the
     reference's in-dict phrase entries."""
-    return tokenize_sections(doc_sections(docs)).select(
+    return tokenize_sections(doc_sections(docs), blocks_col="blocks").select(
         "doc_id", "word", "position"
     )
 

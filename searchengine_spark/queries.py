@@ -364,6 +364,9 @@ def q_crawl_fetch_log(spark, sf_dir):
         F.length(first_of("text")).alias("body_len"),
         F.size(F.filter(s, lambda x: x["kind"] == F.lit("link"))).alias("n_links"),
         F.exists(s, lambda x: x["kind"] == F.lit("media")).alias("has_media"),
+        F.element_at(
+            F.filter(s, lambda x: x["kind"].isin("b", "h1", "h2")), 1
+        )["kind"].alias("style_kind"),
         F.size(s).alias("n_spans"),
     ).orderBy("seq_in_round")
 
@@ -375,7 +378,12 @@ SELECT url, url_md5, host, shard, seq_in_round,
        (9 + length(url) + ({hash60_sql('url', 'len')} % 40)) AS body_len,
        4 AS n_links,
        ({hash60_sql('url', 'media')} % 3 = 0) AS has_media,
-       (6 + CASE WHEN {hash60_sql('url', 'media')} % 3 = 0 THEN 1 ELSE 0 END)
+       CASE WHEN {hash60_sql('url', 'style')} % 4 = 0 THEN
+         (CASE {hash60_sql('url', 'style')} % 3
+            WHEN 0 THEN 'b' WHEN 1 THEN 'h1' WHEN 2 THEN 'h2' END)
+       END AS style_kind,
+       (6 + CASE WHEN {hash60_sql('url', 'media')} % 3 = 0 THEN 1 ELSE 0 END
+          + CASE WHEN {hash60_sql('url', 'style')} % 4 = 0 THEN 1 ELSE 0 END)
          AS n_spans
 FROM ok ORDER BY seq_in_round
 """
@@ -658,10 +666,14 @@ NONASCII_TOKENS = ["Café", "naïve", "Über", "北京大学"]
 
 
 def _weighted_sections(spark, sf_dir):
-    """Section columns for the weighted index over the documents table:
-    url = the grammar URL, title = first 4 words with the first
-    uppercased (so capitalFactor has real work) plus the periodic
-    non-ASCII fixture token, body = text."""
+    """Section columns + styled blocks for the weighted index over the
+    documents table: url = the grammar URL, title = first 4 words with
+    the first uppercased (so capitalFactor has real work) plus the
+    periodic non-ASCII fixture token, body = text. `blocks` is the
+    ordered weighted-block form: body words 5-8 carry a deterministic
+    style amplifier (doc_id%7==3 -> <h1> x4.0, %7==5 -> <b> x2.0,
+    %7==1 -> bold-inside-<h2> x(1.5*2.0) — SearchEngine.cpp:307,
+    455-457), so style weights have driver-verified work to do."""
     d = _docs(spark, sf_dir)
     w = F.split(F.col("text"), " ")
     extra = F.when(
@@ -671,18 +683,51 @@ def _weighted_sections(spark, sf_dir):
             (F.col("doc_id") % 4 + 1).cast("int"),
         ),
     )
+    url = raw_url_expr("doc_id")
+    title = F.concat_ws(
+        " ",
+        F.upper(F.element_at(w, 1)),
+        F.element_at(w, 2),
+        F.element_at(w, 3),
+        F.element_at(w, 4),
+        extra,
+    )
+    pre = F.array_join(F.slice(w, 1, 4), " ")
+    mid = F.array_join(F.slice(w, 5, 4), " ")
+    # slice is lenient on start > size; clamp length to >=1 so the
+    # short-body case yields an empty tail instead of a negative length
+    post = F.array_join(F.slice(w, 9, F.greatest(F.size(w) - 8, F.lit(1))), " ")
+    mod7 = F.col("doc_id") % 7
+    mult = (
+        F.when(mod7 == 3, F.lit(IX.STYLE_MULTS["h1"]))
+        .when(mod7 == 5, F.lit(IX.STYLE_MULTS["b"]))
+        .when(mod7 == 1, F.lit(IX.STYLE_MULTS["h2"] * IX.STYLE_MULTS["b"]))
+        .otherwise(F.lit(1.0))
+    )
+
+    def _blk(text, wgt):
+        return F.struct(text.alias("text"), wgt.cast("double").alias("w"))
+
     return d.select(
         "doc_id",
-        raw_url_expr("doc_id").alias("url"),
-        F.concat_ws(
-            " ",
-            F.upper(F.element_at(w, 1)),
-            F.element_at(w, 2),
-            F.element_at(w, 3),
-            F.element_at(w, 4),
-            extra,
-        ).alias("title"),
+        url.alias("url"),
+        title.alias("title"),
         F.col("text").alias("body"),
+        F.array(
+            _blk(url, F.lit(IX.URL_WEIGHT)),
+            _blk(title, F.lit(IX.TITLE_WEIGHT)),
+            _blk(pre, F.lit(IX.BODY_WEIGHT)),
+            _blk(mid, F.lit(IX.BODY_WEIGHT) * mult),
+            _blk(post, F.lit(IX.BODY_WEIGHT)),
+        ).alias("blocks"),
+    )
+
+
+def _wpostings_blocks(spark, sf_dir, **kw):
+    """The styled weighted dict every search/index catalog query runs
+    over (blocks form of _weighted_sections)."""
+    return IX.build_weighted_postings(
+        _weighted_sections(spark, sf_dir), blocks_col="blocks", **kw
     )
 
 
@@ -697,19 +742,28 @@ _NONASCII_SQL = (
     + " END) ELSE NULL END"
 )
 
+_H1 = IX.STYLE_MULTS["h1"]
+_B = IX.STYLE_MULTS["b"]
+_H2B = IX.STYLE_MULTS["h2"] * IX.STYLE_MULTS["b"]
+
 WEIGHTED_CTES = f"""
   secsrc AS (
     SELECT doc_id, {raw_url_sql('doc_id')} AS url,
-           concat_ws(' ', upper(string_split(text,' ')[1]),
-                     string_split(text,' ')[2], string_split(text,' ')[3],
-                     string_split(text,' ')[4], {_NONASCII_SQL}) AS title,
-           text AS body
-    FROM documents
+           concat_ws(' ', upper(wl[1]), wl[2], wl[3], wl[4],
+                     {_NONASCII_SQL}) AS title,
+           array_to_string(list_slice(wl, 1, 4), ' ') AS body_pre,
+           array_to_string(list_slice(wl, 5, 8), ' ') AS body_mid,
+           array_to_string(list_slice(wl, 9, len(wl)), ' ') AS body_post,
+           CASE doc_id % 7 WHEN 3 THEN {_H1} WHEN 5 THEN {_B}
+                           WHEN 1 THEN {_H2B} ELSE 1.0 END AS style_mult
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS wl FROM documents)
   ),
   sections AS (
     SELECT doc_id, 0 AS sec_no, 40.0 AS sec_w, url AS sec_text FROM secsrc
     UNION ALL SELECT doc_id, 1, 100.0, title FROM secsrc
-    UNION ALL SELECT doc_id, 2, 1.0, body FROM secsrc
+    UNION ALL SELECT doc_id, 2, 1.0, body_pre FROM secsrc
+    UNION ALL SELECT doc_id, 3, style_mult, body_mid FROM secsrc
+    UNION ALL SELECT doc_id, 4, 1.0, body_post FROM secsrc
   ),
   rawtok AS (
     SELECT doc_id, sec_no, sec_w,
@@ -769,9 +823,7 @@ def q_weighted_postings(spark, sf_dir):
     hash-checked against the DuckDB twin — any drift in section
     weights, capital factor, decay, stop list, cap, or normalization
     fails this query."""
-    return IX.build_weighted_postings(_weighted_sections(spark, sf_dir)).orderBy(
-        "term", "doc_id"
-    )
+    return _wpostings_blocks(spark, sf_dir).orderBy("term", "doc_id")
 
 
 SQL_WEIGHTED_POSTINGS = (
@@ -899,9 +951,7 @@ def q_search_2term(spark, sf_dir):
     docs_meta = _docs(spark, sf_dir).select(
         "doc_id", F.col("source").alias("host")
     )
-    p = IX.build_weighted_postings(
-        _weighted_sections(spark, sf_dir), sorted_output=False
-    )
+    p = _wpostings_blocks(spark, sf_dir, sorted_output=False)
     return IX.search_weighted(p, SEARCH_TERMS, docs_meta, k=50)
 
 
@@ -1711,9 +1761,7 @@ def q_search_3term(spark, sf_dir):
     """J4 with k=3 over the weighted dict: three-way inner join on doc,
     chained adjacent-pair min-posdiff proximity."""
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
-    p = IX.build_weighted_postings(
-        _weighted_sections(spark, sf_dir), sorted_output=False
-    )
+    p = _wpostings_blocks(spark, sf_dir, sorted_output=False)
     return IX.search_weighted(p, SEARCH3, docs_meta, k=50)
 
 
@@ -1748,8 +1796,10 @@ def q_search_phrase(spark, sf_dir):
     position+1, so a words-present-but-not-adjacent doc failing THIS
     query while passing search_2term is the tested behavior)."""
     sections = _weighted_sections(spark, sf_dir)
-    p = IX.build_weighted_postings(sections, sorted_output=False)
-    toks = IX.tokenize_sections(sections).select("doc_id", "word", "position")
+    p = IX.build_weighted_postings(sections, sorted_output=False, blocks_col="blocks")
+    toks = IX.tokenize_sections(sections, blocks_col="blocks").select(
+        "doc_id", "word", "position"
+    )
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
     return IX.search_query(
         p, f'"{" ".join(SEARCH_PHRASE)}"', docs_meta, k=50, tokens=toks
@@ -1804,9 +1854,7 @@ def q_search_boundary(spark, sf_dir):
     host19.org, ...), and PosRanks top-2 aggregates multi-word
     expansions per doc."""
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
-    p = IX.build_weighted_postings(
-        _weighted_sections(spark, sf_dir), sorted_output=False
-    )
+    p = _wpostings_blocks(spark, sf_dir, sorted_output=False)
     return IX.search_weighted(p, [BOUNDARY_TERM], docs_meta, k=50)
 
 
@@ -1826,9 +1874,7 @@ def q_search_smallterm(spark, sf_dir):
     its exact-match range when non-empty, falling back to the main
     dict's prefix+boundary expansion otherwise."""
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
-    p = IX.build_weighted_postings(
-        _weighted_sections(spark, sf_dir), sorted_output=False
-    )
+    p = _wpostings_blocks(spark, sf_dir, sorted_output=False)
     small = IX.build_small_postings(p, pos_col="pos")
     return IX.search_weighted(p, SMALLROUTE_TERMS, docs_meta, k=50, small=small)
 

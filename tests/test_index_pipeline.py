@@ -34,6 +34,23 @@ def test_doc_sections_from_spans(crawled):
     assert "body of" in row["body"]
 
 
+def test_style_spans_amplify_index_rank(crawled):
+    """Corpus style spans (<b>/<h1>/<h2>, corpus.fetch_spans_py) reach
+    the index as weight amplifiers: the styled 'highlightN' word
+    (mult >= 1.5) outranks the doc's plain body word (weight 1) even
+    though the body word appears earlier (decay favors it)."""
+    docs = crawled.store.read("docs")
+    idx = build_index(docs, with_pagerank=False)
+    styled = idx.where(F.col("term").startswith("highlight")).collect()
+    assert styled, "no styled span in the crawled corpus slice"
+    body = {
+        r["doc_id"]: r["rank"]
+        for r in idx.where(F.col("term") == "body").collect()
+    }
+    for r in styled:
+        assert r["rank"] > body[r["doc_id"]]
+
+
 def test_rank_docs_produces_valid_ranks(crawled):
     docs = crawled.store.read("docs")
     ranks = rank_docs(docs).collect()

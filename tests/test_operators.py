@@ -267,6 +267,31 @@ def test_weighted_postings_max_words_cap(spark):
     assert uncapped["aa"] > full["aa"]  # uncapped sees the 4x capital update
 
 
+def test_style_weight_blocks(spark):
+    """SearchEngine.cpp:307,455-457: <b>/<h1..h6> amplify the section
+    base weight. Same text, one doc with the second word bold: the
+    styled doc's ranking flips relative to the plain doc."""
+    from pyspark.sql import Row, functions as F
+
+    def blocks(mult):
+        return [Row(text="alpha", w=1.0), Row(text="beta", w=1.0 * mult)]
+
+    docs = spark.createDataFrame(
+        [("plain", blocks(1.0)), ("bold", blocks(IX.STYLE_MULTS["b"]))],
+        "doc_id string, blocks array<struct<text string, w double>>",
+    )
+    got = {
+        (r["doc_id"], r["term"]): r["rank"]
+        for r in IX.build_weighted_postings(docs, blocks_col="blocks").collect()
+    }
+    # plain: alpha (w=1) outranks beta (w=0.999 after decay)
+    assert got[("plain", "alpha")] > got[("plain", "beta")]
+    # bold: beta (w=2*0.999) outranks alpha (w=1)
+    assert got[("bold", "beta")] > got[("bold", "alpha")]
+    # h1..h6 multipliers are the reference's exact table
+    assert IX.STYLE_MULTS["h1"] == 4.0 and IX.STYLE_MULTS["h6"] == 0.8
+
+
 def test_expand_word_term_boundary_rule(spark):
     """SearchEngine.h:404-414: prefix hit only counts when the next
     char is not an ASCII letter."""
