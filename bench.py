@@ -199,11 +199,15 @@ def crawl_round_bench(spark, n_frontier: int, workdir: str | None = None) -> dic
             ]
             for j in range(fanout):
                 t = hash60_py(f"{u}#{j}", "bl")
+                # modulus is the URL UNIVERSE (8x frontier), never the
+                # pandas batch length: a batch-sized link space would
+                # make dedup pressure depend on partition layout (and
+                # on core count in the scaling runs)
                 spans.append(
                     {
                         "kind": "link",
                         "text": None,
-                        "media_ref": f"http://bhost{t % n_hosts}.com/q/{t % (8 * len(urls))}",
+                        "media_ref": f"http://bhost{t % n_hosts}.com/q/{t % (8 * n_frontier)}",
                         "offset": 2 + j,
                     }
                 )

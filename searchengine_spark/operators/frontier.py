@@ -140,6 +140,7 @@ def schedule_round(
     round_no: int,
     cfg: CrawlConfig,
     cache_handles: list | None = None,
+    small_hosts: bool = False,
 ) -> DataFrame:
     """One scheduling round: politeness-eligible -> 1 URL/host ->
     per-shard quota -> deterministic seq_in_round.
@@ -147,15 +148,22 @@ def schedule_round(
     Ordering contract (replaces the reference's randomness): pick by
     (discovered_round, url_md5) at both the host and shard level.
     """
-    # no broadcast HINT: AQE auto-broadcasts a small hosts dim, while a
-    # huge one (bench stress shapes use 1 host per 2 URLs) gets a
-    # parallel shuffle join — a forced broadcast made the driver
-    # serially collect+build millions of rows per round, a serial term
-    # that capped N->4N scaling efficiency. At production scale both
-    # state tables live bucketed by host (co-located join, no exchange).
-    eligible = frontier.join(
-        hosts.select("host", "next_allowed_round"), "host", "left"
-    ).where(F.coalesce(F.col("next_allowed_round"), F.lit(0)) <= F.lit(round_no))
+    # broadcast policy is size-based, decided by the CALLER (who knows
+    # the shape): `small_hosts=True` hints broadcast for a DERIVED
+    # hosts dim whose static stats Spark can't see (a bare shuffle
+    # would cost an extra AQE wave). Default: no hint — AQE
+    # auto-broadcasts a small parquet-backed dim, while a huge one
+    # (bench stress shapes use 1 host per 2 URLs) gets a parallel
+    # shuffle join; a forced broadcast there made the driver serially
+    # collect+build millions of rows per round, a serial term that
+    # capped N->4N scaling efficiency. At production scale both state
+    # tables live bucketed by host (co-located join, no exchange).
+    h = hosts.select("host", "next_allowed_round")
+    if small_hosts:
+        h = F.broadcast(h)
+    eligible = frontier.join(h, "host", "left").where(
+        F.coalesce(F.col("next_allowed_round"), F.lit(0)) <= F.lit(round_no)
+    )
 
     # per-host pick = min(struct(discovered_round, url_md5, ...)):
     # map-side-combinable aggregate, not a sort window — at 10^10 rows
@@ -177,8 +185,16 @@ def schedule_round(
     )
 
     return with_global_seq(
-        scheduled, ["discovered_round", "url_md5"], "seq_in_round", cache_handles
+        scheduled,
+        ["discovered_round", "url_md5"],
+        "seq_in_round",
+        cache_handles,
+        bound=cfg.n_shards * cfg.per_shard_quota,
+        bucket=F.conv(F.substring("url_md5", 1, 2), 16, 10).cast("int"),
     ).withColumn("round", F.lit(round_no))
+
+
+SEQ_LOCAL_SORT_MAX = 65536  # rows a single task can sort without spilling
 
 
 def with_global_seq(
@@ -186,45 +202,68 @@ def with_global_seq(
     order_cols: list[str],
     out: str,
     cache_handles: list | None = None,
+    bound: int | None = None,
+    bucket=None,
 ) -> DataFrame:
     """Deterministic global 1-based rank by order_cols WITHOUT a
-    single-partition sort: range-partition on the keys, rank locally,
-    then offset each partition by the cumulative counts of the
-    partitions before it (a tiny driver-side collect of one count per
-    partition). The rank values are a pure function of the data —
-    independent of parallelism — so the oracle simulator reproduces
-    them exactly.
+    single-partition sort. The rank values are a pure function of the
+    data — independent of parallelism — so the oracle simulator
+    reproduces them exactly. Two shapes:
 
-    The intermediate `ranged` MUST be cached: the counts pass and the
-    final pass must see the same range bounds (re-sampling on recompute
-    is not guaranteed order-stable). The cache is bounded (post-quota
-    rows), but a long crawl loop would accumulate one per round — pass
-    `cache_handles` and unpersist them after consuming the result."""
-    ranged = (
-        df.repartitionByRange(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()  # bounded (post-quota); counts pass + final pass reuse it
-    )
+    * `bound` (a STATIC row-count bound on df, e.g. the scheduler's
+      shards x quota) at or under SEQ_LOCAL_SORT_MAX: a one-task sort
+      window — one pass, zero extra jobs. The forbidden shape
+      (Window.orderBy without partitionBy over unbounded rows) is
+      exactly what `bound` rules out.
+    * otherwise a STATIC range partition: `bucket` must be a monotone
+      function of the LAST order column (e.g. the first two hex chars
+      of url_md5 — uniform by construction, so no skew), making every
+      (leading cols..., bucket) group a contiguous slice of the global
+      order. Rank locally per group, then offset each group by the
+      cumulative counts of the groups before it (a driver-side collect
+      of one count per group, broadcast-joined back). Unlike
+      repartitionByRange this needs NO sampling pass (which would
+      re-evaluate the whole upstream plan) and NO load-bearing cache —
+      the partitioning is computed, not sampled. The input is cached —
+      a pure PERFORMANCE cache (the counts pass, the final pass and
+      downstream consumers would otherwise each re-evaluate the whole
+      scheduling subtree), not a correctness dependency as the sampled
+      form's was. Pass `cache_handles` in loops and unpersist after
+      consuming the result.
+    """
+    if bound is not None and bound <= SEQ_LOCAL_SORT_MAX:
+        w_one = W.partitionBy(F.lit(0)).orderBy(*order_cols)
+        return df.withColumn(out, F.row_number().over(w_one).cast("int"))
+    if bucket is None:
+        raise ValueError("unbounded global seq requires a static bucket expr")
+    df = df.cache()
     if cache_handles is not None:
-        cache_handles.append(ranged)
-    counts = {
-        r["_pid"]: r["n"]
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
-    }
+        cache_handles.append(df)
+    lead = list(order_cols[:-1])
+    b = df.withColumn("_gb", bucket)
+    counts = b.groupBy(*lead, "_gb").agg(F.count("*").alias("_n")).collect()
     if not counts:
         return df.withColumn(out, F.lit(None).cast("int"))
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    keyed = sorted(
+        (tuple(r[c] for c in lead) + (r["_gb"],), r["_n"]) for r in counts
     )
-    w_local = W.partitionBy("_pid").orderBy(*order_cols)
+    off_rows, acc = [], 0
+    for key, n in keyed:
+        off_rows.append((*key, acc))
+        acc += n
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    b_schema = {f.name: f for f in b.schema.fields}
+    off_schema = StructType(
+        [b_schema[c] for c in (*lead, "_gb")] + [StructField("_off", LongType())]
+    )
+    offs = df.sparkSession.createDataFrame(off_rows, off_schema)
+    w_local = W.partitionBy(*lead, "_gb").orderBy(*order_cols)
     return (
-        ranged.withColumn("_lrn", F.row_number().over(w_local))
-        .withColumn(out, (off_map[F.col("_pid")] + F.col("_lrn")).cast("int"))
-        .drop("_pid", "_lrn")
+        b.join(F.broadcast(offs), [*lead, "_gb"], "left")
+        .withColumn("_lrn", F.row_number().over(w_local))
+        .withColumn(out, (F.col("_off") + F.col("_lrn")).cast("int"))
+        .drop("_gb", "_off", "_lrn")
     )
 
 

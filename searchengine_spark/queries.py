@@ -175,7 +175,10 @@ def q_schedule_round(spark, sf_dir):
             "next_allowed_round"
         ),
     )
-    return FR.schedule_round(cand, hosts, 1, QCFG).select(
+    # hosts here is DERIVED (distinct over the parse pipeline) — Spark
+    # has no static stats for it, so hint the broadcast instead of
+    # paying an AQE replan wave (it is <= one row per grammar host)
+    return FR.schedule_round(cand, hosts, 1, QCFG, small_hosts=True).select(
         "url", "url_md5", "host", "shard", "discovered_round", "seq_in_round"
     )
 

@@ -61,6 +61,29 @@ def test_bloom_dedup_equals_exact_antijoin(spark):
     assert via_bloom == exact
 
 
+def test_global_seq_bucket_path_exact(spark):
+    """The static-range (md5-prefix bucket) form of with_global_seq —
+    the shape large scheduling rounds take — produces the exact global
+    (discovered_round, url_md5) rank, no sampling pass, no cache."""
+    import hashlib
+
+    rows = [(hashlib.md5(f"u{i}".encode()).hexdigest(), i % 3) for i in range(5000)]
+    df = spark.createDataFrame(rows, "url_md5 string, discovered_round int")
+    bucket = F.conv(F.substring("url_md5", 1, 2), 16, 10).cast("int")
+    got = FR.with_global_seq(
+        df, ["discovered_round", "url_md5"], "seq", bound=None, bucket=bucket
+    ).collect()
+    expect = {k: i + 1 for i, k in enumerate(sorted((r[1], r[0]) for r in rows))}
+    assert all(
+        expect[(r["discovered_round"], r["url_md5"])] == r["seq"] for r in got
+    )
+    # and the bounded fast path agrees on the same input
+    fast = FR.with_global_seq(df, ["discovered_round", "url_md5"], "seq", bound=5000)
+    assert {(r["url_md5"], r["seq"]) for r in fast.collect()} == {
+        (r["url_md5"], r["seq"]) for r in got
+    }
+
+
 def test_postings_sorted_within_partitions(spark):
     from searchengine_spark.operators.index import build_postings
 
