@@ -4,11 +4,16 @@ PageSearcher.cpp:348-559 — searchPages over a crawled store).
     python run_search.py --store /tmp/crawlstore --query 'page body'
     python run_search.py --store /tmp/crawlstore --query '"page https"' --k 5
     python run_search.py --store /tmp/crawlstore --get <url_md5>
+    python run_search.py --store /tmp/crawlstore --get-index 0
+    python run_search.py --store /tmp/crawlstore --query sort --unmerge
 
 Builds (or refreshes) the weighted dict + token index from the store's
-docs snapshot, then serves the query: words get the boundary-rule range
-expansion, quoted phrases true positional adjacency, a trailing '*'
-most-common-dict-word expansion. Output: one JSON line per hit.
+docs snapshot, then serves the query: short words route to the small
+dict's exact range, other words get the boundary-rule range expansion,
+quoted phrases true positional adjacency, a trailing '*' most-common-
+dict-word expansion. The reference console's '#' parameters map to
+flags: #maxShow -> --k, #maxSearch -> --max-search, #merge/#unmerge ->
+--unmerge, #get <index> -> --get-index. Output: one JSON line per hit.
 """
 
 from __future__ import annotations
@@ -23,11 +28,23 @@ def main(argv=None) -> int:
     ap.add_argument("--store", required=True, help="crawl state-store root")
     ap.add_argument("--query", help="query string (supports \"phrases\" and prefix*)")
     ap.add_argument("--get", help="dump one doc's spans by url_md5")
-    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument(
+        "--get-index", type=int, default=None,
+        help="dump the Nth inserted doc (#get <index>; 0-based)",
+    )
+    ap.add_argument("--k", type=int, default=10, help="#maxShow")
+    ap.add_argument(
+        "--max-search", type=int, default=None,
+        help="#maxSearch: per-term postings read cap",
+    )
+    ap.add_argument(
+        "--unmerge", action="store_true",
+        help="#unmerge: raw top-K, no host-dedup of results",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
-    if not args.query and not args.get:
-        print("error: need --query or --get", file=sys.stderr)
+    if not args.query and not args.get and args.get_index is None:
+        print("error: need --query, --get or --get-index", file=sys.stderr)
         return 2
 
     from searchengine_spark.plans.crawl import CrawlDriver
@@ -41,22 +58,35 @@ def main(argv=None) -> int:
         spark.stop()
         return 2
     svc = SearchService(driver.store)
-    if args.get:
-        for r in svc.get_doc(args.get).collect():
+    if args.get or args.get_index is not None:
+        doc = (
+            svc.get_doc(args.get)
+            if args.get
+            else svc.get_doc_by_index(args.get_index)
+        )
+        for r in doc.collect():
             print(json.dumps({"url_md5": r["url_md5"], "url": r["url"],
                               "n_spans": len(r["spans"])}))
     else:
         try:
-            hits = svc.search(args.query, k=args.k).collect()
+            hits = svc.search(
+                args.query,
+                k=args.k,
+                merge_host=not args.unmerge,
+                max_search=args.max_search,
+            ).collect()
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             spark.stop()
             return 2
         for r in hits:
-            print(json.dumps({
+            out = {
                 "doc_id": r["doc_id"], "score": r["score"], "host": r["host"],
-                "url": r["url"], "n_more_from_host": r["n_more_from_host"],
-            }))
+                "url": r["url"],
+            }
+            if not args.unmerge:
+                out["n_more_from_host"] = r["n_more_from_host"]
+            print(json.dumps(out))
     spark.stop()
     return 0
 

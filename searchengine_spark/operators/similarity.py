@@ -177,6 +177,161 @@ def ann_topk(
     )
 
 
+# --- IVF (inverted-file) ANN: the k-means scale path ---------------------
+#
+# Coarse quantizer = Lloyd k-means over HASH-DETERMINISTIC seeds with
+# EXACT integer arithmetic, so the Spark engine and the DuckDB oracle
+# converge to bit-identical centroids:
+# * vectors quantize to the 1e-6 grid (e6 bigints) before anything;
+# * seeds = the N_IVF_CENTROIDS vectors with smallest
+#   (hash60(vec_id), vec_id) — a distributed top-k, no RNG;
+# * assignment distance = squared L2 over e6 ints: |x|<=~3000 keeps
+#   sum((a-b)^2) under 2^63 at dim 64, and under 2^53 for the oracle's
+#   double-typed list_dot_product — exact either way; ties -> min cid;
+# * centroid update = per-dim integer sums; the new component is
+#   rounded BACK ONTO the e6 grid with offset-positive integer
+#   division ((2*(s + n*OFF) + n) div (2*n) - OFF), identical in both
+#   engines regardless of their negative-division conventions.
+# Scale shape per iteration: one corpus scan, one broadcast of k
+# centroids, one map-side-combinable (cid, dim) integer aggregation.
+# Scale rule: k ~ sqrt(n) cells, nprobe buys recall linearly in
+# scanned fraction; at 10^10 vectors the assigned corpus persists
+# partitioned by cid so a query touches only nprobe partitions.
+
+N_IVF_CENTROIDS = 8
+IVF_ITERS = 2
+IVF_NPROBE = 4
+_IVF_OFF = 10_000_000  # > max |mean_e6|; makes the division operand positive
+
+
+def _q6(vec: Column) -> Column:
+    """e6 integer grid (exact in both engines)."""
+    return F.transform(vec, lambda x: F.round(x * 1e6).cast("long"))
+
+
+def _sqdist_e6(a: Column, b: Column) -> Column:
+    """Exact squared L2 between two e6-grid bigint arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def ivf_fit(
+    embeddings: DataFrame,
+    k: int = N_IVF_CENTROIDS,
+    n_iter: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means -> centroids (cid, cvec: e6 bigints).
+
+    A cluster that loses all members simply drops out (classic Lloyd);
+    both engines drop it identically."""
+    from searchengine_spark.functions.hashes import hash60
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _q6(F.col(vec_col)).alias("xi")
+    )
+    seeds = (
+        e.withColumn("_h", hash60(F.col("vec_id").cast("string"), "ivf"))
+        .orderBy("_h", "vec_id")
+        .limit(k)
+    )
+    w_seed = W.partitionBy(F.lit(0)).orderBy("_h", "vec_id")  # k rows only
+    cents = seeds.select(
+        (F.row_number().over(w_seed) - 1).alias("cid"), F.col("xi").alias("cvec")
+    )
+    for _ in range(n_iter):
+        asg = ivf_assign(e, cents, vec_col="xi")
+        # half-up rounding of s/n on the positive-shifted value:
+        # floor((2*(s + n*OFF) + n) / (2*n)) - OFF. The numerator stays
+        # under 2^53, so the double quotient is exact enough that floor
+        # agrees with pure integer division in both engines.
+        summed = (
+            asg.select("cid", F.posexplode("xi").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(
+                F.floor(
+                    (2 * (F.sum("x") + F.count("*") * _IVF_OFF) + F.count("*"))
+                    / (2 * F.count("*"))
+                ).alias("_c")
+            )
+            .withColumn("_c", F.col("_c") - _IVF_OFF)
+        )
+        cents = (
+            summed.groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "_c"))),
+                    lambda s: s["_c"],
+                ).alias("cvec")
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    e: DataFrame, cents: DataFrame, vec_col: str = "xi"
+) -> DataFrame:
+    """Nearest-centroid assignment by exact integer distance; ties ->
+    smallest cid. One broadcast of k centroids, no corpus shuffle."""
+    d = _sqdist_e6(F.col(vec_col), F.col("cvec"))
+    scored = e.crossJoin(F.broadcast(cents)).withColumn("_d", d)
+    keep = [c for c in e.columns]
+    return (
+        scored.groupBy(*keep)
+        .agg(F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"))
+        .select(*keep, F.col("_m.cid").alias("cid"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = IVF_NPROBE,
+    n_centroids: int = N_IVF_CENTROIDS,
+    n_iter: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids per query by exact integer distance,
+    scan only the nprobe nearest cells, exact cosine re-rank inside
+    (the same proven 4-dp re-rank the LSH path uses)."""
+    cents = ivf_fit(embeddings, n_centroids, n_iter, id_col, vec_col)
+    corpus = ivf_assign(
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            _q6(F.col(vec_col)).alias("xi"),
+        ),
+        cents,
+    ).drop("xi")
+    q = queries.select("query_id", "qvec", _q6(F.col("qvec")).alias("qxi"))
+    w_probe = W.partitionBy("query_id").orderBy("_d", "cid")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("_d", _sqdist_e6(F.col("qxi"), F.col("cvec")))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .where(F.col("_pr") <= nprobe)
+        .select("query_id", "qvec", "cid")
+    )
+    cand = corpus.join(F.broadcast(probes), "cid").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_expr(F.col("vec"), F.col("qvec")), 4)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dups(
     embeddings: DataFrame,
     threshold: float = 0.95,

@@ -135,18 +135,32 @@ class SearchService:
         self.store.commit("postings_small", self._small, meta={"kind": "index"})
         self.store.commit("tokens", self._tokens, meta={"kind": "index"})
 
-    def search(self, q: str, k: int = 20) -> DataFrame:
+    def search(
+        self,
+        q: str,
+        k: int = 20,
+        merge_host: bool = True,
+        max_search: int | None = None,
+    ) -> DataFrame:
+        """Console search with the '#' parameter surface
+        (PageSearcher.cpp:111-150): k = #maxShow, merge_host =
+        #merge/#unmerge (host-dedup of results on/off), max_search =
+        #maxSearch (per-term postings read cap)."""
+        from searchengine_spark.operators.index import MAX_SEARCH
+
         if self._postings is None:
             self.refresh()
         hits = search_query(
             self._postings,
             q,
-            self._meta.select("doc_id", "host"),
+            self._meta.select("doc_id", "host") if merge_host else None,
             k=k,
             tokens=self._tokens,
             small=self._small,
+            max_search=MAX_SEARCH if max_search is None else max_search,
         )
-        return hits.join(self._meta.select("doc_id", "url"), "doc_id").orderBy(
+        meta_cols = ["doc_id", "url"] if merge_host else ["doc_id", "url", "host"]
+        return hits.join(self._meta.select(*meta_cols), "doc_id").orderBy(
             F.desc("score"), "doc_id"
         )
 
@@ -154,3 +168,14 @@ class SearchService:
         """'#get' page dump (PageSearcher.cpp:111-150): fetch one doc's
         spans by key — a pruned snapshot scan."""
         return self._docs_pinned().where(F.col("url_md5") == url_md5)
+
+    def get_doc_by_index(self, index: int) -> DataFrame:
+        """'#get <index>' (PageSearcher.cpp:119-137): the reference's
+        content DB is positional (contentDB->seek(index)); the stable
+        twin of that insertion order is (round, seq_in_round) — S4."""
+        return (
+            self._docs_pinned()
+            .orderBy("round", "seq_in_round")
+            .offset(index)
+            .limit(1)
+        )

@@ -1348,6 +1348,123 @@ def q_ann_lsh(spark, sf_dir):
     return SIM.ann_topk(e, q, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN — deterministic Lloyd k-means coarse quantizer (exact
+    e6-integer arithmetic, hash seeds) + nprobe cell scan + exact
+    cosine re-rank. The oracle twin runs the SAME unrolled iterations
+    in pure SQL, so the coarse quantizer itself is hash-verified, not
+    just the final ranking."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SIM.ivf_topk(e, q, k=5)
+
+
+def _ivf_sql(
+    k: int = SIM.N_IVF_CENTROIDS,
+    n_iter: int = SIM.IVF_ITERS,
+    nprobe: int = SIM.IVF_NPROBE,
+    topk: int = 5,
+) -> str:
+    off = SIM._IVF_OFF
+
+    def dist(a, b):
+        return (
+            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}))"
+        )
+
+    parts = [
+        """eq AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(round(x * 1e6) AS BIGINT)) AS xi
+    FROM embeddings
+  )""",
+        f"""c0 AS (
+    SELECT cid, xi AS cvec FROM (
+      SELECT xi, ROW_NUMBER() OVER (
+        ORDER BY {hash60_sql('CAST(vec_id AS VARCHAR)', 'ivf')}, vec_id
+      ) - 1 AS cid
+      FROM eq) WHERE cid < {k}
+  )""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""a{i} AS (
+    SELECT vec_id, xi, cid FROM (
+      SELECT e.vec_id, e.xi, c.cid, ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {dist('e.xi', 'c.cvec')}, c.cid) AS rn
+      FROM eq e CROSS JOIN c{i - 1} c) WHERE rn = 1
+  )"""
+        )
+        parts.append(
+            f"""u{i} AS (
+    SELECT cid, dim,
+           CAST(floor((2 * (sum(x) + count(*) * {off}) + count(*))
+                      / (2.0 * count(*))) AS BIGINT) - {off} AS c
+    FROM (SELECT cid, unnest(xi) AS x, unnest(range(0, len(xi))) AS dim
+          FROM a{i})
+    GROUP BY cid, dim
+  )"""
+        )
+        parts.append(
+            f"c{i} AS (SELECT cid, list(c ORDER BY dim) AS cvec "
+            f"FROM u{i} GROUP BY cid)"
+        )
+    cn = f"c{n_iter}"
+    parts.append(
+        f"""corpus AS (
+    SELECT vec_id, v, cid FROM (
+      SELECT e.vec_id, e.v, c.cid, ROW_NUMBER() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {dist('e.xi', 'c.cvec')}, c.cid) AS rn
+      FROM eq e CROSS JOIN {cn} c) WHERE rn = 1
+  )"""
+    )
+    parts.append(
+        "qv AS (SELECT vec_id AS query_id, v AS qvec, xi AS qxi "
+        "FROM eq WHERE vec_id < 3)"
+    )
+    parts.append(
+        f"""probes AS (
+    SELECT query_id, qvec, cid FROM (
+      SELECT q.query_id, q.qvec, c.cid, ROW_NUMBER() OVER (
+        PARTITION BY q.query_id
+        ORDER BY {dist('q.qxi', 'c.cvec')}, c.cid) AS pr
+      FROM qv q CROSS JOIN {cn} c) WHERE pr <= {nprobe}
+  )"""
+    )
+    return (
+        "WITH "
+        + ",\n  ".join(parts)
+        + f""",
+  cand AS (
+    SELECT p.query_id, p.qvec, s.vec_id, s.v
+    FROM corpus s JOIN probes p USING (cid)
+    WHERE s.vec_id <> p.query_id
+  ),
+  scored AS (
+    SELECT query_id, vec_id,
+           round(list_dot_product(v, qvec)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(qvec, qvec))), 4) AS cosine
+    FROM cand
+  ),
+  ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+    FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= {topk}
+"""
+    )
+
+
+SQL_ANN_IVF = _ivf_sql()
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1632,6 +1749,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -1664,6 +1782,7 @@ ORACLE_SQL = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_ivf": SQL_ANN_IVF,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     # ann_lsh: rows-only (pandas-UDF hyperplanes; recall tested vs brute force)
     "text_stats": SQL_TEXT_STATS,

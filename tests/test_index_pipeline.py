@@ -87,6 +87,31 @@ def test_search_service_end_to_end(crawled):
     assert crawled.store.exists("tokens")
 
 
+def test_console_parameter_surface(crawled):
+    """The '#' console parameters (cmdExec, PageSearcher.cpp:111-150):
+    #unmerge returns the raw top-K (no host-dedup, no n_more column),
+    #maxSearch caps per-term reads, #get <index> seeks the positional
+    content DB (insertion order = round, seq_in_round)."""
+    svc = SearchService(crawled.store)
+    svc.refresh()
+    merged = svc.search("page body", k=10).collect()
+    raw = svc.search("page body", k=10, merge_host=False).collect()
+    assert len(raw) >= len(merged)  # dedup can only shrink
+    assert "n_more_from_host" not in raw[0].asDict()
+    assert {h["doc_id"] for h in merged} <= {h["doc_id"] for h in raw}
+
+    capped = svc.search("page body", k=10, max_search=1).collect()
+    assert len(capped) <= len(merged)
+
+    first = svc.get_doc_by_index(0).collect()
+    assert len(first) == 1
+    assert first[0]["round"] == 0 and first[0]["seq_in_round"] == 1
+    # and the index walks the insertion order
+    second = svc.get_doc_by_index(1).collect()[0]
+    assert (second["round"], second["seq_in_round"]) > (0, 1)
+    assert svc.get_doc_by_index(10 ** 6).count() == 0  # out of bound
+
+
 def test_search_service_phrase_adjacency(crawled):
     """Quoted phrases match only position-adjacent docs: every title is
     'page <canonical_url>', and only https docs keep their scheme, so

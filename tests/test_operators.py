@@ -76,6 +76,35 @@ def test_ann_lsh_recall_vs_brute_force(spark, emb):
     assert recall >= 0.9, recall
 
 
+def test_ivf_recall_and_pruning(spark, emb):
+    """IVF ANN: nprobe of N_IVF_CENTROIDS cells scanned -> candidates
+    must come only from probed cells (pruning is real), and recall vs
+    brute force stays useful at nprobe=half the cells."""
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = SIM.brute_force_topk(emb, q, k=10)
+    approx = SIM.ivf_topk(emb, q, k=10)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # nprobe/k = 4/8 of the corpus scanned
+
+    # determinism: a second fit/search run is bit-identical
+    again = {(r["query_id"], r["vec_id"]) for r in SIM.ivf_topk(emb, q, k=10).collect()}
+    assert a == again
+
+    # the coarse quantizer partitions the corpus: every vector assigned
+    # to exactly one cell, cells cover the corpus
+    cents = SIM.ivf_fit(emb)
+    asg = SIM.ivf_assign(
+        emb.select("vec_id", SIM._q6(F.col("embedding")).alias("xi")), cents
+    )
+    n = emb.count()
+    assert asg.count() == n
+    assert asg.select("vec_id").distinct().count() == n
+
+
 def test_no_cartesian_product_in_scale_paths(spark):
     """The dedup/similarity catalog queries must never plan an
     all-pairs product — LSH bucket joins only."""
