@@ -266,6 +266,91 @@ def fetch_spans_py(canonical_url: str, max_doc: int) -> list[dict]:
     return spans
 
 
+def fetch_spans_expr(url: "Column", max_doc: int) -> "Column":
+    """JVM-native twin of fetch_spans_py: the whole synthetic fetch as
+    ONE projection (md5/hash60 + string builds, no Python round-trip),
+    byte-equal to the pure form (pinned by test_fetch_spans_expr_equals_py
+    and the crawl-vs-simulator equality suite). The pandas-UDF slot in
+    plans/crawl.py remains the production network-adapter boundary; this
+    is the synthetic adapter's fast path."""
+    from searchengine_spark.functions.hashes import hash60
+
+    def span(kind, text, ref, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            (text if text is not None else F.lit(None).cast("string")).alias("text"),
+            (ref if ref is not None else F.lit(None).cast("string")).alias(
+                "media_ref"
+            ),
+            off.cast("int").alias("offset"),
+        )
+
+    body = F.concat(
+        F.lit("body of "),
+        url,
+        F.lit(" "),
+        # "w" * (hash60 % 40): substr of a 39-char literal run
+        F.lit("w" * 39).substr(
+            F.lit(1), F.pmod(hash60(url, "len"), F.lit(40)).cast("int")
+        ),
+    )
+    fixed = [
+        span("title", F.concat(F.lit("page "), url), None, F.lit(0)),
+        span("text", body, None, F.lit(1)),
+    ]
+    links = [
+        span(
+            "link",
+            None,
+            raw_url_expr(
+                F.pmod(hash60(F.concat(url, F.lit(f"#{j}")), "link"), F.lit(max_doc))
+            ),
+            F.lit(2 + j),
+        )
+        for j in range(FETCH_FANOUT)
+    ]
+    has_media = F.pmod(hash60(url, "media"), F.lit(3)) == 0
+    # conditional spans as filter-over-singleton (keeps the struct type
+    # exact without empty-array casts)
+    media = F.filter(
+        F.array(
+            span(
+                "media",
+                None,
+                F.concat(
+                    F.lit("http://img.cdn/"),
+                    F.pmod(hash60(url, "img"), F.lit(997)).cast("string"),
+                    F.lit(".png"),
+                ),
+                F.lit(2 + FETCH_FANOUT),
+            )
+        ),
+        lambda _x: has_media,
+    )
+    st = hash60(url, "style")
+    style_kind = F.element_at(
+        F.array(F.lit("b"), F.lit("h1"), F.lit("h2")),
+        F.pmod(st, F.lit(3)).cast("int") + 1,
+    )
+    style_off = F.lit(2 + FETCH_FANOUT) + F.when(has_media, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    style = F.filter(
+        F.array(
+            F.struct(
+                style_kind.alias("kind"),
+                F.concat(
+                    F.lit("highlight"), F.pmod(st, F.lit(20)).cast("string")
+                ).alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                style_off.cast("int").alias("offset"),
+            )
+        ),
+        lambda _x: F.pmod(st, F.lit(4)) == 0,
+    )
+    return F.concat(F.array(*fixed, *links), media, style)
+
+
 FETCH_FAIL_MOD = 13
 
 

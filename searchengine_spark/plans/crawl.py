@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from searchengine_spark.config import CrawlConfig
 from searchengine_spark.corpus import (
     FETCH_FAIL_MOD,
-    fetch_spans_py,
+    fetch_spans_expr,
     robots_state_expr,
 )
 from searchengine_spark.functions.hashes import hash60
@@ -270,14 +270,14 @@ class CrawlDriver:
         )
         failed = scheduled.where(failed_c)
 
-        # synthetic fetch — vectorized spans generation (Arrow batches)
-        max_doc = cfg.max_doc
-
-        @F.pandas_udf(SPANS_TYPE)
-        def fetch_udf(urls: pd.Series) -> pd.Series:
-            return urls.map(lambda u: fetch_spans_py(u, max_doc))
-
-        docs_new = ok.withColumn("spans", fetch_udf(F.col("url"))).select(
+        # synthetic fetch — the hash-derived spans as ONE native JVM
+        # projection (fetch_spans_expr; byte-equal to fetch_spans_py,
+        # which the simulator keeps using). This column slot is the
+        # network-adapter boundary: a production deployment swaps the
+        # expression for an async-HTTP pandas UDF of the same shape.
+        docs_new = ok.withColumn(
+            "spans", fetch_spans_expr(F.col("url"), cfg.max_doc)
+        ).select(
             "url_md5", "url", "host", "shard", "round", "seq_in_round", "spans"
         ).cache()
 

@@ -289,9 +289,8 @@ DIGCFG = CrawlConfig(
 def _digest_round(spark, sf_dir):
     """Round 0 of a crawl seeded with the full grammar universe:
     returns (cand_pre, hostcnt, frontier, fetched, ok_with_spans)."""
-    from searchengine_spark.functions.spans import SPANS_TYPE
     from searchengine_spark.plans.crawl import _fetch_fails_expr
-    from searchengine_spark.corpus import fetch_spans_py
+    from searchengine_spark.corpus import fetch_spans_expr
 
     docs = _docs(spark, sf_dir)
     max_doc = docs.count()
@@ -305,11 +304,9 @@ def _digest_round(spark, sf_dir):
     sched = FR.schedule_round(frontier, hosts, 0, DIGCFG)
     fetched = sched.withColumn("failed", _fetch_fails_expr(F.col("host"), 0))
 
-    @F.pandas_udf(SPANS_TYPE)
-    def fetch_udf(urls: pd.Series) -> pd.Series:
-        return urls.map(lambda u: fetch_spans_py(u, max_doc))
-
-    ok = fetched.where(~F.col("failed")).withColumn("spans", fetch_udf(F.col("url")))
+    ok = fetched.where(~F.col("failed")).withColumn(
+        "spans", fetch_spans_expr(F.col("url"), max_doc)
+    )
     return cand_pre, hostcnt, frontier, fetched, ok
 
 

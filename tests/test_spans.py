@@ -5,6 +5,8 @@ import duckdb
 from pyspark.sql import functions as F
 
 from searchengine_spark.corpus import (
+    fetch_spans_expr,
+    fetch_spans_py,
     gen_spans_py,
     html_of_spans_py,
     interleaved_docs_df,
@@ -68,6 +70,32 @@ def test_interleaved_docs_df_schema_and_equality(spark):
         have = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in r["spans"]]
         assert have == exp
         assert r["url"] == raw_url_py(int(did))
+
+
+def test_fetch_spans_expr_equals_py(spark):
+    """The native JVM fetch twin is byte-equal to the pure synthetic
+    fetch over a URL sample covering every conditional branch (media
+    present/absent, style span b/h1/h2 present/absent)."""
+    from searchengine_spark.functions.urls import canonicalize_py
+
+    urls = [
+        u
+        for u in (canonicalize_py(raw_url_py(i)) for i in range(160))
+        if u is not None
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r["url"]: _tuples([s.asDict() for s in r["spans"]])
+        for r in df.withColumn("spans", fetch_spans_expr(F.col("url"), 500)).collect()
+    }
+    kinds = set()
+    for u in urls:
+        expect = _tuples(fetch_spans_py(u, 500))
+        assert got[u] == expect, u
+        kinds |= {k for k, *_ in expect}
+    # the sample genuinely exercised the conditional branches
+    assert {"media", "title", "text", "link"} <= kinds
+    assert kinds & {"b", "h1", "h2"}
 
 
 def test_href_resolution():
