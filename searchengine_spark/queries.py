@@ -2000,6 +2000,40 @@ def q_search_smallterm(spark, sf_dir):
 
 SQL_SEARCH_SMALLTERM = _search_small_sql(SMALLROUTE_TERMS)
 
+
+def q_search_unmerged(spark, sf_dir):
+    """The console's #unmerge mode (cmdExec, PageSearcher.cpp:139-141):
+    raw top-K scores with host-dedup (A9) switched off — docs_meta=None
+    skips the merge window entirely."""
+    p = _wpostings_blocks(spark, sf_dir, sorted_output=False)
+    return IX.search_weighted(p, SEARCH_TERMS, None, k=50)
+
+
+SQL_SEARCH_UNMERGED = (
+    "WITH "
+    + WEIGHTED_CTES
+    + ","
+    + ",".join(
+        f"t{i} AS (SELECT * FROM wpostings WHERE {IX.expand_word_term_sql(t)})"
+        for i, t in enumerate(SEARCH_TERMS)
+    )
+    + ","
+    + ",".join(_top2_sql(f"t{i}", i) for i in range(len(SEARCH_TERMS)))
+    + f""",
+  j AS (
+    SELECT k0.doc_id,
+           round((trank_0 + trank_1)
+                 * greatest(power(0.9, {_min_posdiff_sql(0, 1)} - 1), 1e-6),
+                 6) AS score
+    FROM k0 JOIN k1 USING (doc_id)
+  )
+SELECT doc_id, score FROM j ORDER BY score DESC, doc_id LIMIT 50
+"""
+)
+
+QUERIES["search_unmerged"] = q_search_unmerged
+ORACLE_SQL["search_unmerged"] = SQL_SEARCH_UNMERGED
+
 QUERIES["weighted_postings"] = q_weighted_postings
 ORACLE_SQL["weighted_postings"] = SQL_WEIGHTED_POSTINGS
 QUERIES["search_phrase"] = q_search_phrase
