@@ -49,6 +49,10 @@ from searchengine_spark.operators.seen import build_bloom_blocks, dedup_seen_wit
 from searchengine_spark.sources.statestore import TableStore
 
 MAXHOSTTRY = 10  # SearchEngine.h:18
+# fold docs/metrics fast-append chains after this many data dirs: keeps
+# reads to a bounded multi-dir scan while amortizing the one rewrite
+# over COMPACT_CHAIN rounds (Iceberg: rewrite_data_files cadence)
+COMPACT_CHAIN = 16
 
 HOSTS_SCHEMA = (
     "host string, next_allowed_round int, fail_count int, "
@@ -430,6 +434,12 @@ class CrawlDriver:
         versions["docs"] = self.store.commit(
             "docs", docs_new, mode="append", meta=meta, base_version=pinned["docs"]
         )
+        # fold long append chains INSIDE the round transaction (the
+        # manifest then pins the compacted version, so the next round
+        # chains from length 1; a crash mid-compaction leaves an
+        # unreferenced orphan — the round still commits on the chain)
+        if self.store.chain_length("docs", versions["docs"]) >= COMPACT_CHAIN:
+            versions["docs"] = self.store.compact("docs", versions["docs"])
         versions["frontier"] = self.store.commit(
             "frontier",
             with_storage_bucket(frontier2),
@@ -469,6 +479,8 @@ class CrawlDriver:
             meta=meta,
             base_version=pinned.get("metrics", 0),
         )
+        if self.store.chain_length("metrics", versions["metrics"]) >= COMPACT_CHAIN:
+            versions["metrics"] = self.store.compact("metrics", versions["metrics"])
         self.store.commit_manifest(round_no, versions)
 
         scheduled.unpersist()

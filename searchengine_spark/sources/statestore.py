@@ -13,6 +13,15 @@ immutable snapshot subdirs ``v000001/``, ``v000002/`` … plus a
 A crash between snapshot write and pointer rename leaves the previous
 snapshot live — same all-or-nothing visibility as an Iceberg commit.
 
+Appends are FAST-appends: a new version writes only its delta files
+plus a file-list manifest referencing the base version's data dirs —
+O(delta) per commit, exactly Iceberg's append shape (new data files +
+a manifest entry, never a rewrite). `compact()` folds a long chain
+into one materialized snapshot (Iceberg's rewrite_data_files); the
+crawl driver triggers it by chain length inside the round transaction.
+Snapshot retention never removes a version dir that a retained
+file-list manifest still references.
+
 If ``pyspark`` can load an Iceberg catalog (jars present), `TableStore`
 transparently uses it; nothing else in the engine knows the difference.
 """
@@ -70,11 +79,33 @@ class TableStore:
 
     # -- read / commit ---------------------------------------------------------
 
+    def _files_manifest(self, table: str, version: int) -> list[str] | None:
+        """A fast-append snapshot is a FILE-LIST manifest (relative data
+        dirs composing it) instead of materialized data; None for a
+        materialized (overwrite/compacted) snapshot."""
+        p = os.path.join(self.snapshot_path(table, version), "_files.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def _data_dirs(self, table: str, version: int) -> list[str]:
+        rel = self._files_manifest(table, version)
+        if rel is None:
+            return [self.snapshot_path(table, version)]
+        return [os.path.join(self.root, r) for r in rel]
+
+    def chain_length(self, table: str, version: int | None = None) -> int:
+        """Number of data dirs composing a snapshot (1 = materialized)."""
+        v = version if version is not None else self.latest_version(table)
+        rel = self._files_manifest(table, v)
+        return 1 if rel is None else len(rel)
+
     def read(self, table: str, version: int | None = None) -> DataFrame:
         v = version if version is not None else self.latest_version(table)
         if v == 0:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
-        return self.spark.read.parquet(self.snapshot_path(table, v))
+        return self.spark.read.parquet(*self._data_dirs(table, v))
 
     def commit(
         self,
@@ -88,11 +119,18 @@ class TableStore:
         """Write df as the next snapshot and atomically advance the pointer.
 
         mode='overwrite'  — snapshot is exactly df (MERGE results).
-        mode='append'     — snapshot = base snapshot ∪ df (docs log).
-                            base_version pins the append base (a
-                            manifest-pinned version, so a re-run after
-                            a crash never appends on top of a torn
-                            round's orphan snapshot); default = latest.
+        mode='append'     — FAST-append (Iceberg-style): ONLY the delta
+                            is written; the snapshot is a file-list
+                            manifest = base's data dirs + the new delta
+                            dir — O(delta) per commit, never a table
+                            rewrite. base_version pins the append base
+                            (a manifest-pinned version, so a re-run
+                            after a crash never appends on top of a
+                            torn round's orphan snapshot); default =
+                            latest. Long chains are folded by
+                            `compact()` (the crawl driver triggers it
+                            by chain length, inside the round's
+                            manifest transaction).
         """
         os.makedirs(self._tdir(table), exist_ok=True)
         prev = self.latest_version(table)
@@ -100,21 +138,30 @@ class TableStore:
         out = self.snapshot_path(table, nxt)
         tmp = out + ".tmp-" + uuid.uuid4().hex[:8]
 
-        writer = df.write
         base = base_version if base_version is not None else prev
         if mode == "append" and base > 0:
-            # TODO(iceberg-port): this materialized union REWRITES the
-            # full table on every append — O(corpus) per crawl round for
-            # `docs`. It is ONLY acceptable as the sandbox's plain-
-            # parquet stand-in; a production deployment MUST replace it
-            # with Iceberg fast-append (`df.writeTo(tbl).append()` —
-            # new data files + a manifest entry, never a rewrite).
-            # The commit/manifest protocol around it ports unchanged.
-            df = self.read(table, base).unionByName(df)
+            # write delta + file-list manifest into tmp, then one rename
+            delta_rel = os.path.join(table, f"v{nxt:06d}", "delta")
             writer = df.write
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.mode("overwrite").parquet(tmp)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.mode("overwrite").parquet(os.path.join(tmp, "delta"))
+            has_rows = any(
+                name.endswith(".parquet")
+                for _, _, names in os.walk(os.path.join(tmp, "delta"))
+                for name in names
+            )
+            base_rel = self._files_manifest(table, base)
+            if base_rel is None:
+                base_rel = [os.path.relpath(self.snapshot_path(table, base), self.root)]
+            files = base_rel + ([delta_rel] if has_rows else [])
+            with open(os.path.join(tmp, "_files.json"), "w") as f:
+                json.dump(files, f)
+        else:
+            writer = df.write
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.mode("overwrite").parquet(tmp)
         os.rename(tmp, out)
 
         ptr_tmp = self._pointer(table) + ".tmp-" + uuid.uuid4().hex[:8]
@@ -129,12 +176,32 @@ class TableStore:
                 f,
             )
         os.replace(ptr_tmp, self._pointer(table))
-        # retain a bounded history (resume needs latest only; keep 3)
+        # retain a bounded history (resume needs latest only; keep 3) —
+        # but never a version dir whose data a retained file-list
+        # manifest still references (append chains point into older
+        # versions' delta dirs until a compaction folds them)
+        referenced: set[str] = set()
+        for v in range(max(1, nxt - 2), nxt + 1):
+            for r in self._files_manifest(table, v) or []:
+                parts = r.split(os.sep)
+                if len(parts) >= 2 and parts[0] == table:
+                    referenced.add(parts[1])
         for old in range(1, nxt - 2):
+            if f"v{old:06d}" in referenced:
+                continue
             p = self.snapshot_path(table, old)
             if os.path.exists(p):
                 shutil.rmtree(p, ignore_errors=True)
         return nxt
+
+    def compact(self, table: str, version: int | None = None) -> int:
+        """Fold an append chain into one materialized snapshot (the
+        Iceberg rewrite-data-files action). Returns the new version;
+        callers inside a round transaction record IT in the round
+        manifest so the next append chains from length 1. Crash-safe:
+        an interrupted compaction leaves an unreferenced orphan."""
+        df = self.read(table, version)
+        return self.commit(table, df, mode="overwrite")
 
     # -- round manifest ----------------------------------------------------------
     #

@@ -109,6 +109,26 @@ def test_resume_from_snapshot(spark, tmp_path_factory, oracle_state):
     assert {r["url_md5"] for r in d2.seen_set().collect()} == oracle_state.seen
 
 
+def test_docs_compaction_inside_round_transaction(spark, tmp_path_factory, monkeypatch, oracle_state):
+    """With a tiny compaction threshold, the docs chain folds mid-run
+    and the manifest pins the compacted version — the crawl stays
+    byte-equal to the oracle and the chain length stays bounded."""
+    import searchengine_spark.plans.crawl as C
+
+    monkeypatch.setattr(C, "COMPACT_CHAIN", 2)
+    root = str(tmp_path_factory.mktemp("compactstore"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed(SEEDS)
+    d.run(N_ROUNDS)
+    m = d.store.read_manifest()
+    assert d.store.chain_length("docs", m["versions"]["docs"]) <= 2
+    got = [
+        (r["round"], r["seq_in_round"], r["url"], r["host"])
+        for r in d.fetch_log().collect()
+    ]
+    assert got == oracle_state.fetch_log
+
+
 def test_resume_rejects_config_drift(spark, tmp_path_factory):
     """Shard/bloom geometry is baked into the persisted state: resuming
     under a different config must fail loudly instead of silently

@@ -32,6 +32,57 @@ def test_retention_keeps_last_three(spark, tmp_path):
     assert hist[-1] == 5 and len(hist) <= 3
 
 
+def test_fast_append_writes_only_delta(spark, tmp_path):
+    """An append version materializes ONLY its delta (file-list
+    manifest references the base) — O(delta), never a table rewrite."""
+    st = TableStore(spark, str(tmp_path))
+    st.commit("t", spark.createDataFrame([(i,) for i in range(100)], "id int"))
+    st.commit(
+        "t", spark.createDataFrame([(1000,)], "id int"), mode="append"
+    )
+    assert st.chain_length("t") == 2
+    # the delta dir holds ~1 row worth of parquet, not 101
+    import glob
+
+    delta_files = glob.glob(str(tmp_path / "t" / "v000002" / "delta" / "*.parquet"))
+    assert delta_files
+    assert spark.read.parquet(*delta_files).count() == 1
+    assert st.read("t").count() == 101
+
+
+def test_retention_preserves_referenced_chain(spark, tmp_path):
+    """Old version dirs whose delta a live chain references survive
+    retention; reads stay complete after many appends."""
+    st = TableStore(spark, str(tmp_path))
+    st.commit("t", spark.createDataFrame([(0,)], "id int"))
+    for i in range(1, 8):
+        st.commit("t", spark.createDataFrame([(i,)], "id int"), mode="append")
+    assert sorted(r["id"] for r in st.read("t").collect()) == list(range(8))
+    assert st.chain_length("t") == 8
+
+
+def test_compact_folds_chain(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path))
+    st.commit("t", spark.createDataFrame([(0,)], "id int"))
+    for i in range(1, 4):
+        st.commit("t", spark.createDataFrame([(i,)], "id int"), mode="append")
+    v = st.compact("t")
+    assert st.chain_length("t", v) == 1
+    assert sorted(r["id"] for r in st.read("t", v).collect()) == [0, 1, 2, 3]
+    # appends after compaction chain from the materialized snapshot
+    st.commit("t", spark.createDataFrame([(9,)], "id int"), mode="append")
+    assert st.chain_length("t") == 2
+    assert sorted(r["id"] for r in st.read("t").collect()) == [0, 1, 2, 3, 9]
+
+
+def test_empty_delta_append(spark, tmp_path):
+    st = TableStore(spark, str(tmp_path))
+    st.commit("t", spark.createDataFrame([(1,)], "id int"))
+    empty = spark.createDataFrame([], "id int")
+    st.commit("t", empty, mode="append")
+    assert st.read("t").count() == 1
+
+
 def test_pointer_is_atomic_artifact(spark, tmp_path):
     st = TableStore(spark, str(tmp_path))
     st.commit("t", spark.createDataFrame([(1,)], "id int"))
