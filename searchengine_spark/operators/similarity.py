@@ -276,14 +276,19 @@ def ivf_assign(
     e: DataFrame, cents: DataFrame, vec_col: str = "xi"
 ) -> DataFrame:
     """Nearest-centroid assignment by exact integer distance; ties ->
-    smallest cid. One broadcast of k centroids, no corpus shuffle."""
+    smallest cid. One broadcast of k centroids; the reduce is keyed by
+    vec_id alone (carried columns ride as first() — constant within a
+    group), so the shuffle key stays narrow, never the vector arrays."""
     d = _sqdist_e6(F.col(vec_col), F.col("cvec"))
     scored = e.crossJoin(F.broadcast(cents)).withColumn("_d", d)
-    keep = [c for c in e.columns]
+    others = [c for c in e.columns if c != "vec_id"]
     return (
-        scored.groupBy(*keep)
-        .agg(F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"))
-        .select(*keep, F.col("_m.cid").alias("cid"))
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"),
+            *[F.first(c).alias(c) for c in others],
+        )
+        .select("vec_id", *others, F.col("_m.cid").alias("cid"))
     )
 
 

@@ -12,7 +12,6 @@ compute over bit-identical inputs.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from searchengine_spark.config import CrawlConfig
