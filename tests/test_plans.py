@@ -102,6 +102,30 @@ def test_postings_sorted_within_partitions(spark):
     assert bad == []
 
 
+def test_ivf_corpus_partition_pruning(spark, tmp_path):
+    """The IVF scale rule (similarity.py): the assigned corpus persists
+    partitioned by cid, so an nprobe query touches only its cells —
+    the cid filter must reach the scan as a PartitionFilter, pruning
+    the other cells' files entirely."""
+    from searchengine_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = SIM.ivf_fit(emb)
+    asg = SIM.ivf_assign(
+        emb.select("vec_id", SIM._q6(F.col("embedding")).alias("xi")), cents
+    ).select("vec_id", "cid")
+    out = str(tmp_path / "ivf_corpus")
+    asg.write.partitionBy("cid").parquet(out)
+
+    probe = spark.read.parquet(out).where(F.col("cid").isin(0, 1))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:120]
+    got_cells = {r["cid"] for r in probe.select("cid").distinct().collect()}
+    assert got_cells <= {0, 1}
+
+
 def test_aqe_and_arrow_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
