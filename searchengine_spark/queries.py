@@ -481,13 +481,13 @@ WITH {_DIGEST_CTES},
   ),
   sch_s AS (
     SELECT shard, count(*) AS scheduled,
-           sum(CASE WHEN failed THEN 0 ELSE 1 END) AS fetched_ok,
-           sum(CASE WHEN failed THEN 1 ELSE 0 END) AS fetch_failed
+           CAST(sum(CASE WHEN failed THEN 0 ELSE 1 END) AS BIGINT) AS fetched_ok,
+           CAST(sum(CASE WHEN failed THEN 1 ELSE 0 END) AS BIGINT) AS fetch_failed
     FROM fetched GROUP BY shard
   ),
   cand_s AS (
     SELECT shard, count(*) AS candidates,
-           sum(CASE WHEN rn <= rem THEN 1 ELSE 0 END) AS admitted
+           CAST(sum(CASE WHEN rn <= rem THEN 1 ELSE 0 END) AS BIGINT) AS admitted
     FROM adm GROUP BY shard
   ),
   new_s AS (SELECT shard, count(*) AS new_urls FROM newu GROUP BY shard)
@@ -645,7 +645,7 @@ SQL_TERM_STATS = (
     "WITH "
     + _POSTINGS_CTES
     + f"""
-SELECT term, count(*) AS n_docs, sum(tf) AS total_tf,
+SELECT term, count(*) AS n_docs, CAST(sum(tf) AS BIGINT) AS total_tf,
        CAST(sum({_e_sql('rank', 6)}) AS BIGINT) AS total_rank_e6
 FROM postings GROUP BY term ORDER BY term
 """
@@ -1563,11 +1563,11 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 s AS (
-  SELECT *, SUM(new_s) OVER (
+  SELECT *, CAST(SUM(new_s) OVER (
     PARTITION BY user_id ORDER BY ts
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
   FROM g)
-SELECT user_id, session_no, count(*) AS n_events,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
        CAST(floor(epoch(min(ts))) AS BIGINT) AS start_epoch,
        CAST(floor(epoch(max(ts))) AS BIGINT) AS end_epoch,
        CAST(sum({_e_sql('value', 4)}) AS BIGINT) AS session_value_e4
@@ -1608,7 +1608,7 @@ SQL_MEDIA_STATS = (
     "WITH "
     + _media_meta_sql()
     + f"""
-SELECT media_type, count(*) AS n_assets, sum(n_bytes) AS total_bytes,
+SELECT media_type, count(*) AS n_assets, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
        {_avg_e2_sql('width')} AS avg_width_e2,
        {_avg_e2_sql('height')} AS avg_height_e2
 FROM media GROUP BY media_type ORDER BY media_type
@@ -2170,14 +2170,35 @@ def _materialize_ctes(sql: str) -> str:
     stops at the first top-level SELECT (paren depth 0), so a
     `WINDOW a AS (...), b AS (...)` clause in the final query — whose
     second entry also matches `, name AS (` — can never be mangled
-    into invalid `AS MATERIALIZED` SQL.
+    into invalid `AS MATERIALIZED` SQL. Single-quoted string literals
+    are skipped while scanning ('' is the SQL escape), so a literal
+    containing an unbalanced paren or the word SELECT cannot
+    desynchronize the depth tracking or the cut point.
+
+    ORACLE-AUTHORING RULES (both enforced by tests/test_oracle_rules.py):
+    1. Every CTE must open as `name AS (` so this rewrite catches it.
+    2. Every integer-operand aggregate in a FINAL projection must be
+       wrapped `CAST(... AS BIGINT)` — DuckDB types sum(BIGINT) as
+       HUGEINT and emits Arrow decimal128(38,0), which hash-mismatches
+       Spark's int64 even when values are identical (the entire round-3
+       red surface). This includes window SUMs (`SUM(x) OVER ...`) and
+       any outer projection of such a column.
     """
     depth = 0
     cut = len(sql)
     i = 0
+    in_string = False
     while i < len(sql):
         ch = sql[i]
-        if ch == "(":
+        if in_string:
+            if ch == "'":
+                if i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 1  # escaped '' stays inside the literal
+                else:
+                    in_string = False
+        elif ch == "'":
+            in_string = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
