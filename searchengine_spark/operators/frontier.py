@@ -115,22 +115,75 @@ def dedup_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     return candidates.join(seen.select("url_md5"), "url_md5", "left_anti")
 
 
+def admit_host_caps(
+    candidates: DataFrame,
+    remaining: DataFrame,
+    default_rem: int,
+    order_cols: tuple = ("url_md5", "url"),
+    n_salts: int = 32,
+) -> DataFrame:
+    """Per-host cap admission, skew-safe (A1, SearchEngine.h:746-756).
+
+    Semantics: admit the first `rem` candidates of each host ranked by
+    `order_cols` — identical to the obvious
+    `row_number() over (partition by host order by ...) <= rem`, which
+    is exactly what the DuckDB oracle twin does. But that single window
+    puts ALL of a hot host's candidates into one task's sort: at 10^10
+    candidates with a 30%-hot host, one straggler task per round.
+
+    Two-phase plan instead — no task ever sorts more than
+    max(batch/(hosts*salts), n_salts*rem) rows:
+
+    1. per-host counts (map-side-combinable hash agg — partial agg
+       collapses the hot host before the shuffle);
+    2. hosts with count <= rem admit every row with NO window at all
+       (the overwhelmingly common case);
+    3. only over-quota hosts rank, in two bounded stages: a salted
+       window (host, salt) keeps each salt-shard's top-rem — any row in
+       the global top-rem has < rem rows ahead of it globally, hence
+       < rem ahead in its own salt group, so it always survives — then
+       the final per-host window ranks at most n_salts*rem survivors.
+
+    `remaining` is (host, _rem); hosts absent from it default to
+    `default_rem`. Result set is row-identical to the single-window
+    form (pinned by tests/test_skew.py).
+    """
+    order = [F.col(c) for c in order_cols]
+    cnt = candidates.groupBy("host").agg(F.count("*").alias("_cnt"))
+    tagged = (
+        candidates.join(remaining, "host", "left")
+        .withColumn("_rem", F.coalesce(F.col("_rem"), F.lit(default_rem)))
+        .join(cnt, "host", "left")
+    )
+    under = tagged.where(F.col("_cnt") <= F.col("_rem"))
+    w1 = W.partitionBy("host", "_salt").orderBy(*order)
+    w2 = W.partitionBy("host").orderBy(*order)
+    survivors = (
+        tagged.where(F.col("_cnt") > F.col("_rem"))
+        .withColumn(
+            "_salt", F.pmod(F.crc32(F.col("url_md5")), F.lit(n_salts))
+        )
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= F.col("_rem"))
+        .drop("_salt", "_rn1")
+        .withColumn("_rn", F.row_number().over(w2))
+        .where(F.col("_rn") <= F.col("_rem"))
+        .drop("_rn")
+    )
+    return under.unionByName(survivors).drop("_rem", "_cnt")
+
+
 def apply_host_caps(candidates: DataFrame, hosts: DataFrame, cfg: CrawlConfig) -> DataFrame:
     """Per-host URL cap (MAXURLPERHOST): admit only enough new URLs per
     host to stay under max_urls_per_host, ranked by url_md5."""
     quota = hosts.select(
-        "host", (F.lit(cfg.max_urls_per_host) - F.col("url_count")).alias("_remaining")
+        "host", (F.lit(cfg.max_urls_per_host) - F.col("url_count")).alias("_rem")
     )
-    w = W.partitionBy("host").orderBy("url_md5")
-    return (
-        candidates.join(F.broadcast(quota), "host", "left")
-        .withColumn(
-            "_remaining",
-            F.coalesce(F.col("_remaining"), F.lit(cfg.max_urls_per_host)),
-        )
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= F.col("_remaining"))
-        .drop("_rn", "_remaining")
+    return admit_host_caps(
+        candidates,
+        F.broadcast(quota),
+        cfg.max_urls_per_host,
+        order_cols=("url_md5",),
     )
 
 

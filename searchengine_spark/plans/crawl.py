@@ -39,6 +39,7 @@ from searchengine_spark.corpus import (
 from searchengine_spark.functions.hashes import hash60
 from searchengine_spark.functions.spans import SPANS_TYPE
 from searchengine_spark.operators.frontier import (
+    admit_host_caps,
     dedup_batch,
     dedup_seen,
     normalize_candidates,
@@ -301,16 +302,11 @@ class CrawlDriver:
         remaining = hosts.select(
             "host", (F.lit(cfg.max_urls_per_host) - F.col("url_count")).alias("_rem")
         )
-        from pyspark.sql import Window as W
-
-        w_host = W.partitionBy("host").orderBy("url_md5", "url")
-        admitted0 = (
-            cand.join(F.broadcast(remaining), "host", "left")
-            .withColumn("_rem", F.coalesce(F.col("_rem"), F.lit(cfg.max_urls_per_host)))
-            .withColumn("_rn", F.row_number().over(w_host))
-            .withColumn("_adm", F.col("_rn") <= F.col("_rem"))
+        # two-phase skew-safe admission (no full-batch per-host sort):
+        # identical set to the oracle's ranked window — frontier.admit_host_caps
+        admitted = admit_host_caps(
+            cand, F.broadcast(remaining), cfg.max_urls_per_host
         )
-        admitted = admitted0.where(F.col("_adm")).drop("_rn", "_rem", "_adm")
         deduped = dedup_batch(admitted)
         if cfg.use_bloom:
             # incremental blocks: read last round's, never rescan seen
@@ -334,13 +330,16 @@ class CrawlDriver:
         stats.fetch_failed = int(srow["nf"] or 0)
         stats.fetched_ok = stats.scheduled - stats.fetch_failed
         # candidates (post-filter/robots) vs admitted (post host-cap):
-        # one per-shard agg serves both the totals and the metrics rows
+        # cand is cached, so both per-shard aggs are cheap map-side combines
         adm_shard = (
-            admitted0.groupBy("shard")
-            .agg(
-                F.count("*").alias("candidates"),
-                F.sum(F.when(F.col("_adm"), 1).otherwise(0)).alias("admitted"),
+            cand.groupBy("shard")
+            .agg(F.count("*").alias("candidates"))
+            .join(
+                admitted.groupBy("shard").agg(F.count("*").alias("admitted")),
+                "shard",
+                "left",
             )
+            .withColumn("admitted", F.coalesce(F.col("admitted"), F.lit(0)))
         )
 
         # ---- state merges ----

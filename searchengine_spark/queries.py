@@ -407,25 +407,24 @@ def q_crawl_round_digest(spark, sf_dir):
         "host",
         (F.lit(DIGCFG.max_urls_per_host) - F.col("url_count")).alias("_rem"),
     )
-    w_host = W.partitionBy("host").orderBy("url_md5", "url")
-    adm0 = (
-        cnd.join(F.broadcast(remaining), "host", "left")
-        .withColumn(
-            "_rem", F.coalesce(F.col("_rem"), F.lit(DIGCFG.max_urls_per_host))
-        )
-        .withColumn("_rn", F.row_number().over(w_host))
-        .withColumn("_adm", F.col("_rn") <= F.col("_rem"))
+    admitted = FR.admit_host_caps(
+        cnd, F.broadcast(remaining), DIGCFG.max_urls_per_host
     )
-    admitted = adm0.where(F.col("_adm")).drop("_rn", "_rem", "_adm")
     new = FR.dedup_seen(FR.dedup_batch(admitted), frontier.select("url_md5"))
     sch_s = fetched.groupBy("shard").agg(
         F.count("*").alias("scheduled"),
         F.sum(F.when(F.col("failed"), 0).otherwise(1)).alias("fetched_ok"),
         F.sum(F.when(F.col("failed"), 1).otherwise(0)).alias("fetch_failed"),
     )
-    cand_s = adm0.groupBy("shard").agg(
-        F.count("*").alias("candidates"),
-        F.sum(F.when(F.col("_adm"), 1).otherwise(0)).alias("admitted"),
+    cand_s = (
+        cnd.groupBy("shard")
+        .agg(F.count("*").alias("candidates"))
+        .join(
+            admitted.groupBy("shard").agg(F.count("*").alias("admitted")),
+            "shard",
+            "left",
+        )
+        .withColumn("admitted", F.coalesce(F.col("admitted"), F.lit(0)))
     )
     new_s = new.groupBy("shard").agg(F.count("*").alias("new_urls"))
     return (
