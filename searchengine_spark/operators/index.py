@@ -83,22 +83,40 @@ def _clean_token_expr(tok):
     return F.substring(t, 1, MAXWORDLEN)
 
 
+# pure-ASCII text can never match the alternation's non-ASCII branch,
+# so the simple class regex extracts the identical token sequence at a
+# fraction of the cost — and ~all real blocks are pure ASCII
+_ASCII_TOKEN_RE = "[A-Za-z0-9.]+"
+
+
 def _tok_struct_array(col, w_col):
     """Tokenize one text block into (word, capital, sec_w) structs,
-    sec_w from a column (block weight = section base x style mult)."""
-    toks = F.regexp_extract_all(
-        F.coalesce(col, F.lit("")), F.lit(_TOKEN_RE), F.lit(0)
-    )
+    sec_w from a column (block weight = section base x style mult).
+
+    ASCII fast path: `octet_length == length` (byte-cheap, no regex)
+    detects pure-ASCII blocks, which tokenize with the simple class
+    regex; only blocks containing a multi-byte char run the full
+    two-branch alternation. Token sequences are identical by
+    construction (the non-ASCII alternative can't fire on ASCII input),
+    pinned by test_tokenizer_ascii_fast_path_equivalence."""
+    filled = F.coalesce(col, F.lit(""))
+    toks = F.when(
+        F.octet_length(filled) == F.length(filled),
+        F.regexp_extract_all(filled, F.lit(_ASCII_TOKEN_RE), F.lit(0)),
+    ).otherwise(F.regexp_extract_all(filled, F.lit(_TOKEN_RE), F.lit(0)))
     cleaned = F.transform(toks, _clean_token_expr)
     kept = F.filter(cleaned, lambda t: F.length(t) > 0)
     # capital is only ever set in the reference's ASCII branch
     # (SearchEngine.cpp:412; the non-English branch never sets it, even
-    # for embedded ASCII uppercase) — gate on the first char's class
+    # for embedded ASCII uppercase). Tokens start with an ASCII word
+    # char or a non-ASCII char by construction (cleaning only trims
+    # dots), so first-codepoint < 128 is the exact class gate — cheaper
+    # than a per-token rlike.
     return F.transform(
         kept,
         lambda t: F.struct(
             _ascii_lower_expr(t).alias("word"),
-            ((t != _ascii_lower_expr(t)) & t.rlike("^[A-Za-z0-9.]")).alias(
+            ((t != _ascii_lower_expr(t)) & (F.ascii(t) < 128)).alias(
                 "capital"
             ),
             w_col.cast("double").alias("sec_w"),
@@ -194,6 +212,7 @@ def build_weighted_postings(
     n_term_partitions: int = 8,
     sorted_output: bool = True,
     blocks_col: str | None = None,
+    token_stream: DataFrame | None = None,
 ) -> DataFrame:
     """The reference-faithful index build (getWords,
     SearchEngine.cpp:306-490): per accepted token
@@ -215,8 +234,17 @@ def build_weighted_postings(
     Output: postings(term, doc_id, pos, rank) range-partitioned +
     sorted by term (the 'finaldict' shape for pushdown pruning).
     """
-    stream = tokenize_sections(
-        docs, url_col, title_col, body_col, doc_col, blocks_col=blocks_col
+    # token_stream lets a caller that ALSO consumes the raw stream
+    # (e.g. phrase search) hand in one shared definition; when that
+    # stream carries a repartition("doc_id"), Spark's ReuseExchange
+    # evaluates the tokenizer once and serves both branches from the
+    # same shuffle files — no cache needed.
+    stream = (
+        token_stream
+        if token_stream is not None
+        else tokenize_sections(
+            docs, url_col, title_col, body_col, doc_col, blocks_col=blocks_col
+        )
     )
     weighted = stream.withColumn(
         "weight",

@@ -821,7 +821,12 @@ def q_weighted_postings(spark, sf_dir):
     hash-checked against the DuckDB twin — any drift in section
     weights, capital factor, decay, stop list, cap, or normalization
     fails this query."""
-    return _wpostings_blocks(spark, sf_dir).orderBy("term", "doc_id")
+    # sorted_output=False: the catalog orderBy below IS the sort — the
+    # persisted-dict repartitionByRange would sample (= re-evaluate)
+    # the whole build once more for an ordering this orderBy redoes
+    return _wpostings_blocks(spark, sf_dir, sorted_output=False).orderBy(
+        "term", "doc_id"
+    )
 
 
 SQL_WEIGHTED_POSTINGS = (
@@ -1913,10 +1918,16 @@ def q_search_phrase(spark, sf_dir):
     position+1, so a words-present-but-not-adjacent doc failing THIS
     query while passing search_2term is the tested behavior)."""
     sections = _weighted_sections(spark, sf_dir)
-    p = IX.build_weighted_postings(sections, sorted_output=False, blocks_col="blocks")
-    toks = IX.tokenize_sections(sections, blocks_col="blocks").select(
-        "doc_id", "word", "position"
+    # one tokenizer pass for both consumers: the shared doc_id
+    # repartition is a common exchange subtree, so ReuseExchange feeds
+    # the postings build AND the adjacency index from one evaluation
+    stream = IX.tokenize_sections(sections, blocks_col="blocks").repartition(
+        "doc_id"
     )
+    p = IX.build_weighted_postings(
+        sections, sorted_output=False, blocks_col="blocks", token_stream=stream
+    )
+    toks = stream.select("doc_id", "word", "position")
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
     return IX.search_query(
         p, f'"{" ".join(SEARCH_PHRASE)}"', docs_meta, k=50, tokens=toks

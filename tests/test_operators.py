@@ -432,3 +432,27 @@ def test_utf8_tokenizer_asymmetry(spark):
         ("Über", False),  # tolower is ASCII-only; non-ASCII start => no capital
         ("北京大学x", False),  # non-ASCII word absorbs trailing ASCII
     ]
+
+
+def test_tokenizer_ascii_fast_path_equivalence(spark):
+    """The octet_length==length fast path must extract the identical
+    token sequence the full two-branch alternation would: the
+    non-ASCII alternative can never fire on pure-ASCII input, and any
+    row with a multi-byte char must still take the full regex."""
+    texts = [
+        "Plain ASCII with.dots and CAPS 123",
+        "",
+        "...",
+        "Café naïve Über 北京大学x",
+        "mixed ascii première ASCII tail",
+        "a" * 50 + " trailing",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    fast = F.when(
+        F.octet_length("s") == F.length("s"),
+        F.regexp_extract_all("s", F.lit(IX._ASCII_TOKEN_RE), F.lit(0)),
+    ).otherwise(F.regexp_extract_all("s", F.lit(IX._TOKEN_RE), F.lit(0)))
+    full = F.regexp_extract_all("s", F.lit(IX._TOKEN_RE), F.lit(0))
+    rows = df.select(fast.alias("fast"), full.alias("full")).collect()
+    for r in rows:
+        assert r["fast"] == r["full"]
