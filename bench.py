@@ -48,8 +48,12 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh",
     "dedup_ngram_jaccard",
+    "ann_ivf",
     "weighted_postings",
     "search_phrase",
+    "search_smallterm",
+    "search_unmerged",
+    "media_features",
     "text_stats",
     "events_window",
     "sessionize",

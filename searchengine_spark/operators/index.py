@@ -616,19 +616,32 @@ def search_weighted(
     small_n = _norm_small(small) if small is not None else None
     n = len(terms)
 
-    main_terms: list[tuple[int, str]] = []
-    small_terms: list[tuple[int, str]] = []
-    for i, t in enumerate(terms):
-        if route_small(small_n, t):
-            small_terms.append((i, t))
-        else:
-            main_terms.append((i, t))
-
+    # dict routing, IN-PLAN (PageSearcher.cpp:412-419): a per-term
+    # route_small() probe is a separate Spark action, and over an
+    # ephemeral dict each action re-runs the whole build. Instead both
+    # branches live in one plan: the small batch contributes exact
+    # matches for every eligible term (absent terms contribute nothing
+    # — exactly the empty-range fallback condition), and the main batch
+    # drops an eligible term's rows via a broadcast anti-join against
+    # the small dict's present-term set. One action; the dict-build
+    # exchanges are shared across branches by ReuseExchange.
+    elig = [(i, t) for i, t in enumerate(terms) if
+            small_n is not None and len(t) <= SMALLWORDSIZE]
+    all_pairs = list(enumerate(terms))
+    main_part = _tagged_top2(postings, all_pairs, max_search)
     parts: list[DataFrame] = []
-    if main_terms:
-        parts.append(_tagged_top2(postings, main_terms, max_search))
-    if small_terms:
-        parts.append(_tagged_top2(small_n, small_terms, max_search, exact=True))
+    if elig:
+        spark = postings.sparkSession
+        elig_df = spark.createDataFrame(
+            [(t, i) for i, t in elig], "term string, _ti int"
+        )
+        present_ti = (
+            small_n.join(F.broadcast(elig_df), "term").select("_ti").distinct()
+        )
+        parts.append(main_part.join(F.broadcast(present_ti), "_ti", "left_anti"))
+        parts.append(_tagged_top2(small_n, elig, max_search, exact=True))
+    else:
+        parts.append(main_part)
     top2 = reduce(lambda a, b: a.unionByName(b), parts)
 
     aggs = []
