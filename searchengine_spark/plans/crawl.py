@@ -498,6 +498,17 @@ class CrawlDriver:
 
         stored = self.store.read_config()
         given = asdict(self.cfg)
+        if stored is None and self.store.exists("seen"):
+            # a seeded store with no pinned config predates config
+            # pinning: its schemas/shard layout are unverifiable, and a
+            # resume could fast-append drifted deltas — hard error
+            # rather than a silent mixed-schema chain
+            raise ValueError(
+                f"store {self.store.root} has state but no _crawl_config "
+                "(predates config pinning); re-seed it, or write the "
+                "original config with TableStore.write_config before "
+                "resuming"
+            )
         if stored is not None:
             # use_bloom is exempt: the bloom is DERIVED data and a
             # no-bloom round drops its version from the manifest, so

@@ -140,6 +140,25 @@ class TableStore:
 
         base = base_version if base_version is not None else prev
         if mode == "append" and base > 0:
+            # schema pin: a fast-append snapshot is read as ONE multi-dir
+            # parquet load without mergeSchema, so a delta whose columns
+            # drifted from the base would silently drop or null columns
+            # depending on which file Spark infers from. Fail loudly
+            # instead (migration = compact with explicit column fill,
+            # then append).
+            base_cols = [
+                f.name
+                for f in self.spark.read.parquet(
+                    *self._data_dirs(table, base)
+                ).schema.fields
+            ]
+            delta_cols = [f.name for f in df.schema.fields]
+            if sorted(base_cols) != sorted(delta_cols):
+                raise ValueError(
+                    f"append schema drift on table {table!r}: base v{base} "
+                    f"has columns {sorted(base_cols)}, delta has "
+                    f"{sorted(delta_cols)}; compact-with-migration first"
+                )
             # write delta + file-list manifest into tmp, then one rename
             delta_rel = os.path.join(table, f"v{nxt:06d}", "delta")
             writer = df.write
@@ -177,17 +196,27 @@ class TableStore:
             )
         os.replace(ptr_tmp, self._pointer(table))
         # retain a bounded history (resume needs latest only; keep 3) —
-        # but never a version dir whose data a retained file-list
+        # but never (a) a version dir whose data a retained file-list
         # manifest still references (append chains point into older
-        # versions' delta dirs until a compaction folds them)
+        # versions' delta dirs until a compaction folds them), nor
+        # (b) the version the current _round_manifest pins for this
+        # table: 3+ consecutive crashed round attempts advance the
+        # pointer past keep-3 while resume still reads the pinned
+        # version — deleting it would turn the next resume into a
+        # FileNotFoundError.
+        keep: set[int] = set(range(max(1, nxt - 2), nxt + 1))
+        man = self.read_manifest()
+        pinned = (man or {}).get("versions", {}).get(table)
+        if pinned:
+            keep.add(int(pinned))
         referenced: set[str] = set()
-        for v in range(max(1, nxt - 2), nxt + 1):
+        for v in keep:
             for r in self._files_manifest(table, v) or []:
                 parts = r.split(os.sep)
                 if len(parts) >= 2 and parts[0] == table:
                     referenced.add(parts[1])
         for old in range(1, nxt - 2):
-            if f"v{old:06d}" in referenced:
+            if old in keep or f"v{old:06d}" in referenced:
                 continue
             p = self.snapshot_path(table, old)
             if os.path.exists(p):

@@ -33,18 +33,24 @@ def politeness_gate(
     last = state.get[0] if state.exists else -(10**9)
     for pdf in pdfs:
         pdf = pdf.sort_values(["tick", "url"])
+        # the grant recurrence is data-dependent (each grant moves the
+        # window anchor), so it cannot be a cummax-style vector op; the
+        # scan is a tight loop over a numpy array (no iterrows), and a
+        # group = one host's requests within one trigger — small by
+        # construction, so O(rows) python-int work is not the hot path
+        ticks = pdf["tick"].to_numpy()
         decisions = []
-        for _, row in pdf.iterrows():
-            if row["tick"] - last >= POLITENESS_TICKS:
+        for t in ticks:
+            if t - last >= POLITENESS_TICKS:
                 decisions.append("grant")
-                last = int(row["tick"])
+                last = int(t)
             else:
                 decisions.append("defer")
         yield pd.DataFrame(
             {
                 "host": host,
                 "url": pdf["url"].values,
-                "tick": pdf["tick"].values,
+                "tick": ticks,
                 "decision": decisions,
             }
         )
@@ -70,10 +76,11 @@ def gate_requests_batch(requests_df) -> "pd.DataFrame":
     out = []
     for host, grp in requests_df.toPandas().groupby("host"):
         last = -(10**9)
-        for _, row in grp.sort_values(["tick", "url"]).iterrows():
-            if row["tick"] - last >= POLITENESS_TICKS:
-                out.append((host, row["url"], int(row["tick"]), "grant"))
-                last = int(row["tick"])
+        grp = grp.sort_values(["tick", "url"])
+        for url, tick in zip(grp["url"].to_numpy(), grp["tick"].to_numpy()):
+            if tick - last >= POLITENESS_TICKS:
+                out.append((host, url, int(tick), "grant"))
+                last = int(tick)
             else:
-                out.append((host, row["url"], int(row["tick"]), "defer"))
+                out.append((host, url, int(tick), "defer"))
     return pd.DataFrame(out, columns=["host", "url", "tick", "decision"])

@@ -273,3 +273,19 @@ def test_host_ip_resolved_once_and_reused(spark, tmp_path_factory):
     assert set(ips_r2) <= set(ips_r4)
     for host, ip in ips_r2.items():
         assert ips_r4[host] == ip, host
+
+
+def test_resume_requires_pinned_config(spark, tmp_path_factory):
+    """A store with state but no _crawl_config (predates config
+    pinning) must hard-error on resume instead of fast-appending
+    deltas whose schema/shard layout can't be verified."""
+    import os
+
+    root = str(tmp_path_factory.mktemp("noconfstore"))
+    d1 = CrawlDriver(spark, root, CFG)
+    d1.seed(SEEDS)
+    d1.run(1)
+    os.remove(os.path.join(root, "_crawl_config"))
+    d2 = CrawlDriver(spark, root, CFG)
+    with pytest.raises(ValueError, match="no _crawl_config"):
+        d2.run(1, resume=True)

@@ -90,3 +90,38 @@ def test_pointer_is_atomic_artifact(spark, tmp_path):
     os.makedirs(str(tmp_path / "t" / "v000009.tmp-dead"), exist_ok=True)
     assert st.latest_version("t") == 1
     assert st.read("t").count() == 1
+
+
+def test_retention_exempts_manifest_pinned_version(spark, tmp_path):
+    """3+ commits after a round manifest (e.g. consecutive crashed
+    round attempts) must not delete the version the manifest still
+    pins — resume reads exactly that version."""
+    st = TableStore(spark, str(tmp_path))
+    st.commit("t", spark.createDataFrame([(1,)], "id int"))
+    st.commit_manifest(0, {"t": 1})
+    for i in range(2, 7):  # five more commits, pointer races ahead
+        st.commit("t", spark.createDataFrame([(i,)], "id int"))
+    assert 1 in st.history("t")
+    assert [r["id"] for r in st.read("t", version=1).collect()] == [1]
+
+
+def test_append_rejects_schema_drift(spark, tmp_path):
+    """A fast-append delta whose columns differ from the base snapshot
+    must fail loudly: the multi-dir manifest read infers the schema
+    from one file, so a drifted chain silently drops/nulls columns."""
+    import pytest
+
+    st = TableStore(spark, str(tmp_path))
+    st.commit("t", spark.createDataFrame([(1, "a")], "id int, v string"))
+    with pytest.raises(ValueError, match="schema drift"):
+        st.commit(
+            "t",
+            spark.createDataFrame([(2, "b", 9)], "id int, v string, extra int"),
+            mode="append",
+        )
+    # same columns, any order: accepted
+    st.commit(
+        "t",
+        spark.createDataFrame([("c", 3)], "v string, id int").select("id", "v"),
+        mode="append",
+    )
