@@ -22,8 +22,12 @@ crawl driver triggers it by chain length inside the round transaction.
 Snapshot retention never removes a version dir that a retained
 file-list manifest still references.
 
-If ``pyspark`` can load an Iceberg catalog (jars present), `TableStore`
-transparently uses it; nothing else in the engine knows the difference.
+`TableStore.iceberg` detects whether the Iceberg runtime is on the
+classpath — the port point for swapping this module's mechanics for
+real Iceberg commits (same semantic contract, pinned by
+tests/test_iceberg.py's backend-contract suite, whose Iceberg variant
+un-skips the moment jars appear). Nothing else in the engine would
+know the difference.
 """
 
 from __future__ import annotations
