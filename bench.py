@@ -331,8 +331,13 @@ def _run_level(n: int, urls: str) -> dict:
         [sys.executable, __file__, "--single"],
         env=env, capture_output=True, text=True, cwd=REPO,
     )
-    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"bench level local[{n}] produced no result (rc={p.returncode}); "
+            "stderr tail:\n" + "\n".join(p.stderr.splitlines()[-15:])
+        )
+    return json.loads(lines[-1])
 
 
 def run_scaling(sf_dir: str = SF_DIR) -> None:
