@@ -115,12 +115,21 @@ def dedup_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
     return candidates.join(seen.select("url_md5"), "url_md5", "left_anti")
 
 
+# below this batch size even a 100%-hot host sorts comfortably in one
+# task, and the two-phase plan's extra stages (count agg + quota join +
+# two-branch union) are pure fixed cost — ~2 s/round of AQE stage waves
+# measured at bench scale. Callers that know the batch size pass it and
+# small batches take the direct window; the result set is identical.
+ADMISSION_SINGLE_TASK_MAX = 2_000_000
+
+
 def admit_host_caps(
     candidates: DataFrame,
     remaining: DataFrame,
     default_rem: int,
     order_cols: tuple = ("url_md5", "url"),
     n_salts: int = 32,
+    n_candidates: int | None = None,
 ) -> DataFrame:
     """Per-host cap admission, skew-safe (A1, SearchEngine.h:746-756).
 
@@ -147,8 +156,22 @@ def admit_host_caps(
     `remaining` is (host, _rem); hosts absent from it default to
     `default_rem`. Result set is row-identical to the single-window
     form (pinned by tests/test_skew.py).
+
+    `n_candidates` (when the caller already knows the batch size, e.g.
+    from a cached count) picks the plan adaptively: at or below
+    ADMISSION_SINGLE_TASK_MAX the direct single-window form runs — the
+    skew machinery is pure fixed cost when every host fits one task.
     """
     order = [F.col(c) for c in order_cols]
+    if n_candidates is not None and n_candidates <= ADMISSION_SINGLE_TASK_MAX:
+        w = W.partitionBy("host").orderBy(*order)
+        return (
+            candidates.join(remaining, "host", "left")
+            .withColumn("_rem", F.coalesce(F.col("_rem"), F.lit(default_rem)))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= F.col("_rem"))
+            .drop("_rn", "_rem")
+        )
     cnt = candidates.groupBy("host").agg(F.count("*").alias("_cnt"))
     tagged = (
         candidates.join(remaining, "host", "left")

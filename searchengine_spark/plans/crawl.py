@@ -302,10 +302,17 @@ class CrawlDriver:
         remaining = hosts.select(
             "host", (F.lit(cfg.max_urls_per_host) - F.col("url_count")).alias("_rem")
         )
-        # two-phase skew-safe admission (no full-batch per-host sort):
-        # identical set to the oracle's ranked window — frontier.admit_host_caps
+        # skew-safe admission, adaptively planned: the count materializes
+        # the round's cand cache (needed by every later action anyway)
+        # and picks the direct window for small batches or the two-phase
+        # bounded-window plan above ADMISSION_SINGLE_TASK_MAX — identical
+        # admitted set either way (frontier.admit_host_caps)
+        n_cand = cand.count()
         admitted = admit_host_caps(
-            cand, F.broadcast(remaining), cfg.max_urls_per_host
+            cand,
+            F.broadcast(remaining),
+            cfg.max_urls_per_host,
+            n_candidates=n_cand,
         )
         deduped = dedup_batch(admitted)
         if cfg.use_bloom:

@@ -83,6 +83,20 @@ def test_admission_equals_single_window_under_skew(spark):
     assert got_rows == want_rows
     # the hot host really was capped at its quota
     assert sum(1 for r in got_rows if r[0] == HOT_HOST) == 3
+    # the adaptive small-batch path (n_candidates below the threshold)
+    # returns the same set through the direct single-window plan
+    small = FR.admit_host_caps(
+        cand, remaining, default_rem=2, n_candidates=100
+    )
+    small_rows = sorted(map(key, small.collect()))
+    assert small_rows == want_rows
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    wins = {
+        ln.lstrip(" +-:*")
+        for ln in plan.splitlines()
+        if "Window [" in ln and "windowspec" in ln
+    }
+    assert len(wins) == 1 and not any("_salt" in w for w in wins)
 
 
 def test_admission_plan_bounds_every_host_sort(spark):
