@@ -58,6 +58,7 @@ def pagerank(
     n_iter: int = 3,
     damping: float = DAMPING,
     checkpoint_every: int = 4,
+    tol: float | None = None,
 ) -> DataFrame:
     """nodes(node) + edges(src, dst, out_degree) -> (node, rank).
 
@@ -65,8 +66,21 @@ def pagerank(
     init 1.0, final clamp at RANK_CLAMP — the reference's exact update.
     Dangling mass is dropped exactly as the reference drops it (no
     redistribution — SearchEngine.cpp:1240-1260 only credits real edges).
+
+    With `tol` set, `n_iter` becomes a CAP: iteration stops as soon as
+    the L-infinity rank delta of a sweep falls below tol (one tiny agg
+    per sweep over the checkpointed old/new ranks — the reference runs
+    a fixed refine count, SearchEngine.cpp:1210, so early stop is a
+    production convenience, not a parity behavior). The stop decision
+    is deterministic (pure function of the deterministic ranks), but
+    driver-gate queries pin tol=None for fixed-iteration parity with
+    the unrolled SQL oracle.
     """
     ranks = nodes.select(F.col("node"), F.lit(1.0).alias("rank"))
+    if tol is not None:
+        # delta checks re-read the previous sweep's ranks: keep both
+        # sides materialized and lineage flat
+        ranks = ranks.localCheckpoint(eager=True)
     edges = edges.cache()
     for i in range(n_iter):
         contribs = (
@@ -78,6 +92,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
+        prev = ranks
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
@@ -88,7 +103,19 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % checkpoint_every == 0:
+        if tol is not None:
+            ranks = ranks.localCheckpoint(eager=True)
+            delta = (
+                ranks.alias("n")
+                .join(prev.alias("p"), "node")
+                .agg(
+                    F.max(F.abs(F.col("n.rank") - F.col("p.rank"))).alias("d")
+                )
+                .collect()[0]["d"]
+            )
+            if delta is not None and delta < tol:
+                break
+        elif (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint(eager=True)  # cut lineage
     return ranks.select(
         "node", F.round(F.least(F.col("rank"), F.lit(RANK_CLAMP)), 6).alias("rank")

@@ -72,11 +72,17 @@ def doc_sections(docs: DataFrame) -> DataFrame:
     )
 
 
-def rank_docs(docs: DataFrame, n_iter: int = PAGERANK_ITERS) -> DataFrame:
-    """docs(url_md5, spans) -> (url_md5, page_rank)."""
+def rank_docs(
+    docs: DataFrame, n_iter: int = PAGERANK_ITERS, tol: float | None = None
+) -> DataFrame:
+    """docs(url_md5, spans) -> (url_md5, page_rank).
+
+    `tol` (production convenience) makes n_iter a cap with L-inf
+    delta-norm early stop; the default None keeps the reference's
+    fixed refine count for oracle parity."""
     edges = edges_from_docs(docs)
     nodes = docs.select(F.col("url_md5").alias("node")).distinct()
-    ranks = pagerank(edges, nodes, n_iter=n_iter)
+    ranks = pagerank(edges, nodes, n_iter=n_iter, tol=tol)
     return ranks.select(F.col("node").alias("url_md5"), F.col("rank").alias("page_rank"))
 
 

@@ -1,0 +1,154 @@
+"""Production HTTP fetch adapter for the crawl's network boundary.
+
+The crawl round computes documents through one column slot
+(plans/crawl.py: `ok.withColumn("spans", ...)`): the sandbox fills it
+with the synthetic JVM projection (corpus.fetch_spans_expr); a real
+deployment swaps in THIS adapter — a vectorized pandas UDF that fetches
+each scheduled URL over HTTP(S) and emits (status, content_type, body),
+after which the existing extract_spans_udf turns HTML into the spans
+array and content_type_allowed applies the P8 gate unchanged.
+
+Concurrency model ≙ the reference's ~1000 crawl threads blocked on
+sockets (SearchEngine.cpp:662-770, KKSocket.hpp): network fetch is
+latency-bound, so each Arrow batch fans out over a thread pool
+(stdlib-only; no extra deps). Politeness is ALREADY enforced upstream
+by the scheduler (one URL per host per round), so the pool needs no
+per-host throttling of its own — every URL in a batch is a distinct
+host by construction.
+
+Failure semantics match the reference's error path: any transport
+error, timeout, or non-2xx is reported as a status code (0 for
+transport-level failures) with an empty body; the round marks the URL
+failed and the hosts merge applies the backoff/fail counters exactly
+as for synthetic failures.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import urllib.error
+import urllib.request
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FETCH_RESULT_TYPE = StructType(
+    [
+        StructField("status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("body", StringType()),
+    ]
+)
+
+DEFAULT_TIMEOUT_S = 10.0  # ≙ reference connect/read budget
+DEFAULT_MAX_BYTES = 1 << 20  # MAXDOWNLOADSIZE-style body cap
+DEFAULT_POOL = 64  # per-executor-core fanout; latency-bound work
+USER_AGENT = "searchengine-spark/0.4 (+crawler)"
+
+
+def fetch_one(
+    url: str,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+) -> tuple[int, str, str]:
+    """One URL -> (status, content_type, body). Never raises: transport
+    failures return status 0, HTTP errors their status code — the
+    caller's failure handling is uniform with the synthetic adapter."""
+    u = url if "://" in url else "http://" + url
+    req = urllib.request.Request(u, headers={"User-Agent": USER_AGENT})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            raw = resp.read(max_bytes)
+            ctype = resp.headers.get("Content-Type", "") or ""
+            charset = resp.headers.get_content_charset() or "utf-8"
+            return (
+                int(resp.status),
+                ctype,
+                raw.decode(charset, errors="replace"),
+            )
+    except urllib.error.HTTPError as e:  # non-2xx with a real response
+        return (int(e.code), e.headers.get("Content-Type", "") or "", "")
+    except Exception:  # DNS, refused, timeout, TLS, bad URL ...
+        return (0, "", "")
+
+
+def fetch_batch(
+    urls: list[str],
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    pool_size: int = DEFAULT_POOL,
+) -> list[tuple[int, str, str]]:
+    """Fan a batch of (distinct-host) URLs over a thread pool, order
+    preserved."""
+    if not urls:
+        return []
+    n = min(pool_size, max(1, len(urls)))
+    with _fut.ThreadPoolExecutor(max_workers=n) as ex:
+        return list(
+            ex.map(lambda u: fetch_one(u, timeout_s, max_bytes), urls)
+        )
+
+
+def make_http_fetch_udf(
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    pool_size: int = DEFAULT_POOL,
+):
+    """Arrow-batched fetch UDF: url column -> struct(status,
+    content_type, body). Marked nondeterministic so Catalyst evaluates
+    it exactly once even when both a filter (the P8 gate) and a
+    projection reference it (the dup-evaluation trap — see
+    CLAUDE.md/known traps)."""
+
+    def _fetch(urls: pd.Series) -> pd.DataFrame:
+        rows = fetch_batch(
+            urls.fillna("").tolist(), timeout_s, max_bytes, pool_size
+        )
+        return pd.DataFrame(rows, columns=["status", "content_type", "body"])
+
+    return (
+        F.pandas_udf(_fetch, returnType=FETCH_RESULT_TYPE)
+        .asNondeterministic()
+    )
+
+
+def fetched_docs(scheduled, cfg, udf=None, cache_handles: list | None = None):
+    """The production form of the round's fetch stage: scheduled
+    (url_md5, url, host, shard, round, seq_in_round) -> the same
+    columns + content_type + spans, P8-gated, plus the failed subset.
+
+    Returns (ok_docs, failed) — drop-in for the synthetic pair in
+    plans/crawl.py. `spans` comes from the existing extract_spans_udf
+    over the fetched body, so span semantics (T1-T5) are byte-shared
+    with the fixture-verified extractor.
+
+    The fetched frame is CACHED (two consumers branch from it; without
+    the cache each branch would re-fetch every URL over the network).
+    Pass `cache_handles` to receive the handle for round-scoped
+    unpersist, run_round-style."""
+    from searchengine_spark.functions.spans import extract_spans_udf
+    from searchengine_spark.plans.crawl import content_type_allowed
+
+    u = udf if udf is not None else make_http_fetch_udf()
+    fetched = scheduled.withColumn("_f", u(F.col("url"))).cache()
+    if cache_handles is not None:
+        cache_handles.append(fetched)
+    is_ok = (
+        (F.col("_f.status") >= 200)
+        & (F.col("_f.status") < 300)
+        & content_type_allowed(F.col("_f.content_type"))
+    )
+    ok = (
+        fetched.where(is_ok)
+        .withColumn("content_type", F.col("_f.content_type"))
+        .withColumn("spans", extract_spans_udf(F.col("_f.body")))
+        .drop("_f")
+    )
+    failed = fetched.where(~is_ok).drop("_f")
+    return ok, failed

@@ -1,0 +1,114 @@
+"""Production HTTP fetch adapter (S5/S6 network path) against a real
+local HTTP server: statuses, decode, body cap, transport failures, and
+the Spark-side fetched_docs stage (P8 gate + span extraction) feeding
+the same downstream the synthetic adapter feeds."""
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.config import CrawlConfig
+from searchengine_spark.sources import http_fetch as HF
+
+HTML = (
+    "<html><head><title>Adapter Page</title></head>"
+    '<body>hello fetched world <a href="http://a.com/next">n</a>'
+    "</body></html>"
+)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802
+        if self.path == "/ok":
+            body = HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/big":
+            body = b"x" * 100_000
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/png":
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", "4")
+            self.end_headers()
+            self.wfile.write(b"\x89PNG")
+        else:
+            self.send_error(404)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_fetch_one_statuses(server):
+    st, ct, body = HF.fetch_one(f"{server}/ok")
+    assert st == 200 and ct.startswith("text/html") and "fetched world" in body
+    st404, _, body404 = HF.fetch_one(f"{server}/missing")
+    assert st404 == 404 and body404 == ""
+    # transport failure: refused port -> status 0, never raises
+    st0, ct0, b0 = HF.fetch_one("http://127.0.0.1:9/x", timeout_s=1.0)
+    assert (st0, ct0, b0) == (0, "", "")
+
+
+def test_fetch_one_body_cap(server):
+    st, _, body = HF.fetch_one(f"{server}/big", max_bytes=1000)
+    assert st == 200 and len(body) == 1000
+
+
+def test_fetch_batch_order_preserved(server):
+    urls = [f"{server}/ok", f"{server}/missing", f"{server}/ok"]
+    rows = HF.fetch_batch(urls, pool_size=3)
+    assert [r[0] for r in rows] == [200, 404, 200]
+
+
+def test_fetched_docs_stage(spark, server):
+    """The Spark stage: 2xx+text/html rows become docs with extracted
+    spans; 404, non-HTML, and dead hosts land in failed — the same
+    split the synthetic adapter produces for the hosts merge."""
+    rows = [
+        ("m1", f"{server}/ok", "h1.com", 0, 0, 1),
+        ("m2", f"{server}/missing", "h2.com", 0, 0, 2),
+        ("m3", f"{server}/png", "h3.com", 1, 0, 3),
+        ("m4", "http://127.0.0.1:9/x", "h4.com", 1, 0, 4),
+    ]
+    scheduled = spark.createDataFrame(
+        rows,
+        "url_md5 string, url string, host string, shard int, "
+        "round int, seq_in_round int",
+    )
+    handles: list = []
+    ok, failed = HF.fetched_docs(
+        scheduled,
+        CrawlConfig(n_shards=4),
+        udf=HF.make_http_fetch_udf(timeout_s=3.0),
+        cache_handles=handles,
+    )
+    got_ok = ok.collect()
+    assert [r["url_md5"] for r in got_ok] == ["m1"]
+    spans = got_ok[0]["spans"]
+    kinds = [s["kind"] for s in spans]
+    assert "title" in kinds
+    title = next(s for s in spans if s["kind"] == "title")
+    assert title["text"] == "Adapter Page"
+    link = next(s for s in spans if s["kind"] == "link")
+    assert link["media_ref"] == "http://a.com/next"
+    assert sorted(r["url_md5"] for r in failed.collect()) == ["m2", "m3", "m4"]
+    for h in handles:
+        h.unpersist()

@@ -170,6 +170,26 @@ def test_pagerank_chain_and_conservation(spark):
     assert abs(r["a"] - 0.15) < 1e-6  # no in-links -> 1-damping
 
 
+def test_pagerank_tol_early_stop(spark):
+    """tol turns n_iter into a cap: a converged graph stops early with
+    the same ranks (within tol); a huge tol stops after one sweep and
+    equals the fixed 1-iteration result exactly."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1)], "src string, dst string, out_degree int"
+    )
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",)], "node string")
+    fixed = {x["node"]: x["rank"]
+             for x in PR.pagerank(edges, nodes, n_iter=25).collect()}
+    early = {x["node"]: x["rank"]
+             for x in PR.pagerank(edges, nodes, n_iter=25, tol=1e-7).collect()}
+    assert all(abs(fixed[n] - early[n]) < 1e-5 for n in fixed)
+    one_fixed = {x["node"]: x["rank"]
+                 for x in PR.pagerank(edges, nodes, n_iter=1).collect()}
+    one_tol = {x["node"]: x["rank"]
+               for x in PR.pagerank(edges, nodes, n_iter=25, tol=1e9).collect()}
+    assert one_tol == one_fixed
+
+
 def test_edges_from_docs_semi_join(spark):
     from searchengine_spark.functions.urls import url_md5_py
 
