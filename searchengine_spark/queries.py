@@ -2002,7 +2002,9 @@ def q_search_smallterm(spark, sf_dir):
     its exact-match range when non-empty, falling back to the main
     dict's prefix+boundary expansion otherwise."""
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
-    p = _wpostings_blocks(spark, sf_dir, sorted_output=False)
+    # one shared evaluation of the ephemeral dict for all three
+    # consumers (main batch, small batch, present-term probe)
+    p = IX.shared_postings(_wpostings_blocks(spark, sf_dir, sorted_output=False))
     small = IX.build_small_postings(p, pos_col="pos")
     return IX.search_weighted(p, SMALLROUTE_TERMS, docs_meta, k=50, small=small)
 

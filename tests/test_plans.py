@@ -226,3 +226,25 @@ def test_term_lookup_pushdown_on_sorted_postings(spark, tmp_path):
     q.collect()
     plan = _plan(q)
     assert "PushedFilters" in plan and "EqualTo(term,sort)" in plan, plan[:1500]
+
+
+def test_shared_postings_barrier_survives_optimizer(spark):
+    """shared_postings' fold-proof barrier must survive optimization
+    (a rand()-based one is silently folded by Spark 4): the final plan
+    keeps the shuffle() predicate above ONE term-keyed exchange, and
+    row content is unchanged."""
+    from searchengine_spark.operators import index as IX
+
+    p = spark.createDataFrame(
+        [("alpha", "d1", 1, 0.5), ("beta", "d2", 2, 0.4)],
+        "term string, doc_id string, pos int, rank double",
+    )
+    shared = IX.shared_postings(p, n_parts=4)
+    a = shared.groupBy("term").count()
+    b = shared.groupBy("doc_id").count().withColumnRenamed("count", "c2")
+    out = a.join(b, a["count"] == b["c2"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "shuffle(" in plan  # the barrier is still there
+    rows = sorted((r["term"], r["doc_id"]) for r in shared.collect())
+    assert rows == [("alpha", "d1"), ("beta", "d2")]
