@@ -2185,7 +2185,9 @@ def _materialize_ctes(sql: str) -> str:
     into invalid `AS MATERIALIZED` SQL. Single-quoted string literals
     are skipped while scanning ('' is the SQL escape), so a literal
     containing an unbalanced paren or the word SELECT cannot
-    desynchronize the depth tracking or the cut point.
+    desynchronize the depth tracking or the cut point — AND while
+    substituting, so a literal inside a CTE body containing text like
+    "', x AS ('" is never rewritten (corrupting the literal).
 
     ORACLE-AUTHORING RULES (both enforced by tests/test_oracle_rules.py):
     1. Every CTE must open as `name AS (` so this rewrite catches it.
@@ -2200,6 +2202,8 @@ def _materialize_ctes(sql: str) -> str:
     cut = len(sql)
     i = 0
     in_string = False
+    lit_spans: list[tuple[int, int]] = []  # [start, end) of each literal
+    lit_start = -1
     while i < len(sql):
         ch = sql[i]
         if in_string:
@@ -2208,8 +2212,10 @@ def _materialize_ctes(sql: str) -> str:
                     i += 1  # escaped '' stays inside the literal
                 else:
                     in_string = False
+                    lit_spans.append((lit_start, i + 1))
         elif ch == "'":
             in_string = True
+            lit_start = i
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -2218,8 +2224,22 @@ def _materialize_ctes(sql: str) -> str:
             cut = i
             break
         i += 1
+    if in_string:  # unterminated literal (malformed SQL): leave it alone
+        lit_spans.append((lit_start, len(sql)))
+
+    def _in_literal(pos: int) -> bool:
+        return any(s <= pos < e for s, e in lit_spans)
+
+    # the substitution skips matches that START inside a string literal
+    # (same scanner as the cut-point pass): a quoted literal containing
+    # text like ", x AS (" must never be rewritten into AS MATERIALIZED
     head = _CTE_OPEN.sub(
-        lambda m: f"{m.group(1)}{m.group(2)} AS MATERIALIZED (", sql[:cut]
+        lambda m: (
+            m.group(0)
+            if _in_literal(m.start(2))
+            else f"{m.group(1)}{m.group(2)} AS MATERIALIZED ("
+        ),
+        sql[:cut],
     )
     return head + sql[cut:]
 

@@ -20,11 +20,15 @@ Failure semantics match the reference's error path: any transport
 error, timeout, or non-2xx is reported as a status code (0 for
 transport-level failures) with an empty body; the round marks the URL
 failed and the hosts merge applies the backoff/fail counters exactly
-as for synthetic failures.
+as for synthetic failures. A 2xx response with a disallowed
+Content-Type is NOT a failure: it counts as fetched (no backoff, no
+fail counter — same as the synthetic adapter's post-fetch P8 gate,
+plans/crawl.py) and is merely excluded from indexing.
 """
 
 from __future__ import annotations
 
+import codecs
 import concurrent.futures as _fut
 import urllib.error
 import urllib.request
@@ -66,7 +70,15 @@ def fetch_one(
         with urllib.request.urlopen(req, timeout=timeout_s) as resp:
             raw = resp.read(max_bytes)
             ctype = resp.headers.get("Content-Type", "") or ""
+            # resolve the charset defensively OUTSIDE the failure path:
+            # a misspelled charset header (LookupError) must degrade to
+            # utf-8 replacement decoding, not misreport a successful
+            # fetch as a transport failure (phantom backoff/fail count)
             charset = resp.headers.get_content_charset() or "utf-8"
+            try:
+                codecs.lookup(charset)
+            except LookupError:
+                charset = "utf-8"
             return (
                 int(resp.status),
                 ctype,
@@ -128,6 +140,16 @@ def fetched_docs(scheduled, cfg, udf=None, cache_handles: list | None = None):
     over the fetched body, so span semantics (T1-T5) are byte-shared
     with the fixture-verified extractor.
 
+    Split semantics (must match the synthetic adapter so swapping in
+    this one does not change hosts-merge state or fetch stats):
+    * failed  = transport errors and non-2xx ONLY (these feed the
+      host's retry/backoff/fail counters and get re-queued);
+    * ok_docs = 2xx responses whose Content-Type passes the P8 gate;
+    * a 2xx response with a disallowed Content-Type is in NEITHER
+      frame — it counted as a successful fetch (no backoff) but is
+      excluded from indexing, exactly the synthetic post-fetch gate
+      (plans/crawl.py: ok.where(content_type_allowed)).
+
     The fetched frame is CACHED (two consumers branch from it; without
     the cache each branch would re-fetch every URL over the network).
     Pass `cache_handles` to receive the handle for round-scoped
@@ -139,16 +161,12 @@ def fetched_docs(scheduled, cfg, udf=None, cache_handles: list | None = None):
     fetched = scheduled.withColumn("_f", u(F.col("url"))).cache()
     if cache_handles is not None:
         cache_handles.append(fetched)
-    is_ok = (
-        (F.col("_f.status") >= 200)
-        & (F.col("_f.status") < 300)
-        & content_type_allowed(F.col("_f.content_type"))
-    )
+    is_2xx = (F.col("_f.status") >= 200) & (F.col("_f.status") < 300)
     ok = (
-        fetched.where(is_ok)
+        fetched.where(is_2xx & content_type_allowed(F.col("_f.content_type")))
         .withColumn("content_type", F.col("_f.content_type"))
         .withColumn("spans", extract_spans_udf(F.col("_f.body")))
         .drop("_f")
     )
-    failed = fetched.where(~is_ok).drop("_f")
+    failed = fetched.where(~is_2xx).drop("_f")
     return ok, failed

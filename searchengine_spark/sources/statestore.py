@@ -150,18 +150,25 @@ class TableStore:
             # depending on which file Spark infers from. Fail loudly
             # instead (migration = compact with explicit column fill,
             # then append).
-            base_cols = [
-                f.name
+            # pin (name, type) pairs, not names alone: a delta whose
+            # columns keep their names but drift in type (int vs bigint)
+            # would fast-append fine and then surface as silent coercion
+            # or a read error far from the offending commit (the
+            # snapshot is one multi-dir load without mergeSchema)
+            base_cols = sorted(
+                (f.name, f.dataType.simpleString())
                 for f in self.spark.read.parquet(
                     *self._data_dirs(table, base)
                 ).schema.fields
-            ]
-            delta_cols = [f.name for f in df.schema.fields]
-            if sorted(base_cols) != sorted(delta_cols):
+            )
+            delta_cols = sorted(
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            )
+            if base_cols != delta_cols:
                 raise ValueError(
                     f"append schema drift on table {table!r}: base v{base} "
-                    f"has columns {sorted(base_cols)}, delta has "
-                    f"{sorted(delta_cols)}; compact-with-migration first"
+                    f"has columns {base_cols}, delta has "
+                    f"{delta_cols}; compact-with-migration first"
                 )
             # write delta + file-list manifest into tmp, then one rename
             delta_rel = os.path.join(table, f"v{nxt:06d}", "delta")

@@ -35,6 +35,15 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
+        elif self.path == "/badcharset":
+            body = b"<html><body>charset page</body></html>"
+            self.send_response(200)
+            self.send_header(
+                "Content-Type", "text/html; charset=bogus-enc-42"
+            )
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
         elif self.path == "/png":
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
@@ -80,8 +89,9 @@ def test_fetch_batch_order_preserved(server):
 
 def test_fetched_docs_stage(spark, server):
     """The Spark stage: 2xx+text/html rows become docs with extracted
-    spans; 404, non-HTML, and dead hosts land in failed — the same
-    split the synthetic adapter produces for the hosts merge."""
+    spans; 404 and dead hosts land in failed; a 2xx non-HTML response
+    is in NEITHER (fetched ok, just not indexable) — the same split
+    the synthetic adapter produces for the hosts merge."""
     rows = [
         ("m1", f"{server}/ok", "h1.com", 0, 0, 1),
         ("m2", f"{server}/missing", "h2.com", 0, 0, 2),
@@ -109,6 +119,16 @@ def test_fetched_docs_stage(spark, server):
     assert title["text"] == "Adapter Page"
     link = next(s for s in spans if s["kind"] == "link")
     assert link["media_ref"] == "http://a.com/next"
-    assert sorted(r["url_md5"] for r in failed.collect()) == ["m2", "m3", "m4"]
+    # m3 (200 + image/png): fetched OK — no fail counter — but not
+    # indexable, so it appears in neither frame
+    assert sorted(r["url_md5"] for r in failed.collect()) == ["m2", "m4"]
     for h in handles:
         h.unpersist()
+
+
+def test_fetch_one_bad_charset_header(server):
+    """A 2xx response advertising an unknown charset must decode with
+    utf-8 replacement, not be misreported as a transport failure."""
+    st, ct, body = HF.fetch_one(f"{server}/badcharset")
+    assert st == 200
+    assert "charset page" in body

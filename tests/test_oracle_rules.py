@@ -49,6 +49,19 @@ def test_materialize_skips_string_literals():
     assert "') SELECT bogus'" in out  # literal untouched
 
 
+def test_materialize_skips_cte_opener_inside_literal():
+    # a literal whose CONTENT looks like a CTE opener (", x AS (")
+    # must survive the substitution byte-identical
+    sql = (
+        "WITH a AS (SELECT ', x AS (' AS s, 1 AS n),\n"
+        "b AS (SELECT n FROM a)\n"
+        "SELECT n FROM b"
+    )
+    out = _materialize_ctes(sql)
+    assert out.count("AS MATERIALIZED (") == 2
+    assert "', x AS ('" in out  # literal untouched
+
+
 def test_materialize_handles_escaped_quote():
     sql = "WITH a AS (SELECT 'it''s (' AS s, 1 AS x)\nSELECT x FROM a"
     out = _materialize_ctes(sql)

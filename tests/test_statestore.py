@@ -125,3 +125,12 @@ def test_append_rejects_schema_drift(spark, tmp_path):
         spark.createDataFrame([("c", 3)], "v string, id int").select("id", "v"),
         mode="append",
     )
+    # same NAMES but a drifted TYPE (int -> bigint): refused too — the
+    # multi-dir read would otherwise coerce silently or fail far from
+    # the offending commit
+    with pytest.raises(ValueError, match="schema drift"):
+        st.commit(
+            "t",
+            spark.createDataFrame([(4, "d")], "id long, v string"),
+            mode="append",
+        )
