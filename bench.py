@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_lsh",
     "dedup_ngram_jaccard",
+    "dedup_groups",
     "ann_ivf",
     "weighted_postings",
     "search_phrase",
@@ -254,10 +255,33 @@ def crawl_round_bench(spark, n_frontier: int, workdir: str | None = None) -> dic
     }
 
 
+LOAD_IDLE_MAX = 2.0  # 1-min loadavg above this at start => flag the run
+
+
+def _load_guard() -> float:
+    """Record the pre-run 1-min loadavg and warn when the box is not
+    idle: BENCH_r04 was poisoned by a busy shared host (every untouched
+    query inflated 15-90%) and nothing in the artifact said so. The
+    load rides in the output JSON so a poisoned run self-identifies."""
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg
+        return -1.0
+    if load1 > LOAD_IDLE_MAX:
+        print(
+            f"bench: WARNING — 1-min loadavg {load1} > {LOAD_IDLE_MAX}: "
+            "the box is not idle; walls will be noise-inflated "
+            "(CLAUDE.md bench hygiene). Result JSON records load_1m_start.",
+            file=sys.stderr,
+        )
+    return load1
+
+
 def run_suite(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
     from searchengine_spark.queries import QUERIES
     from searchengine_spark.session import get_spark
 
+    load1 = _load_guard()
     spark = get_spark(
         "bench",
         master=master or f"local[{CPUS}]",
@@ -314,6 +338,7 @@ def run_suite(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
         "frontier_urls": rb["n_frontier"],
         "throughput_urls_per_sec": fb["urls_per_sec"] if fb else None,
         "master": spark.sparkContext.master,
+        "load_1m_start": load1,
     }
     spark.stop()
     return out
@@ -375,6 +400,7 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
         "eff_2_8_median": round(eff(med, 2, 8), 3),
         "eff_8_32_best": round(eff(best, 8, 32), 3),
         "eff_8_32_median": round(eff(med, 8, 32), 3),
+        "load_1m_start": {n: med[n].get("load_1m_start") for n in levels},
         "note": os.environ.get("BENCH_NOTE", ""),
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)

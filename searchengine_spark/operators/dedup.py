@@ -219,3 +219,120 @@ def simhash_dup_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .where(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-group formation: connected components over verified dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node u connects its LARGER neighbors
+    to m(u) = min(neighbors(u) ∪ {u}). Pure min-aggregates — fully
+    deterministic for any id type with a total order."""
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = (
+        sym.groupBy("a")
+        .agg(F.min("b").alias("_mb"))
+        .select("a", F.least(F.col("_mb"), F.col("a")).alias("_m"))
+    )
+    return (
+        sym.join(mins, "a")
+        .where(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("_m").alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient each edge toward its larger endpoint u,
+    then connect u and all its smaller neighbors to their min."""
+    orient = edges.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    mins = orient.groupBy("u").agg(F.min("v").alias("_m"))
+    nb = orient.join(mins, "u").select(
+        F.col("v").alias("a"), F.col("_m").alias("b")
+    )
+    own = mins.select(F.col("u").alias("a"), F.col("_m").alias("b"))
+    return nb.unionByName(own).where(F.col("a") != F.col("b")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Transitive duplicate groups over a pair graph: (doc_id, group_id)
+    with group_id = the component's MINIMUM doc_id (deterministic label;
+    a keep/drop policy is then `keep iff doc_id == group_id`).
+
+    The missing piece between pairwise dedup (minhash_dedup /
+    embedding_near_dups return verified PAIRS) and a production keep
+    list: A~B and B~C must collapse into one group even when A≁C.
+
+    Scale shape: alternating large-star/small-star label propagation —
+    O(log^2 n) rounds proven (in practice 2-3 for dup clusters, whose
+    diameter is tiny), every step a map-side-combinable min-aggregate +
+    distinct, NO driver-side union-find and no windows. Each round
+    localCheckpoints the edge set: the input pairs plan (often a whole
+    LSH pipeline) is evaluated exactly once, and iteration lineage
+    stays flat. The checkpoint footprint is bounded by the PAIR count
+    (threshold-verified dups, orders of magnitude smaller than the
+    corpus).
+
+    Convergence check per round: (count, xor of row hashes) — one tiny
+    aggregate action. A star-contracted fixpoint reproduces itself, so
+    equal digests end the loop; `max_iter` is a safety cap (raises if
+    hit — silent truncation would emit wrong groups).
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def digest(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b")).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = digest(e)
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        cur = digest(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # converged star graph: every non-root points at its component min
+    nodes = (
+        pairs.select(F.col(a_col).alias("doc_id"))
+        .unionByName(pairs.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    labels = e.select(F.col("a").alias("doc_id"), F.col("b").alias("group_id"))
+    return nodes.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("group_id"), F.col("doc_id")).alias("group_id")
+    )
+
+
+def dup_groups(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Pairs -> (doc_id, group_id, group_size), the per-doc keep/drop
+    surface: keep iff doc_id == group_id."""
+    cc = connected_components(pairs, a_col, b_col)
+    sizes = cc.groupBy("group_id").agg(F.count("*").alias("group_size"))
+    return cc.join(sizes, "group_id").select("doc_id", "group_id", "group_size")

@@ -2153,6 +2153,63 @@ SQL_ANN_LSH = _ann_lsh_sql()
 ORACLE_SQL["ann_lsh"] = SQL_ANN_LSH
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Transitive duplicate GROUPS over the minhash-verified pairs:
+    connected components (alternating large-star/small-star, min-label)
+    turn A~B, B~C into one group even when A≁C — the per-doc keep/drop
+    surface a production dedup needs (keep iff doc_id == group_id).
+    Oracle twin: DuckDB recursive CTE over the same verified pairs."""
+    import searchengine_spark.operators.dedup as DD_
+
+    pairs = _minhash_lsh_verify(
+        _docs_neardup_aug(spark, sf_dir), _shingles_expr(), 0.5
+    )
+    return DD_.dup_groups(pairs).orderBy("group_id", "doc_id")
+
+
+# WITH RECURSIVE heads the clause; the leading dummy CTE keeps every
+# real CTE on the ", name AS (" form the materializer rewrites (the
+# opener after RECURSIVE itself is not matched by _CTE_OPEN). DuckDB
+# accepts AS MATERIALIZED on the recursive CTE too.
+SQL_DEDUP_GROUPS = (
+    "WITH RECURSIVE _one AS (SELECT 1 AS one),"
+    + _NEARDUP_CTES
+    + ","
+    + _minhash_band_sql(_SHINGLES_SQL)
+    + f""",
+  vpairs AS (
+    SELECT doc_a, doc_b
+    FROM pairs
+    JOIN shingled sa ON sa.doc_id = doc_a
+    JOIN shingled sb ON sb.doc_id = doc_b
+    WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(sa.sh, sb.sh))), 4) >= 0.5
+  ),
+  edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM vpairs
+    UNION
+    SELECT doc_b, doc_a FROM vpairs
+  ),
+  reach AS (
+    SELECT src AS doc_id, dst AS peer FROM edges
+    UNION
+    SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.peer
+  ),
+  labels AS (
+    SELECT doc_id, least(doc_id, min(peer)) AS group_id
+    FROM reach GROUP BY doc_id
+  )
+SELECT doc_id, group_id,
+       CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT) AS group_size
+FROM labels
+ORDER BY group_id, doc_id
+"""
+)
+
+QUERIES["dedup_groups"] = q_dedup_groups
+ORACLE_SQL["dedup_groups"] = SQL_DEDUP_GROUPS
+
+
 # ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------

@@ -40,6 +40,46 @@ def test_minhash_lsh_finds_near_dups_not_distinct(spark):
     assert all("c" not in p for p in pairs)
 
 
+def test_connected_components_transitive_chain(spark):
+    """A~B and B~C must land in ONE group even though A≁C (the
+    transitive closure a pairwise dedup can't provide); disjoint pairs
+    stay separate; group_id is the component MIN (deterministic keep)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {r["doc_id"]: (r["group_id"], r["group_size"])
+           for r in DD.dup_groups(pairs).collect()}
+    assert got == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "x": ("x", 2), "y": ("x", 2),
+    }
+
+
+def test_connected_components_path_graph_converges(spark):
+    """Worst-case diameter: a 17-node path (d00-d01-...-d16) plus a
+    star, reversed-order edges — the alternating-star loop must reach
+    the fixpoint well inside the documented O(log^2 n) bound and label
+    everything with the single component min."""
+    n = 17
+    edges = [(f"d{i + 1:02d}", f"d{i:02d}") for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    cc = DD.connected_components(pairs).collect()
+    assert {r["group_id"] for r in cc} == {"d00"}
+    assert len(cc) == n
+
+
+def test_connected_components_empty_and_selfpair(spark):
+    pairs = spark.createDataFrame(
+        [("a", "a")], "doc_a string, doc_b string"
+    )
+    got = DD.dup_groups(pairs).collect()
+    # self-pairs are dropped; 'a' is still a node -> singleton group
+    assert [(r["doc_id"], r["group_id"], r["group_size"]) for r in got] == [
+        ("a", "a", 1)
+    ]
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [("a", "x y z q r"), ("b", "x y z q r"), ("c", "m n o p s")],
