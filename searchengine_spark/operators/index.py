@@ -474,26 +474,6 @@ def search(
     )
 
 
-def _top2_per_doc(per_term: DataFrame, idx: int) -> DataFrame:
-    """PosRanks (PageSearcher.cpp:153-189): per (doc, query term) keep
-    the best TWO postings by rank; termRank = their sum, both positions
-    retained for the proximity pass. The reference's add() replaces the
-    min-rank slot only on strictly-greater rank while scanning in dict
-    order, so ties keep the earlier dict word — deterministic twin:
-    order by (rank desc, term asc, pos asc)."""
-    w = W.partitionBy("doc_id").orderBy(F.desc("rank"), F.asc("term"), F.asc("pos"))
-    return (
-        per_term.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= 2)
-        .groupBy("doc_id")
-        .agg(
-            F.sum("rank").alias(f"trank_{idx}"),
-            F.min(F.when(F.col("_rn") == 1, F.col("pos"))).alias(f"p{idx}a"),
-            F.min(F.when(F.col("_rn") == 2, F.col("pos"))).alias(f"p{idx}b"),
-        )
-    )
-
-
 def _min_posdiff(i: int, j: int):
     """PosRanks::positionDiff (PageSearcher.cpp:180-189): min |p - q|
     over the kept position pairs of adjacent query terms."""
@@ -511,26 +491,6 @@ def _norm_small(small_postings: DataFrame) -> DataFrame:
     return _norm_postings(small_postings.withColumnRenamed("sterm", "term"))
 
 
-def route_small(
-    small: DataFrame | None, term: str
-) -> bool:
-    """The reference's dict routing (PageSearcher.cpp:412-419): a query
-    word of length <= DictWordSmall::MaxWordLen probes the SMALL dict
-    first and uses it when the range is non-empty, falling back to the
-    main dict otherwise. DictWordSmall's cmp (Phrase=false,
-    SearchEngine.h:389-404) memcmp's the null terminator too, so the
-    small range is EXACT equality on the 8-byte truncated term — no
-    prefix/boundary expansion (that partial compare is Phrase-only).
-    The probe is a pruned limit(1) scan — the Spark analogue of the
-    reference's binary-search range probe. `small` must already be
-    normalized (_norm_small)."""
-    return (
-        small is not None
-        and len(term) <= SMALLWORDSIZE
-        and small.where(F.col("term") == term).limit(1).count() > 0
-    )
-
-
 def _tagged_top2(
     postings: DataFrame,
     idx_terms: list[tuple[int, str]],
@@ -545,7 +505,11 @@ def _tagged_top2(
     GLOBAL term index so sides from different dicts union cleanly.
     exact=True is the small dict's null-terminated memcmp (term
     equality); exact=False the main dict's prefix+boundary partial
-    compare (DictWord::cmp, SearchEngine.h:389-415)."""
+    compare (DictWord::cmp, SearchEngine.h:389-415). PosRanks tie rule
+    (PageSearcher.cpp:153-189): the reference's add() replaces the
+    min-rank slot only on strictly-greater rank while scanning in dict
+    order, so ties keep the earlier dict word — deterministic twin:
+    sort by (rank desc, term asc, pos asc), keep 2."""
     if exact:
         conds = [(i, F.col("term") == t) for i, t in idx_terms]
     else:
@@ -609,6 +573,61 @@ def _tagged_top2(
     )
 
 
+def _routed_top2(
+    postings: DataFrame,
+    small_n: DataFrame | None,
+    idx_terms: list[tuple[int, str]],
+    max_search: int,
+) -> DataFrame:
+    """Dict routing for a batch of word terms, IN-PLAN
+    (PageSearcher.cpp:412-419): a per-term route_small() probe is a
+    separate Spark action — over an ephemeral dict each action re-runs
+    the whole build, and over a persisted dict a k-term query pays k
+    driver round-trips. Instead both branches live in one plan: the
+    small batch contributes exact matches for every eligible term
+    (absent terms contribute nothing — exactly the empty-range fallback
+    condition), and the main batch drops an eligible term's rows via a
+    broadcast anti-join against the small dict's present-term set. One
+    action regardless of term count; the dict-build exchanges are
+    shared across branches by ReuseExchange. Returns the tagged-top2
+    shape (doc_id, _ti, _trank, _pa, _pb)."""
+    elig = [
+        (i, t)
+        for i, t in idx_terms
+        if small_n is not None and len(t) <= SMALLWORDSIZE
+    ]
+    main_part = _tagged_top2(postings, idx_terms, max_search)
+    if not elig:
+        return main_part
+    spark = postings.sparkSession
+    elig_df = spark.createDataFrame(
+        [(t, i) for i, t in elig], "term string, _ti int"
+    )
+    present_ti = (
+        small_n.join(F.broadcast(elig_df), "term").select("_ti").distinct()
+    )
+    return main_part.join(F.broadcast(present_ti), "_ti", "left_anti").unionByName(
+        _tagged_top2(small_n, elig, max_search, exact=True)
+    )
+
+
+def _pivot_top2(top2: DataFrame, idxs: list[int]) -> DataFrame:
+    """Tagged-top2 rows -> one row per doc with trank_i/p{i}a/p{i}b
+    columns for the given term indices, AND semantics (every term
+    present) enforced."""
+    aggs = []
+    for i in idxs:
+        aggs += [
+            F.max(F.when(F.col("_ti") == i, F.col("_trank"))).alias(f"trank_{i}"),
+            F.max(F.when(F.col("_ti") == i, F.col("_pa"))).alias(f"p{i}a"),
+            F.max(F.when(F.col("_ti") == i, F.col("_pb"))).alias(f"p{i}b"),
+        ]
+    joined = top2.groupBy("doc_id").agg(*aggs)
+    for i in idxs:  # AND semantics: every term present
+        joined = joined.where(F.col(f"trank_{i}").isNotNull())
+    return joined
+
+
 def search_weighted(
     postings: DataFrame,
     terms: list[str],
@@ -637,45 +656,8 @@ def search_weighted(
     postings = _norm_postings(postings)
     small_n = _norm_small(small) if small is not None else None
     n = len(terms)
-
-    # dict routing, IN-PLAN (PageSearcher.cpp:412-419): a per-term
-    # route_small() probe is a separate Spark action, and over an
-    # ephemeral dict each action re-runs the whole build. Instead both
-    # branches live in one plan: the small batch contributes exact
-    # matches for every eligible term (absent terms contribute nothing
-    # — exactly the empty-range fallback condition), and the main batch
-    # drops an eligible term's rows via a broadcast anti-join against
-    # the small dict's present-term set. One action; the dict-build
-    # exchanges are shared across branches by ReuseExchange.
-    elig = [(i, t) for i, t in enumerate(terms) if
-            small_n is not None and len(t) <= SMALLWORDSIZE]
-    all_pairs = list(enumerate(terms))
-    main_part = _tagged_top2(postings, all_pairs, max_search)
-    parts: list[DataFrame] = []
-    if elig:
-        spark = postings.sparkSession
-        elig_df = spark.createDataFrame(
-            [(t, i) for i, t in elig], "term string, _ti int"
-        )
-        present_ti = (
-            small_n.join(F.broadcast(elig_df), "term").select("_ti").distinct()
-        )
-        parts.append(main_part.join(F.broadcast(present_ti), "_ti", "left_anti"))
-        parts.append(_tagged_top2(small_n, elig, max_search, exact=True))
-    else:
-        parts.append(main_part)
-    top2 = reduce(lambda a, b: a.unionByName(b), parts)
-
-    aggs = []
-    for i in range(n):
-        aggs += [
-            F.max(F.when(F.col("_ti") == i, F.col("_trank"))).alias(f"trank_{i}"),
-            F.max(F.when(F.col("_ti") == i, F.col("_pa"))).alias(f"p{i}a"),
-            F.max(F.when(F.col("_ti") == i, F.col("_pb"))).alias(f"p{i}b"),
-        ]
-    joined = top2.groupBy("doc_id").agg(*aggs)
-    for i in range(n):  # AND semantics: every term present
-        joined = joined.where(F.col(f"trank_{i}").isNotNull())
+    top2 = _routed_top2(postings, small_n, list(enumerate(terms)), max_search)
+    joined = _pivot_top2(top2, list(range(n)))
     return _score_joined(joined, n, k, docs_meta, host_col)
 
 
@@ -684,36 +666,6 @@ def _norm_postings(p: DataFrame) -> DataFrame:
     if "pos" not in p.columns and "first_pos" in p.columns:
         return p.withColumnRenamed("first_pos", "pos")
     return p
-
-
-def _small_word_side(small: DataFrame, term: str, idx: int) -> DataFrame:
-    """Small-dict side of one query word: the exact-match range (one
-    max-rank entry per doc, PageSearcher.cpp:440-448) through the same
-    PosRanks shape so it joins/scores like any other side."""
-    return _top2_per_doc(small.where(F.col("term") == term), idx)
-
-
-def _word_side(postings: DataFrame, term: str, idx: int, max_search: int) -> DataFrame:
-    cand = expand_word_term(postings, term)
-    # the per-term read cap (PageSearcher.cpp:425) as a distributed
-    # top-K (TakeOrderedAndProject), never a single-partition sort.
-    # Skipped at the reference's effectively-uncapped default: a
-    # limit(100M) makes Spark's per-task top-K heap allocate k slots.
-    if max_search is not None and max_search < MAX_SEARCH:
-        cand = cand.orderBy(F.desc("rank"), "term", "doc_id").limit(max_search)
-    return _top2_per_doc(cand, idx)
-
-
-def _score_sides(
-    sides: list[DataFrame],
-    k: int,
-    docs_meta: DataFrame | None,
-    host_col: str = "host",
-) -> DataFrame:
-    from functools import reduce as _reduce
-
-    joined = _reduce(lambda a, b: a.join(b, "doc_id", "inner"), sides)
-    return _score_joined(joined, len(sides), k, docs_meta, host_col)
 
 
 def _score_joined(
@@ -873,11 +825,25 @@ def search_query(
     else the main dict's prefix+boundary range compare, quoted phrases
     via true adjacent-position matching over the token stream (requires
     the `tokens` index; without it a phrase degrades to its words), an
-    explicit trailing-'*' term via most-common-dict-word expansion."""
+    explicit trailing-'*' term via most-common-dict-word expansion.
+
+    Word terms are routed through the small/main dict IN ONE PLAN
+    (_routed_top2): the former per-term route_small() probe cost one
+    limit(1).count() driver action per short word, so a k-term query
+    paid k round-trips even over a persisted dict. Now the whole word
+    batch is one job regardless of term count (statusTracker-asserted
+    in tests). A prefix term still pays its one dict-expansion probe —
+    that collect IS the reference's expansion step (pick the most-
+    common matching dict word before searching)."""
     postings = _norm_postings(postings)
     small_n = _norm_small(small) if small is not None else None
     parsed = parse_query(q)
-    sides: list[DataFrame] = []
+    sides: list[DataFrame] = []  # per-idx frames (phrase adjacency)
+    word_pairs: list[tuple[int, str]] = []  # small|main routed in-plan
+    # main-dict-only batch: degraded phrase words + expanded prefix
+    # hits (pre-existing semantics — only explicit word terms consult
+    # the small dict)
+    plain_pairs: list[tuple[int, str]] = []
     idx = 0
     for p in parsed:
         if p["kind"] == "prefix":
@@ -890,7 +856,7 @@ def search_query(
                 .collect()
             )
             if hits:
-                sides.append(_word_side(postings, hits[0]["term"], idx, max_search))
+                plain_pairs.append((idx, hits[0]["term"]))
                 idx += 1
         elif p["kind"] == "phrase":
             if tokens is not None:
@@ -899,18 +865,26 @@ def search_query(
             else:
                 for w in p["term"].split():
                     if w.lower() not in STOPWORDS_REF:
-                        sides.append(_word_side(postings, w, idx, max_search))
+                        plain_pairs.append((idx, w))
                         idx += 1
         else:
-            t = p["term"]
-            if route_small(small_n, t):
-                sides.append(_small_word_side(small_n, t, idx))
-            else:
-                sides.append(_word_side(postings, t, idx, max_search))
+            word_pairs.append((idx, p["term"]))
             idx += 1
-    if not sides:
+    if idx == 0:
         raise ValueError("empty query")
-    return _score_sides(sides, k, docs_meta, host_col)
+    parts: list[DataFrame] = []
+    if word_pairs:
+        parts.append(_routed_top2(postings, small_n, word_pairs, max_search))
+    if plain_pairs:
+        parts.append(_tagged_top2(postings, plain_pairs, max_search))
+    frames = list(sides)
+    if parts:
+        top2 = reduce(lambda a, b: a.unionByName(b), parts)
+        frames.append(
+            _pivot_top2(top2, sorted(i for i, _ in word_pairs + plain_pairs))
+        )
+    joined = reduce(lambda a, b: a.join(b, "doc_id", "inner"), frames)
+    return _score_joined(joined, idx, k, docs_meta, host_col)
 
 
 def prefix_search(postings: DataFrame, prefix: str) -> DataFrame:

@@ -468,6 +468,35 @@ def test_small_dict_routing(spark):
     assert IX.search_weighted(p, ["verylongword"], k=10, small=small).count() == 1
 
 
+def test_search_query_small_routing_and_no_probe_actions(spark):
+    """search_query word terms route through the small/main dict in ONE
+    plan: (a) routing semantics match search_weighted's (exact small
+    range wins, absent term falls back to the main dict); (b) building
+    the query plan fires ZERO Spark jobs — the old per-term
+    route_small() probe cost one limit(1).count() action per short
+    word (statusTracker-asserted)."""
+    p = spark.createDataFrame(
+        [("ho", "d1", 1, 0.5), ("ho9", "d2", 1, 0.4),
+         ("verylongword", "d3", 7, 0.3)],
+        "term string, doc_id string, pos int, rank double",
+    )
+    small = IX.build_small_postings(p, pos_col="pos")
+
+    sc = spark.sparkContext
+    sc.setJobGroup("sq_build", "plan construction must be action-free")
+    df_hit = IX.search_query(p, "ho", small=small)
+    df_fallback = IX.search_query(p, "verylong", small=small)
+    sc.setJobGroup(None, None)
+    assert sc.statusTracker().getJobIdsForGroup("sq_build") == []
+
+    # exact small hit: only d1 (main-only would add d2 via ho9)
+    assert {r["doc_id"] for r in df_hit.collect()} == {"d1"}
+    # truncation-only hit through the small dict
+    assert {r["doc_id"] for r in df_fallback.collect()} == {"d3"}
+    # absent from small AND > SMALLWORDSIZE: main dict resolves it
+    assert IX.search_query(p, "verylongword", small=small).count() == 1
+
+
 def test_search_max_search_cap(spark):
     """PageSearcher.cpp:425: per-term postings capped before the join."""
     p = spark.createDataFrame(
