@@ -33,6 +33,19 @@ def main(argv=None) -> int:
     ap.add_argument("--max-doc", type=int, default=500)
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--http",
+        action="store_true",
+        help="fetch over real HTTP (pages + robots.txt + DNS) instead of "
+        "the synthetic corpus; seeds must then be real URLs (--seed-url)",
+    )
+    ap.add_argument(
+        "--seed-url",
+        action="append",
+        default=[],
+        help="explicit seed URL (repeatable); required with --http",
+    )
+    ap.add_argument("--fetch-timeout", type=float, default=10.0)
     args = ap.parse_args(argv)
 
     from searchengine_spark.config import CrawlConfig
@@ -48,7 +61,15 @@ def main(argv=None) -> int:
         max_doc=args.max_doc,
         use_bloom=not args.no_bloom,
     )
-    driver = CrawlDriver(spark, args.store, cfg)
+    adapter = None
+    if args.http:
+        if not args.seed_url and not args.resume:
+            print("error: --http needs at least one --seed-url", file=sys.stderr)
+            return 2
+        from searchengine_spark.sources.http_fetch import HttpFetchAdapter
+
+        adapter = HttpFetchAdapter(timeout_s=args.fetch_timeout)
+    driver = CrawlDriver(spark, args.store, cfg, adapter=adapter)
     if args.resume:
         if driver.store.read_manifest() is None:
             print(
@@ -71,9 +92,10 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
             cfg = resumed
-            driver = CrawlDriver(spark, args.store, cfg)
+            driver = CrawlDriver(spark, args.store, cfg, adapter=adapter)
     if not args.resume:
-        driver.seed([raw_url_py(i) for i in range(args.seeds)])
+        seeds = args.seed_url or [raw_url_py(i) for i in range(args.seeds)]
+        driver.seed(seeds)
     for st in driver.run(args.rounds, resume=args.resume):
         print(
             json.dumps(

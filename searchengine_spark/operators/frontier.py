@@ -32,7 +32,12 @@ from searchengine_spark.config import CrawlConfig
 FRONTIER_COLS = ["url", "url_md5", "host", "shard", "discovered_round"]
 
 
-def normalize_candidates(raw: DataFrame, cfg: CrawlConfig, url_col: str = "raw_url") -> DataFrame:
+def normalize_candidates(
+    raw: DataFrame,
+    cfg: CrawlConfig,
+    url_col: str = "raw_url",
+    robots_filter: bool = True,
+) -> DataFrame:
     """raw URLs -> canonical candidates.
 
     Two stages, split at the Arrow boundary:
@@ -45,6 +50,12 @@ def normalize_candidates(raw: DataFrame, cfg: CrawlConfig, url_col: str = "raw_u
        this codegen tree tiny (no inlined canonicalize/domain chains).
     Batch-dedup / seen-dedup / host caps are separate operators so each
     stage is independently testable.
+
+    `robots_filter=False` skips the SYNTHETIC robots gate: the HTTP
+    fetch adapter learns a host's real robots.txt only at first
+    contact, so its crawl plan filters candidates against the hosts
+    table's cached robots_state instead (plans/crawl.py,
+    robots_candidate_filter).
     """
     from searchengine_spark.corpus import robots_state_expr
     from searchengine_spark.functions.hashes import hash60
@@ -66,17 +77,15 @@ def normalize_candidates(raw: DataFrame, cfg: CrawlConfig, url_col: str = "raw_u
             F.col("_p.path").alias("_path"),
         )
     )
-    robots = robots_state_expr(F.col("host"))
-    return (
-        parsed.withColumn("url_md5", url_md5_expr(F.col("url")))
-        .withColumn(
-            "shard",
-            F.pmod(
-                hash60(F.col("_rd"), cfg.shard_salt or None), F.lit(cfg.n_shards)
-            ).cast("int"),
-        )
-        .withColumn("_robots", robots)
-        .where(
+    out = parsed.withColumn("url_md5", url_md5_expr(F.col("url"))).withColumn(
+        "shard",
+        F.pmod(
+            hash60(F.col("_rd"), cfg.shard_salt or None), F.lit(cfg.n_shards)
+        ).cast("int"),
+    )
+    if robots_filter:
+        robots = robots_state_expr(F.col("host"))
+        out = out.withColumn("_robots", robots).where(
             F.col("url_md5").isNotNull()
             & (F.col("_robots") != "deny")
             & ~(
@@ -84,8 +93,9 @@ def normalize_candidates(raw: DataFrame, cfg: CrawlConfig, url_col: str = "raw_u
                 & F.col("_path").startswith(F.substring(F.col("_robots"), 10, 2048))
             )
         )
-        .select(*keep, "url", "url_md5", "host", "shard")
-    )
+    else:
+        out = out.where(F.col("url_md5").isNotNull())
+    return out.select(*keep, "url", "url_md5", "host", "shard")
 
 
 def dedup_batch(candidates: DataFrame) -> DataFrame:

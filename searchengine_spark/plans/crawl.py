@@ -103,6 +103,80 @@ def _fetch_fails_expr(host, round_no: int):
     )
 
 
+def url_path_expr(url) -> F.Column:
+    """Native twin of the parse UDF's `path` output (functions/urls.py:
+    _parse_candidate_arrays): everything from the first '/' of the
+    scheme-stripped canonical URL, '' when none."""
+    hbody = F.regexp_replace(url, "^https?://", "")
+    return F.regexp_replace(hbody, "^[^/]*", "")
+
+
+def robots_blocked_expr(path, robots_state) -> F.Column:
+    """True when a cached robots_state blocks this path: 'deny' blocks
+    everything; 'disallow:<prefix>' blocks prefix matches — the same
+    rule the synthetic ingest gate applies (operators/frontier.py).
+    NULL robots_state (host not yet contacted) blocks nothing."""
+    return F.coalesce(
+        (robots_state == "deny")
+        | (
+            robots_state.startswith("disallow:")
+            & path.startswith(F.substring(robots_state, 10, 2048))
+        ),
+        F.lit(False),
+    )
+
+
+class SyntheticFetchAdapter:
+    """The sandbox's fetch boundary: hash-derived spans as ONE native
+    JVM projection (corpus.fetch_spans_expr, byte-equal to the
+    simulator's fetch_spans_py), deterministic fetch failures, robots
+    state and DNS both hash-derived — the exact semantics the oracle
+    simulator reproduces (tests/test_crawl.py byte-equality).
+
+    `ingest_robots=True`: robots gating happens at candidate ingestion
+    via the synthetic robots_state_expr (a pure function of the host,
+    so it needs no hosts-table lookup)."""
+
+    ingest_robots = True
+
+    def fetch(self, scheduled, round_no: int, cfg, cache_handles):
+        """scheduled -> (docs_new, failed): docs_new carries the spans
+        column; failed rows feed retry/backoff. A content-type-rejected
+        fetch (impossible in the synthetic corpus, which serves HTML
+        only) would count as fetched-not-indexed, same as the HTTP
+        adapter's split."""
+        failed_c = _fetch_fails_expr(F.col("host"), round_no)
+        ok = (
+            scheduled.where(~failed_c)
+            .withColumn("content_type", _synth_content_type_expr(F.col("url")))
+            .where(content_type_allowed(F.col("content_type")))
+            .drop("content_type")
+        )
+        docs_new = ok.withColumn(
+            "spans", fetch_spans_expr(F.col("url"), cfg.max_doc)
+        ).select(
+            "url_md5", "url", "host", "shard", "round", "seq_in_round", "spans"
+        )
+        return docs_new, scheduled.where(failed_c)
+
+    def robots_state_expr(self):
+        """Column-valued robots resolution (zero-cost inline expr), or
+        None when the adapter must fetch (then resolve_hosts runs)."""
+        return robots_state_expr
+
+    def host_ip_expr(self):
+        return _pseudo_ip_expr
+
+    def resolve_hosts(self, new_hosts: DataFrame) -> DataFrame:
+        """(host) -> (host, robots_state, ip); unused when the expr
+        forms above are available — provided for interface parity."""
+        return new_hosts.select(
+            "host",
+            robots_state_expr(F.col("host")).alias("robots_state"),
+            _pseudo_ip_expr(F.col("host")).alias("ip"),
+        )
+
+
 def _empty_hosts(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], HOSTS_SCHEMA)
 
@@ -126,28 +200,32 @@ class CrawlDriver:
         spark: SparkSession,
         store_root: str,
         cfg: CrawlConfig | None = None,
+        adapter=None,
     ):
+        """`adapter` plugs the network boundary (fetch + robots + DNS):
+        default SyntheticFetchAdapter (hash-derived corpus, simulator-
+        verified); sources.http_fetch.HttpFetchAdapter swaps in real
+        HTTP for all three without touching run_round."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.store = TableStore(spark, store_root)
+        self.adapter = adapter if adapter is not None else SyntheticFetchAdapter()
 
     # -- bootstrap -------------------------------------------------------------
 
     def seed(self, seed_urls: list[str]) -> None:
         """Ingest the seed list (S1, loadURLList SearchEngine.cpp:773-824)."""
-        cfg = self.cfg
+        cfg, ad = self.cfg, self.adapter
         raw = self.spark.createDataFrame([(u,) for u in seed_urls], "raw_url string")
-        cand = normalize_candidates(raw, cfg)
+        cand = normalize_candidates(raw, cfg, robots_filter=ad.ingest_robots)
         cand = dedup_batch(cand)  # seeds: dedup only among themselves
         frontier = cand.select(
             "url", "url_md5", "host", "shard", F.lit(0).alias("discovered_round")
         )
         # host bookkeeping starts at the *attempted* candidate count, like
         # the reference's m_hostsCount increment inside filterURL
-        from searchengine_spark.corpus import robots_state_expr
-
-        hosts = (
-            normalize_candidates(raw, cfg)
+        hosts_base = (
+            normalize_candidates(raw, cfg, robots_filter=ad.ingest_robots)
             .groupBy("host")
             .agg(F.count("*").alias("url_count"))
             .select(
@@ -156,14 +234,28 @@ class CrawlDriver:
                 F.lit(0).alias("fail_count"),
                 F.lit(0).alias("fetch_count"),
                 "url_count",
-                # robots cache (north_rule): fetched-once-per-host state;
-                # synthetic corpus derives it deterministically (the prod
-                # adapter parses the fetched robots.txt body instead —
-                # corpus.parse_robots_txt)
-                robots_state_expr(F.col("host")).alias("robots_state"),
-                _pseudo_ip_expr(F.col("host")).alias("ip"),
             )
         )
+        # robots cache (north_rule): fetched-once-per-host state. The
+        # synthetic adapter derives it as an inline expr; the HTTP
+        # adapter fetches /robots.txt + resolves DNS per new host
+        rs_expr = ad.robots_state_expr()
+        if rs_expr is not None:
+            hosts = hosts_base.select(
+                "*",
+                rs_expr(F.col("host")).alias("robots_state"),
+                ad.host_ip_expr()(F.col("host")).alias("ip"),
+            )
+        else:
+            hosts = hosts_base.join(
+                ad.resolve_hosts(hosts_base.select("host")), "host", "left"
+            ).select(
+                *hosts_base.columns,
+                F.coalesce(F.col("robots_state"), F.lit("allow")).alias(
+                    "robots_state"
+                ),
+                F.coalesce(F.col("ip"), F.lit("0.0.0.0")).alias("ip"),
+            )
         seen0 = frontier.select("url_md5", "shard")
         meta = {"round": -1}
         versions = {
@@ -226,7 +318,7 @@ class CrawlDriver:
     # -- one round ---------------------------------------------------------------
 
     def run_round(self, round_no: int) -> RoundStats:
-        cfg, spark = self.cfg, self.spark
+        cfg, spark, ad = self.cfg, self.spark, self.adapter
         stats = RoundStats(round_no)
         t0 = time.time()
 
@@ -264,26 +356,31 @@ class CrawlDriver:
         scheduled = schedule_round(
             frontier, gated_hosts, round_no, cfg, cache_handles=seq_caches
         ).cache()
+        seq_caches.append(scheduled)
 
-        failed_c = _fetch_fails_expr(F.col("host"), round_no)
-        ok = (
-            scheduled.where(~failed_c)
-            .withColumn("content_type", _synth_content_type_expr(F.col("url")))
-            .where(content_type_allowed(F.col("content_type")))
-            .drop("content_type")
-        )
-        failed = scheduled.where(failed_c)
+        # late robots enforcement (HTTP-style adapters, which learn a
+        # host's robots only at first contact): a scheduled URL whose
+        # host's CACHED robots_state now blocks its path is dropped
+        # here — removed from the frontier (sched_all anti-join below)
+        # without a fetch, a failure mark, or a politeness charge
+        sched_all = scheduled
+        if not ad.ingest_robots:
+            blocked = robots_blocked_expr(
+                url_path_expr(F.col("url")), F.col("robots_state")
+            )
+            scheduled = (
+                scheduled.join(hosts.select("host", "robots_state"), "host", "left")
+                .where(~blocked)
+                .drop("robots_state")
+                .cache()
+            )
+            seq_caches.append(scheduled)
 
-        # synthetic fetch — the hash-derived spans as ONE native JVM
-        # projection (fetch_spans_expr; byte-equal to fetch_spans_py,
-        # which the simulator keeps using). This column slot is the
-        # network-adapter boundary: a production deployment swaps the
-        # expression for an async-HTTP pandas UDF of the same shape.
-        docs_new = ok.withColumn(
-            "spans", fetch_spans_expr(F.col("url"), cfg.max_doc)
-        ).select(
-            "url_md5", "url", "host", "shard", "round", "seq_in_round", "spans"
-        ).cache()
+        # the fetch boundary (S5/S6): synthetic JVM projection by
+        # default, real HTTP via HttpFetchAdapter — same (docs, failed)
+        # contract either way (failed = transport/non-2xx only)
+        docs_new, failed = ad.fetch(scheduled, round_no, cfg, seq_caches)
+        docs_new = docs_new.cache()
 
         # link extraction: native array ops over the spans column (T5)
         outlinks = docs_new.select(
@@ -295,7 +392,22 @@ class CrawlDriver:
             ).alias("raw_url")
         )
 
-        cand = normalize_candidates(outlinks, cfg).cache()
+        cand = normalize_candidates(outlinks, cfg, robots_filter=ad.ingest_robots)
+        if not ad.ingest_robots:
+            # robots gate against the hosts table's CACHED state: known
+            # deny/disallow hosts filter here; first-contact hosts pass
+            # (their robots resolves in this round's hosts merge, and
+            # the late schedule-time gate catches their blocked URLs)
+            cand = (
+                cand.join(hosts.select("host", "robots_state"), "host", "left")
+                .where(
+                    ~robots_blocked_expr(
+                        url_path_expr(F.col("url")), F.col("robots_state")
+                    )
+                )
+                .drop("robots_state")
+            )
+        cand = cand.cache()
 
         # host-cap admission over ALL filtered candidates (reference quirk:
         # m_hostsCount counts attempts pre-dedup, SearchEngine.h:746-756)
@@ -328,14 +440,14 @@ class CrawlDriver:
             "url", "url_md5", "host", "shard",
             F.lit(round_no + 1).alias("discovered_round"),
         ).cache()
-        # one summary agg per cached stage (not one count() per stat)
-        srow = scheduled.agg(
-            F.count("*").alias("n"),
-            F.sum(F.when(failed_c, 1).otherwise(0)).alias("nf"),
-        ).collect()[0]
-        stats.scheduled = srow["n"] or 0
-        stats.fetch_failed = int(srow["nf"] or 0)
-        stats.fetched_ok = stats.scheduled - stats.fetch_failed
+
+        # per-URL failure flag, adapter-agnostic: failed ⊆ scheduled, so
+        # a left join on the cached scheduled reproduces the old inline
+        # failure expression exactly (and works for real HTTP failures)
+        sched_flag = scheduled.join(
+            failed.select("url_md5", F.lit(1).alias("_failed")), "url_md5", "left"
+        )
+
         # candidates (post-filter/robots) vs admitted (post host-cap):
         # cand is cached, so both per-shard aggs are cheap map-side combines
         adm_shard = (
@@ -354,18 +466,20 @@ class CrawlDriver:
             "url", "url_md5", "host", "shard",
             F.lit(round_no + 1).alias("discovered_round"),
         )
+        # anti-join on sched_all, not scheduled: a robots-dropped slot
+        # leaves the frontier permanently (neither fetched nor retried)
         frontier2 = (
-            frontier.join(scheduled.select("url_md5"), "url_md5", "left_anti")
+            frontier.join(sched_all.select("url_md5"), "url_md5", "left_anti")
             .unionByName(retry_rows)
             .unionByName(new_rows)
         )
 
         # hosts merge: politeness clocks, fail counters, url counters
-        fetched_hosts = scheduled.groupBy("host").agg(
-            F.max(F.when(failed_c, 1).otherwise(0)).alias("_failed")
+        fetched_hosts = sched_flag.groupBy("host").agg(
+            F.max(F.coalesce(F.col("_failed"), F.lit(0))).alias("_failed")
         )
         cand_counts = cand.groupBy("host").agg(F.count("*").alias("_new_urls"))
-        hosts2 = (
+        hosts2_base = (
             hosts.join(fetched_hosts, "host", "full_outer")
             .join(cand_counts, "host", "full_outer")
             .select(
@@ -388,12 +502,40 @@ class CrawlDriver:
                     F.coalesce(F.col("url_count"), F.lit(0))
                     + F.coalesce(F.col("_new_urls"), F.lit(0))
                 ).alias("url_count"),
-                F.coalesce(
-                    F.col("robots_state"), robots_state_expr(F.col("host"))
-                ).alias("robots_state"),
-                F.coalesce(F.col("ip"), _pseudo_ip_expr(F.col("host"))).alias("ip"),
+                "robots_state",
+                "ip",
             )
         )
+        # first-contact resolution for hosts new this round: inline
+        # expr (synthetic — zero extra work) or a real robots.txt fetch
+        # + DNS through the adapter (HTTP)
+        rs_expr = ad.robots_state_expr()
+        if rs_expr is not None:
+            hosts2 = hosts2_base.select(
+                "host", "next_allowed_round", "fail_count", "fetch_count",
+                "url_count",
+                F.coalesce(
+                    F.col("robots_state"), rs_expr(F.col("host"))
+                ).alias("robots_state"),
+                F.coalesce(F.col("ip"), ad.host_ip_expr()(F.col("host"))).alias("ip"),
+            )
+        else:
+            hosts2_base = hosts2_base.cache()
+            seq_caches.append(hosts2_base)
+            resolved = ad.resolve_hosts(
+                hosts2_base.where(F.col("robots_state").isNull()).select("host")
+            ).select(
+                "host",
+                F.col("robots_state").alias("_rs"),
+                F.col("ip").alias("_ip"),
+            )
+            hosts2 = hosts2_base.join(resolved, "host", "left").select(
+                "host", "next_allowed_round", "fail_count", "fetch_count",
+                "url_count",
+                F.coalesce(F.col("robots_state"), F.col("_rs"), F.lit("allow"))
+                .alias("robots_state"),
+                F.coalesce(F.col("ip"), F.col("_ip"), F.lit("0.0.0.0")).alias("ip"),
+            )
 
         seen2 = seen.unionByName(new_rows.select("url_md5", "shard"))
         if cfg.use_bloom:
@@ -402,16 +544,23 @@ class CrawlDriver:
             delta = build_bloom_blocks(new_rows.select("url_md5", "shard"), cfg)
             blocks2 = merge_bloom_blocks(blocks, delta, cfg)
 
+        # ONE action for every round counter (scheduled + failures fold
+        # into the same per-shard digest — the old separate summary agg
+        # was one more job on the round's serial path)
         stats.per_shard = [
             {
                 "shard": r["shard"],
                 "scheduled": r["scheduled"],
+                "fetch_failed": r["fetch_failed"],
                 "candidates": r["candidates"],
                 "admitted": r["admitted"],
                 "new_urls": r["new_urls"],
             }
-            for r in scheduled.groupBy("shard")
-            .agg(F.count("*").alias("scheduled"))
+            for r in sched_flag.groupBy("shard")
+            .agg(
+                F.count("*").alias("scheduled"),
+                F.sum(F.coalesce(F.col("_failed"), F.lit(0))).alias("fetch_failed"),
+            )
             .join(adm_shard, "shard", "full_outer")
             .join(
                 new_rows.groupBy("shard").agg(F.count("*").alias("new_urls")),
@@ -422,6 +571,9 @@ class CrawlDriver:
             .collect()
         ]
         # totals from the per-shard rows — one action for all counters
+        stats.scheduled = sum(s["scheduled"] for s in stats.per_shard)
+        stats.fetch_failed = int(sum(s["fetch_failed"] for s in stats.per_shard))
+        stats.fetched_ok = stats.scheduled - stats.fetch_failed
         stats.new_urls = sum(s["new_urls"] for s in stats.per_shard)
         stats.candidates = sum(s["candidates"] for s in stats.per_shard)
         stats.admitted = sum(s["admitted"] for s in stats.per_shard)
@@ -488,11 +640,10 @@ class CrawlDriver:
             versions["metrics"] = self.store.compact("metrics", versions["metrics"])
         self.store.commit_manifest(round_no, versions)
 
-        scheduled.unpersist()
         docs_new.unpersist()
         cand.unpersist()
         new_rows.unpersist()
-        for h in seq_caches:
+        for h in seq_caches:  # scheduled rides in seq_caches now
             h.unpersist()
         return stats
 

@@ -170,3 +170,109 @@ def fetched_docs(scheduled, cfg, udf=None, cache_handles: list | None = None):
     )
     failed = fetched.where(~is_2xx).drop("_f")
     return ok, failed
+
+
+ROBOTS_RESULT_TYPE = StructType(
+    [
+        StructField("robots_state", StringType()),
+        StructField("ip", StringType()),
+    ]
+)
+
+
+def resolve_host(
+    host: str,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+) -> tuple[str, str]:
+    """First-contact host resolution: GET /robots.txt through the same
+    transport as page fetches + one DNS lookup. Missing/unreachable
+    robots.txt degrades to 'allow' (the conventional crawler default);
+    a resolvable 2xx body parses through corpus.parse_robots_txt into
+    the engine's robots_state string. The port-in-host quirk (P2) is
+    honored: DNS resolves the name left of the ':'."""
+    import socket
+
+    from searchengine_spark.corpus import parse_robots_txt
+
+    st, _, body = fetch_one(f"http://{host}/robots.txt", timeout_s, max_bytes)
+    robots = parse_robots_txt(body) if 200 <= st < 300 else "allow"
+    name = host.rsplit(":", 1)[0] if ":" in host else host
+    try:
+        ip = socket.gethostbyname(name)
+    except OSError:
+        ip = "0.0.0.0"
+    return robots, ip
+
+
+def make_resolve_hosts_udf(
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    pool_size: int = DEFAULT_POOL,
+):
+    """Arrow-batched host resolver: host column -> struct(robots_state,
+    ip), thread-pooled like the page fetch (latency-bound)."""
+
+    def _resolve(hosts: pd.Series) -> pd.DataFrame:
+        hs = hosts.fillna("").tolist()
+        if not hs:
+            return pd.DataFrame(columns=["robots_state", "ip"])
+        n = min(pool_size, max(1, len(hs)))
+        with _fut.ThreadPoolExecutor(max_workers=n) as ex:
+            rows = list(ex.map(lambda h: resolve_host(h, timeout_s, max_bytes), hs))
+        return pd.DataFrame(rows, columns=["robots_state", "ip"])
+
+    return (
+        F.pandas_udf(_resolve, returnType=ROBOTS_RESULT_TYPE)
+        .asNondeterministic()
+    )
+
+
+class HttpFetchAdapter:
+    """The production network boundary for CrawlDriver: real HTTP page
+    fetches (fetched_docs), real robots.txt + DNS at first host contact
+    (resolve_host). Drop-in for SyntheticFetchAdapter — same
+    (docs_new, failed) contract, same hosts-table columns.
+
+    `ingest_robots=False`: robots state is LEARNED, not derivable from
+    the host name, so the crawl plan gates candidates and scheduled
+    URLs against the hosts table's cached robots_state instead of the
+    synthetic ingest expression (plans/crawl.py)."""
+
+    ingest_robots = False
+
+    def __init__(
+        self,
+        timeout_s: float = DEFAULT_TIMEOUT_S,
+        max_bytes: int = DEFAULT_MAX_BYTES,
+        pool_size: int = DEFAULT_POOL,
+    ):
+        self.timeout_s = timeout_s
+        self.max_bytes = max_bytes
+        self.pool_size = pool_size
+        self._fetch_udf = make_http_fetch_udf(timeout_s, max_bytes, pool_size)
+        self._resolve_udf = make_resolve_hosts_udf(timeout_s, max_bytes, pool_size)
+
+    def fetch(self, scheduled, round_no: int, cfg, cache_handles):
+        ok, failed = fetched_docs(
+            scheduled, cfg, udf=self._fetch_udf, cache_handles=cache_handles
+        )
+        docs_new = ok.select(
+            "url_md5", "url", "host", "shard", "round", "seq_in_round", "spans"
+        )
+        return docs_new, failed.select(*scheduled.columns)
+
+    def robots_state_expr(self):
+        return None  # must fetch: resolve_hosts runs instead
+
+    def host_ip_expr(self):
+        return None
+
+    def resolve_hosts(self, new_hosts):
+        return new_hosts.select(
+            "host", self._resolve_udf(F.col("host")).alias("_r")
+        ).select(
+            "host",
+            F.col("_r.robots_state").alias("robots_state"),
+            F.col("_r.ip").alias("ip"),
+        )

@@ -132,3 +132,129 @@ def test_fetch_one_bad_charset_header(server):
     st, ct, body = HF.fetch_one(f"{server}/badcharset")
     assert st == 200
     assert "charset page" in body
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: a full crawl loop over real HTTP (pages + robots + DNS)
+# ---------------------------------------------------------------------------
+
+PAGE_A = (
+    "<html><head><title>Home One</title></head><body>alpha beta"
+    '<a href="http://127.0.0.1:{p}/a">a</a>'
+    '<a href="http://127.0.0.2:{p}/">two</a>'
+    '<a href="http://127.0.0.3:{p}/">three</a>'
+    '<a href="http://127.0.0.3:{p}/secret/x">hidden</a>'
+    '<a href="http://127.0.0.5:{p}/">five</a>'
+    '<a href="http://127.0.0.1:9/x">dead</a>'
+    "</body></html>"
+)
+SIMPLE = "<html><head><title>{t}</title></head><body>plain text</body></html>"
+
+
+class _SiteHandler(BaseHTTPRequestHandler):
+    requests: list  # class attr set by the fixture
+
+    def _send(self, body: bytes, ctype: str = "text/html; charset=utf-8"):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        name = (self.headers.get("Host") or "").split(":")[0]
+        port = self.server.server_address[1]
+        self.requests.append((name, self.path))
+        if self.path == "/robots.txt":
+            if name == "127.0.0.2":
+                self._send(b"User-agent: *\nDisallow: /\n", "text/plain")
+            elif name == "127.0.0.3":
+                self._send(b"User-agent: *\nDisallow: /secret\n", "text/plain")
+            else:
+                self.send_error(404)
+        elif name == "127.0.0.5":
+            self._send(b"\x89PNG....", "image/png")
+        elif name == "127.0.0.1" and self.path in ("/", ""):
+            self._send(PAGE_A.format(p=port).encode())
+        elif name == "127.0.0.1" and self.path == "/a":
+            self._send(SIMPLE.format(t="Page A").encode())
+        elif name == "127.0.0.3" and not self.path.startswith("/secret"):
+            self._send(SIMPLE.format(t="Three Home").encode())
+        else:
+            self.send_error(404)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def site():
+    reqs: list = []
+    handler = type("_H", (_SiteHandler,), {"requests": reqs})
+    srv = ThreadingHTTPServer(("", 0), handler)  # all loopback aliases
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address[1], reqs
+    srv.shutdown()
+
+
+def test_http_crawl_loop_end_to_end(spark, site, tmp_path):
+    """A full multi-round crawl through HttpFetchAdapter against a live
+    local multi-host site: P8 content-type gating, transport-failure
+    backoff, and robots.txt fetched over HTTP into hosts.robots_state
+    with deny/disallow enforcement — no synthetic expressions anywhere
+    on the network path."""
+    from searchengine_spark.config import CrawlConfig
+    from searchengine_spark.plans.crawl import CrawlDriver
+    from searchengine_spark.sources.http_fetch import HttpFetchAdapter
+
+    port, reqs = site
+    h1, h2, h3 = (f"127.0.0.{i}:{port}" for i in (1, 2, 3))
+    h5, dead = f"127.0.0.5:{port}", "127.0.0.1:9"
+    drv = CrawlDriver(
+        spark,
+        str(tmp_path / "store"),
+        CrawlConfig(n_shards=4, politeness_rounds=1),
+        adapter=HttpFetchAdapter(timeout_s=3.0, pool_size=8),
+    )
+    drv.seed([f"http://{h1}/"])
+    stats = drv.run(4)
+
+    docs = drv.store.read("docs").select("host", "url", "round").collect()
+    fetched_urls = {r["url"] for r in docs}
+    # indexable pages all crawled; deny-host, disallowed path, png and
+    # dead host produced no documents
+    assert fetched_urls == {h1, f"{h1}/a", h3}
+    # politeness budget: never two fetches of one host in one round
+    per_round = {}
+    for r in docs:
+        key = (r["host"], r["round"])
+        per_round[key] = per_round.get(key, 0) + 1
+    assert all(v == 1 for v in per_round.values())
+
+    hosts = {r["host"]: r for r in drv.store.read("hosts").collect()}
+    # robots fetched over HTTP and parsed into the cache
+    assert hosts[h2]["robots_state"] == "deny"
+    assert hosts[h3]["robots_state"] == "disallow:/secret"
+    assert hosts[h1]["robots_state"] == "allow"  # 404 robots -> allow
+    # DNS resolved through the adapter (port-in-host honored)
+    assert hosts[h1]["ip"] == "127.0.0.1"
+    assert hosts[h2]["ip"] == "127.0.0.2"
+    # transport failure: backoff + fail counter, never a doc
+    assert hosts[dead]["fail_count"] >= 1
+    assert hosts[dead]["fetch_count"] == 0
+    # P8: the png host was FETCHED ok (no failure, no backoff) but
+    # yielded no document
+    assert hosts[h5]["fetch_count"] == 1
+    assert hosts[h5]["fail_count"] == 0
+
+    # the server log agrees: /secret never requested, deny-host h2
+    # received ONLY its robots probe, robots fetched once per host
+    assert not any(p.startswith("/secret") for _, p in reqs)
+    assert [p for n, p in reqs if n == "127.0.0.2"] == ["/robots.txt"]
+    robots_reqs = [(n, p) for n, p in reqs if p == "/robots.txt"]
+    assert len(robots_reqs) == len(set(robots_reqs))
+
+    # stats line up with the adapter's split semantics
+    total_failed = sum(s.fetch_failed for s in stats)
+    assert total_failed >= 1  # the dead host's transport failures
