@@ -31,7 +31,33 @@ MEDIA_SCHEMA = (
 )
 FEATURE_DIM = 8
 
-REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg in this container
+REAL_CODECS_AVAILABLE = False  # no PIL/ffmpeg in this container; BMP
+# decodes for real (pure-numpy header parse, decode_bmp below)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL decode of an uncompressed 24-bpp BMP (BITMAPINFOHEADER,
+    BI_RGB) in pure numpy — no codec libraries. Returns the pixel
+    bytes (BGR interleaved, top-down row order, 4-byte row padding
+    stripped) as float64, the same shape contract as the stubbed
+    decode so the feature extractor is codec-agnostic."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3  # rows pad to 4 bytes
+    h = abs(height)
+    data = np.frombuffer(payload, np.uint8, count=stride * h, offset=off)
+    rows = data.reshape(h, stride)[:, :row_bytes]
+    if height > 0:  # positive height = bottom-up storage
+        rows = rows[::-1]
+    return rows.reshape(-1).astype(np.float64)
 
 
 def synth_media_df(spark, sf_dir: str) -> DataFrame:
@@ -58,8 +84,12 @@ def synth_media_df(spark, sf_dir: str) -> DataFrame:
 
 
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
-    """The stubbed decode. A production build replaces this body with
-    PIL/libav decode; the deterministic fake keeps the pipeline testable."""
+    """Decode dispatch: BMP decodes FOR REAL (decode_bmp — pure numpy,
+    exercised end-to-end through mapInPandas in tests); every other
+    format is the honest stub (a production build replaces it with
+    PIL/libav; the deterministic fake keeps the pipeline testable)."""
+    if media_type == "image/bmp" or payload[:2] == b"BM":
+        return decode_bmp(payload)
     if REAL_CODECS_AVAILABLE:
         raise NotImplementedError("real codecs not wired in this container")
     arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)

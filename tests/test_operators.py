@@ -306,6 +306,66 @@ def test_media_stats_prunes_payload(spark, tmp_path):
     assert "payload" not in plan
 
 
+def _make_bmp_24(pixels_topdown, width, height, bottom_up=True):
+    """Build a real uncompressed 24-bpp BMP byte-for-byte: 14-byte file
+    header + 40-byte BITMAPINFOHEADER + padded pixel rows."""
+    row_bytes = width * 3
+    stride = (row_bytes + 3) & ~3
+    rows = [
+        bytes(pixels_topdown[r * row_bytes : (r + 1) * row_bytes])
+        + b"\x00" * (stride - row_bytes)
+        for r in range(height)
+    ]
+    if bottom_up:
+        rows = rows[::-1]
+    data = b"".join(rows)
+    off = 54
+    hdr = (
+        b"BM"
+        + (off + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + (height if bottom_up else -height).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return hdr + data
+
+
+def test_decode_bmp_real_format(spark):
+    """A REAL decode on the multimodal path: a hand-built 24-bpp BMP
+    (bottom-up storage, padded rows) decodes to its exact pixel bytes,
+    both directly and end-to-end through the mapInPandas feature
+    extractor."""
+    # 2x2 image, known BGR bytes, top-down order
+    px = [0, 0, 255, 0, 255, 0, 255, 0, 0, 200, 200, 200]
+    bmp = _make_bmp_24(px, 2, 2, bottom_up=True)
+    got = MM.decode_bmp(bmp)
+    assert got.tolist() == [float(b) for b in px]
+    # top-down (negative height) variant decodes identically
+    bmp_td = _make_bmp_24(px, 2, 2, bottom_up=False)
+    assert MM.decode_bmp(bmp_td).tolist() == got.tolist()
+    # dispatch: decode_media routes BMP to the real decoder
+    assert MM.decode_media(bmp, "image/bmp").tolist() == got.tolist()
+
+    media = spark.createDataFrame(
+        [("mb1", "doc1", "image/bmp", 2, 2, len(bmp), bytearray(bmp))],
+        MM.MEDIA_SCHEMA,
+    )
+    feats = MM.extract_media_features(media).collect()
+    assert len(feats) == 1
+    hist, _ = np.histogram(
+        np.array(px, dtype=np.float64), bins=MM.FEATURE_DIM, range=(0, 256)
+    )
+    expect = np.round(hist / hist.sum(), 6).tolist()
+    assert feats[0]["features"] == expect
+
+
 def test_frame_sample_plan(spark):
     frames = MM.frame_sample_plan(MM.synth_media_df(spark, SF), every_nth=10)
     rows = frames.collect()
