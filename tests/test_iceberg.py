@@ -57,7 +57,17 @@ def test_parquet_backend_contract(spark, tmp_path):
 
 def test_iceberg_backend_contract(spark, tmp_path):
     if not _iceberg_available(spark):
-        pytest.skip("Iceberg jars not on the classpath")
+        # Jar acquisition was attempted and is IMPOSSIBLE in this
+        # sandbox: there is no external DNS (`socket.gethostbyname(
+        # "repo1.maven.org")` -> Errno -2, curl cannot resolve any
+        # host), so neither spark.jars.packages, pip, nor a direct
+        # download can fetch iceberg-spark-runtime. Vendor the jar
+        # into the image (or run where Maven Central resolves) and
+        # this test goes live unchanged.
+        pytest.skip(
+            "Iceberg jars not on the classpath (offline sandbox: no "
+            "external DNS, Maven Central unreachable — see comment)"
+        )
     # jars present: the port point is live — the store must still honor
     # the identical contract (today via the parquet mechanics; once the
     # backend switch is implemented, via real Iceberg commits)
