@@ -279,24 +279,27 @@ def connected_components(
     Scale shape: alternating large-star/small-star label propagation —
     O(log^2 n) rounds proven (in practice 2-3 for dup clusters, whose
     diameter is tiny), every step a map-side-combinable min-aggregate +
-    distinct, NO driver-side union-find and no windows. Each round
-    localCheckpoints the edge set: the input pairs plan (often a whole
-    LSH pipeline) is evaluated exactly once, and iteration lineage
-    stays flat. The checkpoint footprint is bounded by the PAIR count
+    distinct, NO driver-side union-find and no windows. The input pair
+    plan (often a whole LSH pipeline) is evaluated EXACTLY ONCE: the
+    distinct pair set is eagerly localCheckpointed and both the edge
+    iteration and the final node list derive from that checkpoint.
+    Per-iteration checkpoints are LAZY — the convergence-digest action
+    materializes them, so each round costs one job, not two. The
+    checkpoint footprint is bounded by the PAIR count
     (threshold-verified dups, orders of magnitude smaller than the
     corpus).
 
-    Convergence check per round: (count, xor of row hashes) — one tiny
+    Convergence check per round: (count, sum of row hashes) — one tiny
     aggregate action. A star-contracted fixpoint reproduces itself, so
     equal digests end the loop; `max_iter` is a safety cap (raises if
     hit — silent truncation would emit wrong groups).
     """
-    e = (
+    pairs0 = (
         pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
-        .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True)  # the ONLY evaluation of `pairs`
     )
+    e = pairs0.where(F.col("a") != F.col("b"))
 
     def digest(df: DataFrame):
         row = df.agg(
@@ -307,8 +310,8 @@ def connected_components(
 
     prev = digest(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = digest(e)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cur = digest(e)  # materializes the lazy checkpoint: 1 job/round
         if cur == prev:
             break
         prev = cur
@@ -318,8 +321,8 @@ def connected_components(
         )
     # converged star graph: every non-root points at its component min
     nodes = (
-        pairs.select(F.col(a_col).alias("doc_id"))
-        .unionByName(pairs.select(F.col(b_col).alias("doc_id")))
+        pairs0.select(F.col("a").alias("doc_id"))
+        .unionByName(pairs0.select(F.col("b").alias("doc_id")))
         .distinct()
     )
     labels = e.select(F.col("a").alias("doc_id"), F.col("b").alias("group_id"))

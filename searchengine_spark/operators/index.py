@@ -383,9 +383,16 @@ def shared_postings(postings: DataFrame, n_parts: int = 32) -> DataFrame:
     predicate is always true at runtime; rows pass through unchanged.
 
     ONLY for one-shot ephemeral plans: a persisted dict wants the
-    opposite trade (pushdown into the parquet range scan). Measured:
-    search_smallterm 10.2 -> 7.8 s warm at sf0.1 (one build instead of
-    three)."""
+    opposite trade (pushdown into the parquet range scan).
+
+    Measured (round 5, idle box, order-controlled A/B at sf0.1,
+    local[32], warm steady state): search_smallterm ~8.2 s with the
+    shared exchange vs ~9.3 s with three independent builds — a ~12%
+    win. An earlier docstring claimed 10.2 -> 7.8 s; that figure was
+    never reproduced in any recorded bench and is retracted. The
+    first execution of this plan family costs ~2x extra either way
+    (python-worker spin-up + codegen), which is what one-shot bench
+    rows mostly measure."""
     barrier = F.element_at(F.shuffle(F.array(F.lit(True))), 1)
     return postings.repartition(n_parts, "term").where(barrier)
 
