@@ -46,6 +46,19 @@ def main(argv=None) -> int:
         help="explicit seed URL (repeatable); required with --http",
     )
     ap.add_argument("--fetch-timeout", type=float, default=10.0)
+    ap.add_argument(
+        "--robots-ttl",
+        type=int,
+        default=0,
+        help="re-fetch a host's robots.txt every N rounds (HTTP adapter; "
+        "0 = cache forever, the reference's behavior)",
+    )
+    ap.add_argument(
+        "--force-adapter",
+        action="store_true",
+        help="resume a store with a DIFFERENT fetch adapter than it was "
+        "seeded with (mixes corpora in one docs table — deliberate only)",
+    )
     args = ap.parse_args(argv)
 
     from searchengine_spark.config import CrawlConfig
@@ -60,6 +73,7 @@ def main(argv=None) -> int:
         politeness_rounds=args.politeness_rounds,
         max_doc=args.max_doc,
         use_bloom=not args.no_bloom,
+        robots_ttl_rounds=args.robots_ttl,
     )
     adapter = None
     if args.http:
@@ -69,7 +83,10 @@ def main(argv=None) -> int:
         from searchengine_spark.sources.http_fetch import HttpFetchAdapter
 
         adapter = HttpFetchAdapter(timeout_s=args.fetch_timeout)
-    driver = CrawlDriver(spark, args.store, cfg, adapter=adapter)
+    driver = CrawlDriver(
+        spark, args.store, cfg, adapter=adapter,
+        allow_adapter_switch=args.force_adapter,
+    )
     if args.resume:
         if driver.store.read_manifest() is None:
             print(
@@ -84,6 +101,7 @@ def main(argv=None) -> int:
         # data and safe to toggle)
         stored = driver.store.read_config()
         if stored is not None:
+            stored.pop("adapter", None)  # tag, not a CrawlConfig field
             stored["use_bloom"] = cfg.use_bloom
             resumed = CrawlConfig(**stored)
             if resumed != cfg:
@@ -92,7 +110,15 @@ def main(argv=None) -> int:
                     file=sys.stderr,
                 )
             cfg = resumed
-            driver = CrawlDriver(spark, args.store, cfg, adapter=adapter)
+            driver = CrawlDriver(
+                spark, args.store, cfg, adapter=adapter,
+                allow_adapter_switch=args.force_adapter,
+            )
+        try:
+            driver.check_config()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     if not args.resume:
         seeds = args.seed_url or [raw_url_py(i) for i in range(args.seeds)]
         driver.seed(seeds)

@@ -20,3 +20,9 @@ class CrawlConfig:
     use_bloom: bool = True  # bloom prefilter before the exact anti-join (D3)
     bloom_bits_per_shard: int = 1 << 16
     bloom_hashes: int = 4
+    # robots cache TTL in rounds for learned-robots adapters (HTTP):
+    # a host whose robots_state was resolved more than this many rounds
+    # ago is re-resolved in the hosts merge. 0 = cache forever (the
+    # reference's behavior — robots is fetched once per host). No-op
+    # for expr-derived robots (synthetic adapter).
+    robots_ttl_rounds: int = 0

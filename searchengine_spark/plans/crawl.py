@@ -56,7 +56,8 @@ COMPACT_CHAIN = 16
 
 HOSTS_SCHEMA = (
     "host string, next_allowed_round int, fail_count int, "
-    "fetch_count int, url_count long, robots_state string, ip string"
+    "fetch_count int, url_count long, robots_state string, ip string, "
+    "robots_checked_round int"
 )
 
 METRICS_SCHEMA = (
@@ -138,6 +139,7 @@ class SyntheticFetchAdapter:
     so it needs no hosts-table lookup)."""
 
     ingest_robots = True
+    tag = "synthetic"  # pinned into _crawl_config at seed time
 
     def fetch(self, scheduled, round_no: int, cfg, cache_handles):
         """scheduled -> (docs_new, failed): docs_new carries the spans
@@ -201,15 +203,23 @@ class CrawlDriver:
         store_root: str,
         cfg: CrawlConfig | None = None,
         adapter=None,
+        allow_adapter_switch: bool = False,
     ):
         """`adapter` plugs the network boundary (fetch + robots + DNS):
         default SyntheticFetchAdapter (hash-derived corpus, simulator-
         verified); sources.http_fetch.HttpFetchAdapter swaps in real
-        HTTP for all three without touching run_round."""
+        HTTP for all three without touching run_round.
+
+        The adapter's `tag` is pinned to the store at seed time;
+        resuming with a different adapter raises (two adapters = two
+        corpora — mixing them in one docs table is almost always a
+        mistake). `allow_adapter_switch=True` overrides explicitly
+        (run_crawl.py --force-adapter)."""
         self.spark = spark
         self.cfg = cfg or CrawlConfig()
         self.store = TableStore(spark, store_root)
         self.adapter = adapter if adapter is not None else SyntheticFetchAdapter()
+        self.allow_adapter_switch = allow_adapter_switch
 
     # -- bootstrap -------------------------------------------------------------
 
@@ -245,6 +255,7 @@ class CrawlDriver:
                 "*",
                 rs_expr(F.col("host")).alias("robots_state"),
                 ad.host_ip_expr()(F.col("host")).alias("ip"),
+                F.lit(0).alias("robots_checked_round"),
             )
         else:
             hosts = hosts_base.join(
@@ -255,6 +266,7 @@ class CrawlDriver:
                     "robots_state"
                 ),
                 F.coalesce(F.col("ip"), F.lit("0.0.0.0")).alias("ip"),
+                F.lit(0).alias("robots_checked_round"),
             )
         seen0 = frontier.select("url_md5", "shard")
         meta = {"round": -1}
@@ -294,10 +306,15 @@ class CrawlDriver:
                 "bloom", build_bloom_blocks(seen0, cfg), meta=meta
             )
         # pin the config to the store: shard/bloom geometry is baked into
-        # the persisted state, so a resume must run the SAME config
+        # the persisted state, so a resume must run the SAME config.
+        # The adapter tag rides along: a store seeded synthetically must
+        # not silently resume over real HTTP (or vice versa) — that
+        # would mix two corpora in one docs table (check_config refuses)
         from dataclasses import asdict
 
-        self.store.write_config(asdict(cfg))
+        cfg_rec = asdict(cfg)
+        cfg_rec["adapter"] = getattr(ad, "tag", "custom")
+        self.store.write_config(cfg_rec)
         # manifest LAST: the cross-table commit point — old bloom/metrics
         # snapshots from a previous life of this store become unreachable
         self.store.commit_manifest(-1, versions)
@@ -504,6 +521,7 @@ class CrawlDriver:
                 ).alias("url_count"),
                 "robots_state",
                 "ip",
+                "robots_checked_round",
             )
         )
         # first-contact resolution for hosts new this round: inline
@@ -518,23 +536,43 @@ class CrawlDriver:
                     F.col("robots_state"), rs_expr(F.col("host"))
                 ).alias("robots_state"),
                 F.coalesce(F.col("ip"), ad.host_ip_expr()(F.col("host"))).alias("ip"),
+                F.coalesce(F.col("robots_checked_round"), F.lit(round_no))
+                .alias("robots_checked_round"),
             )
         else:
             hosts2_base = hosts2_base.cache()
             seq_caches.append(hosts2_base)
+            # stale = never resolved (first contact) OR, under a robots
+            # TTL (cfg.robots_ttl_rounds > 0), resolved too long ago —
+            # production crawlers re-fetch robots.txt periodically
+            # rather than trusting the first response forever
+            stale = F.col("robots_state").isNull()
+            if cfg.robots_ttl_rounds > 0:
+                stale = stale | (
+                    F.lit(round_no)
+                    - F.coalesce(F.col("robots_checked_round"), F.lit(round_no))
+                    >= F.lit(cfg.robots_ttl_rounds)
+                )
             resolved = ad.resolve_hosts(
-                hosts2_base.where(F.col("robots_state").isNull()).select("host")
+                hosts2_base.where(stale).select("host")
             ).select(
                 "host",
                 F.col("robots_state").alias("_rs"),
                 F.col("ip").alias("_ip"),
             )
+            # a freshly resolved state WINS over the cached one (TTL
+            # refresh); hosts outside the stale set keep their cache
             hosts2 = hosts2_base.join(resolved, "host", "left").select(
                 "host", "next_allowed_round", "fail_count", "fetch_count",
                 "url_count",
-                F.coalesce(F.col("robots_state"), F.col("_rs"), F.lit("allow"))
+                F.coalesce(F.col("_rs"), F.col("robots_state"), F.lit("allow"))
                 .alias("robots_state"),
-                F.coalesce(F.col("ip"), F.col("_ip"), F.lit("0.0.0.0")).alias("ip"),
+                F.coalesce(F.col("_ip"), F.col("ip"), F.lit("0.0.0.0")).alias("ip"),
+                F.when(F.col("_rs").isNotNull(), F.lit(round_no))
+                .otherwise(
+                    F.coalesce(F.col("robots_checked_round"), F.lit(round_no))
+                )
+                .alias("robots_checked_round"),
             )
 
         seen2 = seen.unionByName(new_rows.select("url_md5", "shard"))
@@ -656,6 +694,23 @@ class CrawlDriver:
 
         stored = self.store.read_config()
         given = asdict(self.cfg)
+        stored_adapter = None
+        if stored is not None:
+            stored = dict(stored)
+            stored_adapter = stored.pop("adapter", None)
+        if (
+            stored_adapter is not None
+            and stored_adapter != getattr(self.adapter, "tag", "custom")
+            and not self.allow_adapter_switch
+        ):
+            raise ValueError(
+                f"store {self.store.root} was crawled with the "
+                f"'{stored_adapter}' fetch adapter but this resume uses "
+                f"'{getattr(self.adapter, 'tag', 'custom')}' — that would "
+                "mix two corpora in one docs table. Pass "
+                "allow_adapter_switch=True (run_crawl.py --force-adapter) "
+                "to override deliberately."
+            )
         if stored is None and self.store.exists("seen"):
             # a seeded store with no pinned config predates config
             # pinning: its schemas/shard layout are unverifiable, and a

@@ -240,6 +240,7 @@ class HttpFetchAdapter:
     synthetic ingest expression (plans/crawl.py)."""
 
     ingest_robots = False
+    tag = "http"  # pinned into _crawl_config at seed time
 
     def __init__(
         self,

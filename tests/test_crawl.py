@@ -289,3 +289,66 @@ def test_resume_requires_pinned_config(spark, tmp_path_factory):
     d2 = CrawlDriver(spark, root, CFG)
     with pytest.raises(ValueError, match="no _crawl_config"):
         d2.run(1, resume=True)
+
+
+def test_resume_refuses_adapter_switch(spark, tmp_path_factory):
+    """The fetch adapter's tag is pinned to the store at seed time: a
+    store crawled synthetically must refuse a resume over real HTTP
+    (and vice versa) — two adapters mean two corpora, and silently
+    mixing them in one docs table is almost always a mistake. An
+    explicit allow_adapter_switch=True (run_crawl.py --force-adapter)
+    overrides."""
+    from searchengine_spark.plans.crawl import SyntheticFetchAdapter
+
+    class _FakeHttpAdapter(SyntheticFetchAdapter):
+        tag = "http"
+
+    root = str(tmp_path_factory.mktemp("adapterstore"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed(SEEDS[:8])
+    # same adapter: the resume config check passes
+    CrawlDriver(spark, root, CFG).check_config()
+    mixed = CrawlDriver(spark, root, CFG, adapter=_FakeHttpAdapter())
+    with pytest.raises(ValueError, match="fetch adapter"):
+        mixed.check_config()
+    CrawlDriver(
+        spark, root, CFG, adapter=_FakeHttpAdapter(), allow_adapter_switch=True
+    ).check_config()
+
+
+# one crawl round fires exactly 47 jobs today (counts actions, AQE
+# shuffle-stage materializations, parquet commits and footer reads);
+# the pin has a little headroom for benign AQE variation but fails on
+# any new driver-side action sneaking onto the round path
+ROUND_JOBS_MAX = 50
+
+
+def test_round_job_count_bounded(spark, tmp_path_factory):
+    """The per-round serial residual is driver-side job orchestration
+    (BENCH/BASELINE.md's Amdahl note): the number of Spark jobs a round
+    fires must stay FIXED — independent of data volume and round number
+    — and small. Pins the count so an accidental extra action (a stray
+    count()/collect() on the round path, the scale-killer class of
+    regression) fails loudly instead of silently capping scaling
+    efficiency."""
+    root = str(tmp_path_factory.mktemp("jobstore"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed(SEEDS)
+    sc = spark.sparkContext
+
+    def jobs_for_round(r: int) -> int:
+        group = f"round_jobs_{r}"
+        sc.setJobGroup(group, "job-count pin")
+        try:
+            d.run_round(r)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(sc.statusTracker().getJobIdsForGroup(group))
+
+    n0 = jobs_for_round(0)
+    n1 = jobs_for_round(1)  # steady state: bloom read + append chains
+    assert n0 <= ROUND_JOBS_MAX, f"round 0 fired {n0} jobs"
+    assert n1 <= ROUND_JOBS_MAX, f"round 1 fired {n1} jobs"
+    # volume-independence: the steady-state round must not fire more
+    # jobs than the first (more data may not mean more driver actions)
+    assert n1 <= n0 + 2, (n0, n1)

@@ -258,3 +258,83 @@ def test_http_crawl_loop_end_to_end(spark, site, tmp_path):
     # stats line up with the adapter's split semantics
     total_failed = sum(s.fetch_failed for s in stats)
     assert total_failed >= 1  # the dead host's transport failures
+
+
+# ---------------------------------------------------------------------------
+# robots TTL: periodic re-resolution of cached robots state
+# ---------------------------------------------------------------------------
+
+TTL_PAGE = (
+    "<html><head><title>TTL Home</title></head><body>words"
+    '<a href="http://127.0.0.1:{p}/b">b</a></body></html>'
+)
+
+
+class _TtlHandler(BaseHTTPRequestHandler):
+    robots_cell: list  # [body]; mutable so the test can flip it
+    requests: list
+
+    def _send(self, body: bytes, ctype: str = "text/html; charset=utf-8"):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        self.requests.append(self.path)
+        port = self.server.server_address[1]
+        if self.path == "/robots.txt":
+            self._send(self.robots_cell[0].encode(), "text/plain")
+        elif self.path in ("/", ""):
+            self._send(TTL_PAGE.format(p=port).encode())
+        elif self.path == "/b":
+            self._send(SIMPLE.format(t="Page B").encode())
+        else:
+            self.send_error(404)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_robots_ttl_refresh(spark, tmp_path):
+    """ADVICE r5: with the default TTL (0), a host's robots_state is
+    cached forever — first contact wins, the reference's behavior. With
+    cfg.robots_ttl_rounds=N, the hosts merge re-fetches robots.txt for
+    hosts whose state is older than N rounds, and the FRESH answer
+    replaces the cache (a production crawler must notice a site
+    tightening its robots policy)."""
+    from searchengine_spark.config import CrawlConfig
+    from searchengine_spark.plans.crawl import CrawlDriver
+    from searchengine_spark.sources.http_fetch import HttpFetchAdapter
+
+    cell = ["User-agent: *\nDisallow: /private\n"]
+    reqs: list = []
+    handler = type(
+        "_H", (_TtlHandler,), {"robots_cell": cell, "requests": reqs}
+    )
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        h = f"127.0.0.1:{port}"
+        drv = CrawlDriver(
+            spark,
+            str(tmp_path / "ttlstore"),
+            CrawlConfig(n_shards=4, robots_ttl_rounds=1),
+            adapter=HttpFetchAdapter(timeout_s=3.0, pool_size=4),
+        )
+        drv.seed([f"http://{h}/"])
+        hosts = {r["host"]: r for r in drv.store.read("hosts").collect()}
+        assert hosts[h]["robots_state"] == "disallow:/private"
+
+        # the site tightens its policy between rounds; TTL=1 means the
+        # round-1 hosts merge re-resolves (round 1 - checked 0 >= 1)
+        cell[0] = "User-agent: *\nDisallow: /\n"
+        drv.run(2)
+        hosts = {r["host"]: r for r in drv.store.read("hosts").collect()}
+        assert hosts[h]["robots_state"] == "deny"
+        assert reqs.count("/robots.txt") >= 2
+    finally:
+        srv.shutdown()
