@@ -149,10 +149,17 @@ def parse_robots_txt(txt: str) -> str:
     """Minimal robots.txt -> engine robots_state string.
 
     Understands `User-agent: *` sections with Disallow rules:
-    'Disallow: /' -> 'deny'; a single prefix -> 'disallow:<prefix>';
-    otherwise 'allow'. (The reference has NO robots support — this is
-    the north-rule addition; the fetch adapter parses the fetched
-    robots body into the cached hosts.robots_state column.)
+    'Disallow: /' -> 'deny'; one or more prefixes ->
+    'disallow:<p1>|<p2>|...' (every rule enforced, not just the
+    first); otherwise 'allow'. (The reference has NO robots support —
+    this is the north-rule addition; the fetch adapter parses the
+    fetched robots body into the cached hosts.robots_state column.)
+
+    Multi-prefix states are an HTTP-adapter-only surface: the
+    synthetic corpus grammar emits at most one prefix, so the
+    three-form (expr/SQL/py) twins stay row-equal on it. '|' is the
+    prefix separator and cannot appear inside a prefix — a robots rule
+    containing '|' (never valid in a URL path anyway) is dropped.
     """
     in_star = False
     prefixes: list[str] = []
@@ -167,10 +174,10 @@ def parse_robots_txt(txt: str) -> str:
         elif k == "disallow" and in_star:
             if v == "/":
                 return "deny"
-            if v:
+            if v and "|" not in v and v not in prefixes:
                 prefixes.append(v)
     if prefixes:
-        return "disallow:" + prefixes[0]
+        return "disallow:" + "|".join(prefixes)
     return "allow"
 
 
@@ -179,7 +186,11 @@ def robots_txt_of_state(state: str) -> str:
     if state == "deny":
         return "User-agent: *\nDisallow: /\n"
     if state.startswith("disallow:"):
-        return f"User-agent: *\nDisallow: {state[len('disallow:'):]}\n"
+        rules = "".join(
+            f"Disallow: {p}\n"
+            for p in state[len("disallow:"):].split("|")
+        )
+        return f"User-agent: *\n{rules}"
     return "User-agent: *\nDisallow:\n"
 
 

@@ -143,6 +143,31 @@ def resolve_href_py(base_canonical_url: str, href: str) -> str | None:
     return None
 
 
+def resolve_href_expr(base, href) -> F.Column:
+    """Native twin of resolve_href_py (getURLs resolution,
+    SearchEngine.cpp:43-46,99-100), row-equal on every input
+    (tests/test_http_fetch.py pins it).
+
+    Used on the HTTP crawl path, where spans carry RAW hrefs straight
+    off the page; the synthetic corpus grammar instead emits
+    pushPending-format refs (resolution already encoded — the
+    reference resolves inside getURLs BEFORE pushPending, and the
+    synthetic raw-URL grammar models the post-resolution shapes
+    including its rejection noise), so the synthetic path must NOT
+    route through this."""
+    base_https = base.startswith("https://")
+    scheme = F.when(base_https, F.lit("https://")).otherwise(F.lit("http://"))
+    base_host = F.regexp_extract(
+        F.regexp_replace(base, "^https?://", ""), "^[^/]*", 0
+    )
+    return (
+        F.when(href.startswith("http://") | href.startswith("https://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.substring(href, 3, 1 << 22)))
+        .when(href.startswith("/"), F.concat(scheme, base_host, href))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 @F.pandas_udf(SPANS_TYPE)
 def extract_spans_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_spans_py)

@@ -114,14 +114,19 @@ def url_path_expr(url) -> F.Column:
 
 def robots_blocked_expr(path, robots_state) -> F.Column:
     """True when a cached robots_state blocks this path: 'deny' blocks
-    everything; 'disallow:<prefix>' blocks prefix matches — the same
-    rule the synthetic ingest gate applies (operators/frontier.py).
+    everything; 'disallow:<p1>|<p2>|...' blocks a match on ANY prefix
+    (HTTP-learned states carry every `User-agent: *` Disallow rule;
+    the synthetic grammar emits at most one, where this reduces to the
+    single startswith the ingest gate applies — operators/frontier.py).
     NULL robots_state (host not yet contacted) blocks nothing."""
     return F.coalesce(
         (robots_state == "deny")
         | (
             robots_state.startswith("disallow:")
-            & path.startswith(F.substring(robots_state, 10, 2048))
+            & F.exists(
+                F.split(F.substring(robots_state, 10, 8192), "\\|"),
+                lambda p: path.startswith(p),
+            )
         ),
         F.lit(False),
     )
@@ -140,6 +145,7 @@ class SyntheticFetchAdapter:
 
     ingest_robots = True
     tag = "synthetic"  # pinned into _crawl_config at seed time
+    emits_raw_hrefs = False  # pushPending-format refs; never re-resolve
 
     def fetch(self, scheduled, round_no: int, cfg, cache_handles):
         """scheduled -> (docs_new, failed): docs_new carries the spans
@@ -348,6 +354,11 @@ class CrawlDriver:
             "storage_bucket"
         )
         hosts = self.store.read("hosts", pinned["hosts"])
+        if "robots_checked_round" not in hosts.columns:
+            # store persisted by pre-robots-TTL code: backfill the
+            # column as checked-at-round-0, exactly what a fresh seed
+            # writes — the next hosts commit persists the new schema
+            hosts = hosts.withColumn("robots_checked_round", F.lit(0))
         seen = self.store.read("seen", pinned["seen"])
 
         # bad-host gate (X11 de-randomized): fail_count >= MAXHOSTTRY hosts
@@ -399,15 +410,25 @@ class CrawlDriver:
         docs_new, failed = ad.fetch(scheduled, round_no, cfg, seq_caches)
         docs_new = docs_new.cache()
 
-        # link extraction: native array ops over the spans column (T5)
-        outlinks = docs_new.select(
-            F.explode(
-                F.transform(
-                    F.filter("spans", lambda s: s["kind"] == F.lit("link")),
-                    lambda s: s["media_ref"],
-                )
-            ).alias("raw_url")
+        # link extraction: native array ops over the spans column (T5).
+        # HTTP-fetched spans carry RAW hrefs, so they resolve against
+        # the page URL first (getURLs does this before pushPending,
+        # SearchEngine.cpp:43-100; unresolvable forms drop); synthetic
+        # spans are already pushPending-format and skip resolution
+        link_refs = F.transform(
+            F.filter("spans", lambda s: s["kind"] == F.lit("link")),
+            lambda s: s["media_ref"],
         )
+        if getattr(ad, "emits_raw_hrefs", False):
+            from searchengine_spark.functions.spans import resolve_href_expr
+
+            link_refs = F.filter(
+                F.transform(
+                    link_refs, lambda h: resolve_href_expr(F.col("url"), h)
+                ),
+                lambda u: u.isNotNull(),
+            )
+        outlinks = docs_new.select(F.explode(link_refs).alias("raw_url"))
 
         cand = normalize_candidates(outlinks, cfg, robots_filter=ad.ingest_robots)
         if not ad.ingest_robots:

@@ -31,6 +31,7 @@ from __future__ import annotations
 import codecs
 import concurrent.futures as _fut
 import urllib.error
+import urllib.parse
 import urllib.request
 
 import pandas as pd
@@ -56,18 +57,40 @@ DEFAULT_POOL = 64  # per-executor-core fanout; latency-bound work
 USER_AGENT = "searchengine-spark/0.4 (+crawler)"
 
 
+class _NoAutoRedirect(urllib.request.HTTPRedirectHandler):
+    """Surface every 3xx as an HTTPError so redirect policy is OURS,
+    not urllib's default (which silently chases up to 10 hops of any
+    3xx — both more permissive than the reference and invisible to the
+    crawl's bookkeeping)."""
+
+    def redirect_request(self, req, fp, code, msg, headers, newurl):  # noqa: D102
+        return None
+
+
+_OPENER = urllib.request.build_opener(_NoAutoRedirect())
+
+
 def fetch_one(
     url: str,
     timeout_s: float = DEFAULT_TIMEOUT_S,
     max_bytes: int = DEFAULT_MAX_BYTES,
+    _hops: int = 1,
 ) -> tuple[int, str, str]:
     """One URL -> (status, content_type, body). Never raises: transport
     failures return status 0, HTTP errors their status code — the
-    caller's failure handling is uniform with the synthetic adapter."""
+    caller's failure handling is uniform with the synthetic adapter.
+
+    Redirect policy = the reference's (httpDownload.h:108-133): a 301
+    is followed exactly ONCE (Location re-resolved, one re-fetch; a
+    second 301 in the chain is a failure). Other 3xx codes stay
+    non-2xx failures — the reference instead falls through and would
+    hand the redirect stub body to the indexer (httpDownload.h:135-139
+    has no 3xx arm), which is a bug not worth parity; our uniform
+    non-2xx split records the code and applies host backoff."""
     u = url if "://" in url else "http://" + url
     req = urllib.request.Request(u, headers={"User-Agent": USER_AGENT})
     try:
-        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        with _OPENER.open(req, timeout=timeout_s) as resp:
             raw = resp.read(max_bytes)
             ctype = resp.headers.get("Content-Type", "") or ""
             # resolve the charset defensively OUTSIDE the failure path:
@@ -85,6 +108,15 @@ def fetch_one(
                 raw.decode(charset, errors="replace"),
             )
     except urllib.error.HTTPError as e:  # non-2xx with a real response
+        if e.code == 301 and _hops > 0:
+            loc = (e.headers.get("Location", "") or "").strip()
+            if loc:
+                return fetch_one(
+                    urllib.parse.urljoin(u, loc),
+                    timeout_s,
+                    max_bytes,
+                    _hops=_hops - 1,
+                )
         return (int(e.code), e.headers.get("Content-Type", "") or "", "")
     except Exception:  # DNS, refused, timeout, TLS, bad URL ...
         return (0, "", "")
@@ -241,6 +273,10 @@ class HttpFetchAdapter:
 
     ingest_robots = False
     tag = "http"  # pinned into _crawl_config at seed time
+    # real pages carry raw hrefs in their link spans; run_round
+    # resolves them against the page URL (getURLs semantics) before
+    # candidate normalization — the synthetic grammar pre-resolves
+    emits_raw_hrefs = True
 
     def __init__(
         self,

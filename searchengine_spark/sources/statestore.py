@@ -39,6 +39,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
@@ -105,11 +106,32 @@ class TableStore:
         rel = self._files_manifest(table, v)
         return 1 if rel is None else len(rel)
 
+    def _stored_schema(self, table: str, version: int) -> StructType | None:
+        """Schema persisted with the commit (Iceberg keeps it in table
+        metadata; here a `_schema.json` beside the snapshot). None for
+        snapshots written before schemas were persisted — read() then
+        falls back to parquet inference."""
+        p = os.path.join(self.snapshot_path(table, version), "_schema.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return StructType.fromJson(json.load(f))
+
     def read(self, table: str, version: int | None = None) -> DataFrame:
         v = version if version is not None else self.latest_version(table)
         if v == 0:
             raise FileNotFoundError(f"table {table} has no committed snapshot")
-        return self.spark.read.parquet(*self._data_dirs(table, v))
+        # the persisted schema (not inference) is authoritative: a
+        # ZERO-ROW partitioned snapshot has no part files at all (just
+        # _SUCCESS), so inference would fail even though the commit is
+        # perfectly valid — e.g. a crawl round that robots-gates or
+        # dedups every candidate empties the frontier, and the next
+        # round must still be able to read it
+        schema = self._stored_schema(table, v)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*self._data_dirs(table, v))
 
     def commit(
         self,
@@ -142,6 +164,18 @@ class TableStore:
         out = self.snapshot_path(table, nxt)
         tmp = out + ".tmp-" + uuid.uuid4().hex[:8]
 
+        # persist the commit's schema in READ shape (partition columns
+        # last, the order parquet inference yields) so read() can load
+        # a zero-row partitioned snapshot — which has no part files to
+        # infer from — without changing column order for any snapshot
+        # that does have data
+        fields = list(df.schema.fields)
+        if partition_by:
+            fields = [f for f in fields if f.name not in partition_by] + [
+                next(f for f in fields if f.name == p) for p in partition_by
+            ]
+        stored_schema = StructType(fields)
+
         base = base_version if base_version is not None else prev
         if mode == "append" and base > 0:
             # schema pin: a fast-append snapshot is read as ONE multi-dir
@@ -155,11 +189,13 @@ class TableStore:
             # would fast-append fine and then surface as silent coercion
             # or a read error far from the offending commit (the
             # snapshot is one multi-dir load without mergeSchema)
-            base_cols = sorted(
-                (f.name, f.dataType.simpleString())
-                for f in self.spark.read.parquet(
+            base_schema = self._stored_schema(table, base)
+            if base_schema is None:
+                base_schema = self.spark.read.parquet(
                     *self._data_dirs(table, base)
-                ).schema.fields
+                ).schema
+            base_cols = sorted(
+                (f.name, f.dataType.simpleString()) for f in base_schema.fields
             )
             delta_cols = sorted(
                 (f.name, f.dataType.simpleString()) for f in df.schema.fields
@@ -192,6 +228,8 @@ class TableStore:
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_schema.json"), "w") as f:
+            json.dump(stored_schema.jsonValue(), f)
         os.rename(tmp, out)
 
         ptr_tmp = self._pointer(table) + ".tmp-" + uuid.uuid4().hex[:8]

@@ -352,3 +352,60 @@ def test_round_job_count_bounded(spark, tmp_path_factory):
     # volume-independence: the steady-state round must not fire more
     # jobs than the first (more data may not mean more driver actions)
     assert n1 <= n0 + 2, (n0, n1)
+
+
+def test_resume_backfills_pre_ttl_hosts_schema(spark, tmp_path_factory):
+    """A store persisted before the robots-TTL round lacks
+    hosts.robots_checked_round; resuming it must backfill the column
+    (checked-at-round-0, what a fresh seed writes) instead of failing
+    on an unresolved column, and the next hosts commit persists the
+    migrated schema."""
+    root = str(tmp_path_factory.mktemp("oldhosts"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed(SEEDS[:8])
+    # rewrite the hosts snapshot without the column, as round-4 code
+    # left it, and repoint the manifest at the old-schema version
+    m = d.store.read_manifest()
+    old = d.store.read("hosts", m["versions"]["hosts"]).drop(
+        "robots_checked_round"
+    )
+    versions = dict(m["versions"])
+    versions["hosts"] = d.store.commit("hosts", old, meta={"round": -1})
+    d.store.commit_manifest(m["round"], versions)
+
+    d2 = CrawlDriver(spark, root, CFG)
+    stats = d2.run(1, resume=True)
+    assert stats[0].scheduled > 0
+    migrated = d2.store.read("hosts", d2.store.read_manifest()["versions"]["hosts"])
+    assert "robots_checked_round" in migrated.columns
+
+
+def test_robots_blocked_expr_multi_prefix(spark):
+    """The cached-state gate blocks a path matching ANY disallow
+    prefix of an HTTP-learned multi-prefix state, and stays equal to
+    the old single-startswith form on single-prefix (synthetic
+    grammar) states."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.plans.crawl import robots_blocked_expr
+
+    rows = [
+        ("/private/a", "disallow:/private|/tmp/", True),
+        ("/tmp/x", "disallow:/private|/tmp/", True),
+        ("/public", "disallow:/private|/tmp/", False),
+        ("/x/1", "disallow:/x/", True),   # single prefix unchanged
+        ("/y/1", "disallow:/x/", False),
+        ("/anything", "deny", True),
+        ("/anything", "allow", False),
+        ("/anything", None, False),       # host not yet contacted
+    ]
+    df = spark.createDataFrame(
+        [(p, s) for p, s, _ in rows], "path string, robots_state string"
+    )
+    got = [
+        r["b"]
+        for r in df.select(
+            robots_blocked_expr(F.col("path"), F.col("robots_state")).alias("b")
+        ).collect()
+    ]
+    assert got == [want for _, _, want in rows]

@@ -50,6 +50,18 @@ class _Handler(BaseHTTPRequestHandler):
             self.send_header("Content-Length", "4")
             self.end_headers()
             self.wfile.write(b"\x89PNG")
+        elif self.path in ("/moved", "/hop1", "/hop2", "/found", "/movedrel"):
+            target = {
+                "/moved": "/ok",  # one 301 hop -> content
+                "/hop1": "/hop2",  # 301 chain: second hop must NOT follow
+                "/hop2": "/ok",
+                "/found": "/ok",  # 302: reference has no arm; our failure
+                "/movedrel": "ok",  # relative Location resolves vs request
+            }[self.path]
+            self.send_response(302 if self.path == "/found" else 301)
+            self.send_header("Location", target)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
         else:
             self.send_error(404)
 
@@ -338,3 +350,177 @@ def test_robots_ttl_refresh(spark, tmp_path):
         assert reqs.count("/robots.txt") >= 2
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# raw-href resolution on the HTTP path (getURLs semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_href_expr_equals_py(spark):
+    """The native resolver used by run_round on HTTP-fetched spans is
+    row-equal to resolve_href_py (getURLs, SearchEngine.cpp:43-100) on
+    every pattern class: absolute http/https kept, protocol-relative
+    takes the base scheme, root-relative takes base host + scheme,
+    everything else (fragment/mailto/relative-no-slash) drops."""
+    from searchengine_spark.functions.spans import (
+        resolve_href_expr,
+        resolve_href_py,
+    )
+
+    cases = [
+        ("a.com/p/1", "http://b.com/x"),
+        ("a.com/p/1", "https://b.com/x"),
+        ("a.com/p/1", "//cdn.com/y"),
+        ("https://a.com/p/1", "//cdn.com/y"),
+        ("a.com/p/1", "/local/path"),
+        ("https://a.com/deep/page", "/local/path"),
+        ("127.0.0.1:8931", "/port/in/host"),
+        ("a.com/p/1", "relative-no-slash"),
+        ("a.com/p/1", "#frag"),
+        ("a.com/p/1", "mailto:x@y.z"),
+        ("a.com/p/1", "//"),
+    ]
+    df = spark.createDataFrame(cases, "base string, href string")
+    got = [
+        r["r"]
+        for r in df.select(
+            resolve_href_expr(F.col("base"), F.col("href")).alias("r")
+        ).collect()
+    ]
+    want = [resolve_href_py(b, h) for b, h in cases]
+    assert got == want
+
+
+REL_PAGE = (
+    "<html><head><title>Rel Home</title></head><body>hello words "
+    '<a href="/private/x">p</a> <a href="/tmp/y">t</a> '
+    '<a href="/ok/z">ok</a> <a href="#frag">f</a></body></html>'
+)
+
+
+class _RelHandler(BaseHTTPRequestHandler):
+    def _send(self, body: bytes, ctype: str = "text/html; charset=utf-8"):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        if self.path == "/robots.txt":
+            self._send(
+                b"User-agent: *\nDisallow: /private\nDisallow: /tmp/\n",
+                "text/plain",
+            )
+        elif self.path in ("/", ""):
+            self._send(REL_PAGE.encode())
+        else:
+            self._send(SIMPLE.format(t=f"Page {self.path}").encode())
+
+    def log_message(self, *a):
+        pass
+
+
+def test_http_crawl_resolves_relative_links_and_multi_robots(spark, tmp_path):
+    """End-to-end over real HTTP: a page whose links are all
+    root-relative crawls correctly — hrefs resolve against the page
+    host (no phantom 'private'/'tmp' hosts in the frontier), BOTH
+    robots Disallow rules gate their paths (multi-prefix state) with
+    no fetch and no failure mark, and the allowed path is fetched."""
+    from searchengine_spark.plans.crawl import CrawlDriver
+    from searchengine_spark.sources.http_fetch import HttpFetchAdapter
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _RelHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        h = f"127.0.0.1:{port}"
+        drv = CrawlDriver(
+            spark,
+            str(tmp_path / "relstore"),
+            CrawlConfig(n_shards=4),
+            adapter=HttpFetchAdapter(timeout_s=3.0, pool_size=4),
+        )
+        drv.seed([f"http://{h}/"])
+        stats = drv.run(2)
+
+        hosts = {r["host"]: r for r in drv.store.read("hosts").collect()}
+        assert set(hosts) == {h}  # no phantom hosts from relative hrefs
+        assert hosts[h]["robots_state"] == "disallow:/private|/tmp/"
+        assert hosts[h]["fail_count"] == 0  # robots drops are not failures
+
+        docs = {r["url"] for r in drv.store.read("docs").collect()}
+        assert docs == {h, f"{h}/ok/z"}  # allowed path fetched, gated not
+        assert sum(s.fetch_failed for s in stats) == 0
+    finally:
+        srv.shutdown()
+
+
+GATED_PAGE = (
+    "<html><head><title>All Gated</title></head><body>words here "
+    '<a href="/private/x">p</a> <a href="/tmp/y">t</a></body></html>'
+)
+
+
+class _AllGatedHandler(_RelHandler):
+    def do_GET(self):  # noqa: N802
+        if self.path == "/robots.txt":
+            self._send(
+                b"User-agent: *\nDisallow: /private\nDisallow: /tmp/\n",
+                "text/plain",
+            )
+        else:
+            self._send(GATED_PAGE.encode())
+
+
+def test_crawl_survives_emptied_frontier(spark, tmp_path):
+    """Round 1 robots-gates EVERY extracted link, leaving a zero-row
+    frontier snapshot (partitioned write -> no part files, just
+    _SUCCESS); round 2 must read that snapshot via its persisted
+    schema and finish as an idle round instead of dying on parquet
+    schema inference. (Found driving the real HTTP surface; fixed in
+    TableStore._stored_schema/read.)"""
+    from searchengine_spark.plans.crawl import CrawlDriver
+    from searchengine_spark.sources.http_fetch import HttpFetchAdapter
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _AllGatedHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        h = f"127.0.0.1:{port}"
+        drv = CrawlDriver(
+            spark,
+            str(tmp_path / "emptystore"),
+            CrawlConfig(n_shards=4),
+            adapter=HttpFetchAdapter(timeout_s=3.0, pool_size=4),
+        )
+        drv.seed([f"http://{h}/"])
+        stats = drv.run(2)
+
+        assert stats[0].fetched_ok == 1  # the seed page itself
+        assert stats[1].scheduled == 0  # idle round over empty frontier
+        assert stats[1].fetched_ok == 0
+        front = drv.store.read("frontier")
+        assert front.count() == 0 and "url" in front.columns
+    finally:
+        srv.shutdown()
+
+
+def test_fetch_one_redirect_policy(server):
+    """Reference redirect parity (httpDownload.h:108-133): a 301
+    follows exactly one hop (absolute or relative Location); a second
+    301 in the chain is a failure reporting 301; a 302 is a plain
+    non-2xx failure (the reference has no 3xx arm and would index the
+    stub body — deliberately not replicated; documented in
+    fetch_one)."""
+    st, ct, body = HF.fetch_one(f"{server}/moved")
+    assert st == 200 and "fetched world" in body
+    st, _, body = HF.fetch_one(f"{server}/movedrel")
+    assert st == 200 and "fetched world" in body
+    st, _, body = HF.fetch_one(f"{server}/hop1")
+    assert st == 301 and body == ""
+    st, _, body = HF.fetch_one(f"{server}/found")
+    assert st == 302 and body == ""

@@ -73,3 +73,22 @@ def test_robots_roundtrip():
     for h in ("hothost.com", "host0.com", "host1.org"):
         st = robots_state_py(h)
         assert parse_robots_txt(robots_txt_of_state(st)) == st
+
+
+def test_robots_multi_prefix_parse():
+    """Every `User-agent: *` Disallow rule survives into the state
+    (not just the first); '|' is the separator so a rule containing it
+    is dropped; duplicates collapse; the inverse generator round-trips
+    the multi-prefix form."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Disallow: /tmp/\n"
+        "Disallow: /tmp/\n"          # duplicate collapses
+        "Disallow: /bad|pipe\n"      # '|' cannot ride in the grammar
+        "User-agent: other\n"
+        "Disallow: /other-only\n"
+    )
+    st = parse_robots_txt(txt)
+    assert st == "disallow:/private|/tmp/"
+    assert parse_robots_txt(robots_txt_of_state(st)) == st

@@ -134,3 +134,40 @@ def test_append_rejects_schema_drift(spark, tmp_path):
             spark.createDataFrame([(4, "d")], "id long, v string"),
             mode="append",
         )
+
+
+def test_zero_row_partitioned_snapshot_readable(spark, tmp_path):
+    """A zero-row PARTITIONED overwrite writes no part files at all
+    (just _SUCCESS), so parquet inference has nothing to infer from —
+    the commit must stay readable via its persisted schema. This is a
+    live crawl state: a round that robots-gates or dedups every
+    candidate empties the frontier, and the next round reads it."""
+    st = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [(1, "a", 3)], "id int, v string, bucket int"
+    )
+    st.commit("t", df, partition_by=["bucket"])
+    empty = df.limit(0)
+    st.commit("t", empty, partition_by=["bucket"])
+
+    got = st.read("t")
+    assert got.count() == 0
+    # read shape: data columns then partition column, exactly what
+    # inference yields on a non-empty partitioned snapshot
+    assert got.columns == ["id", "v", "bucket"]
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "int",
+        "string",
+        "int",
+    ]
+
+
+def test_append_onto_zero_row_base(spark, tmp_path):
+    """The append schema pin must work against a zero-row partitioned
+    base (whose schema exists only in _schema.json), and the resulting
+    chain reads as just the delta."""
+    st = TableStore(spark, str(tmp_path))
+    df = spark.createDataFrame([(1, 3)], "id int, bucket int")
+    st.commit("t", df.limit(0), partition_by=["bucket"])
+    st.commit("t", df, mode="append", partition_by=["bucket"])
+    assert [(r["id"], r["bucket"]) for r in st.read("t").collect()] == [(1, 3)]
