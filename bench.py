@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "ann_lsh",
     "dedup_ngram_jaccard",
     "dedup_groups",
+    "dedup_spans",
     "ann_ivf",
     "weighted_postings",
     "search_phrase",

@@ -18,7 +18,7 @@ shuffle to verify candidate pairs — never an all-pairs product.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 N_MINHASH = 8
@@ -339,3 +339,89 @@ def dup_groups(
     cc = connected_components(pairs, a_col, b_col)
     sizes = cc.groupBy("group_id").agg(F.count("*").alias("group_size"))
     return cc.join(sizes, "group_id").select("doc_id", "group_id", "group_size")
+
+
+# ---------------------------------------------------------------------------
+# substring-level dedup: repeated token spans across documents
+# ---------------------------------------------------------------------------
+
+SPAN_WINDOW = 6  # tokens per fingerprint window (dedup unit)
+
+
+def repeated_spans(
+    docs: DataFrame, window: int = SPAN_WINDOW, text_col: str = "text"
+) -> DataFrame:
+    """Substring-level exact dedup: maximal spans of >= `window`
+    consecutive tokens that appear verbatim in MORE THAN ONE document
+    (the "repeated long sequence" class of training-data dedup — doc-
+    level exact/minhash/simhash miss a passage pasted into otherwise
+    distinct pages; the reference's engine has no analogue, this is a
+    pipeline addition like minhash/simhash above).
+
+    Shape, per stage:
+    1. window fingerprints are built with pure array ops INSIDE the row
+       (split -> sequence -> slice/array_join -> hash60): no explode of
+       raw tokens, no per-doc window function — the only thing leaving
+       the map side is (doc_id, pos, whash);
+    2. one hash-groupBy finds window hashes seen in >1 distinct doc
+       (partial aggs map-side; at 100 TB this is the one big shuffle,
+       keyed on a uniform 60-bit hash so no skew);
+    3. duplicated windows join back on whash (same key, same exchange
+       reuse) — candidates only, never all windows;
+    4. overlapping/adjacent windows merge into maximal spans with a
+       per-doc lag over the (small) duplicated subset: windows are
+       fixed-length so [p1,p1+w-1] and [p2,p2+w-1] overlap-or-touch
+       iff p2 - p1 <= w.
+
+    Returns (doc_id, span_start, span_end, span_tokens, n_windows),
+    token positions 1-based inclusive. hash60 fingerprints make every
+    stage DuckDB-twinnable (SQL_DEDUP_SPANS in queries.py).
+    """
+    from searchengine_spark.functions.hashes import hash60
+
+    toks = F.split(F.col(text_col), " ")
+    npos = F.size(toks) - window + 1  # windows in this doc
+    whashes = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(npos, F.lit(1))),
+            lambda i: hash60(F.array_join(F.slice(toks, i, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    wins = docs.select(
+        "doc_id", F.posexplode(whashes).alias("p0", "whash")
+    ).select(
+        "doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "whash"
+    )
+    dup_hashes = (
+        wins.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("whash")
+    )
+    dwin = wins.join(dup_hashes, "whash").select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    grp = (
+        dwin.withColumn(
+            "_b",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w_doc) <= window, F.lit(0)
+            ).otherwise(F.lit(1)),  # first row per doc: lag NULL -> new span
+        )
+        .withColumn("_g", F.sum("_b").over(w_doc))
+    )
+    return (
+        grp.groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window - 1).alias("span_end"),
+            F.count("*").cast("long").alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_windows",
+        )
+    )

@@ -2210,6 +2210,64 @@ QUERIES["dedup_groups"] = q_dedup_groups
 ORACLE_SQL["dedup_groups"] = SQL_DEDUP_GROUPS
 
 
+def q_dedup_spans(spark, sf_dir):
+    """Substring-level dedup: maximal spans of >= SPAN_WINDOW
+    consecutive tokens appearing verbatim in more than one document —
+    the repeated-passage class that doc-level exact/minhash/simhash
+    miss (operators/dedup.py repeated_spans; window fingerprints are
+    built with in-row array ops, one hash-groupBy finds cross-doc
+    windows, a per-doc lag merge emits maximal spans)."""
+    import searchengine_spark.operators.dedup as DD_
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return DD_.repeated_spans(docs).orderBy("doc_id", "span_start")
+
+
+_W_SPAN = 6  # keep in sync with operators/dedup.SPAN_WINDOW
+
+SQL_DEDUP_SPANS = f"""
+WITH wins AS (
+    SELECT doc_id,
+      unnest(range(1, greatest(len(string_split(text,' ')) - {_W_SPAN} + 1, 0) + 1)) AS pos,
+      unnest(list_transform(
+        range(1, greatest(len(string_split(text,' ')) - {_W_SPAN} + 1, 0) + 1),
+        i -> ('0x' || substr(md5(array_to_string(
+               list_slice(string_split(text,' '), i, i + {_W_SPAN} - 1), ' ')), 1, 15))::BIGINT
+      )) AS whash
+    FROM documents
+  ),
+  duph AS (
+    SELECT whash FROM wins GROUP BY whash HAVING count(DISTINCT doc_id) > 1
+  ),
+  dwin AS (SELECT doc_id, pos FROM wins JOIN duph USING (whash)),
+  brk AS (
+    SELECT doc_id, pos,
+      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                <= {_W_SPAN} THEN 0 ELSE 1 END AS b
+    FROM dwin
+  ),
+  grp AS (
+    SELECT doc_id, pos,
+      CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
+    FROM brk
+  ),
+  spans AS (
+    SELECT doc_id,
+      CAST(min(pos) AS BIGINT) AS span_start,
+      CAST(max(pos) + {_W_SPAN} - 1 AS BIGINT) AS span_end,
+      CAST(count(*) AS BIGINT) AS n_windows
+    FROM grp GROUP BY doc_id, g
+  )
+SELECT doc_id, span_start, span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens, n_windows
+FROM spans
+ORDER BY doc_id, span_start
+"""
+
+QUERIES["dedup_spans"] = q_dedup_spans
+ORACLE_SQL["dedup_spans"] = SQL_DEDUP_SPANS
+
+
 # ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------

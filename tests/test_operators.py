@@ -630,3 +630,40 @@ def test_tokenizer_ascii_fast_path_equivalence(spark):
     rows = df.select(fast.alias("fast"), full.alias("full")).collect()
     for r in rows:
         assert r["fast"] == r["full"]
+
+
+def test_repeated_spans_maximal_merge(spark):
+    """Substring-level dedup: a passage pasted into two otherwise
+    distinct docs surfaces as ONE maximal span per doc (overlapping
+    fixed-length windows merge); two repeated passages separated by
+    unique text stay TWO spans; a doc with no shared passage emits
+    nothing; short docs (< window tokens) are safe."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    other = "iota kappa lambda mu nu xi omicron pi"  # 8 tokens, also shared
+    docs = spark.createDataFrame(
+        [
+            # d0: shared at tokens 3..10, other at 14..21 (two spans)
+            (0, "u0 u1 " + shared + " v0 v1 v2 " + other + " v3"),
+            # d1: shared at 1..8 (one span at doc start)
+            (1, shared + " w0 w1 w2 w3 w4"),
+            # d2: other at 4..11 (one span)
+            (2, "x0 x1 x2 " + other + " x3 x4"),
+            # d3: wholly unique -> no spans
+            (3, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11"),
+            # d4: shorter than the window -> zero windows, no crash
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    import searchengine_spark.operators.dedup as DD
+
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+        for r in DD.repeated_spans(docs, window=6).collect()
+    }
+    assert got == {
+        (0, 3, 10, 8),
+        (0, 14, 21, 8),
+        (1, 1, 8, 8),
+        (2, 4, 11, 8),
+    }
