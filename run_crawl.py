@@ -21,7 +21,9 @@ import json
 import sys
 
 
-def main(argv=None) -> int:
+def main(argv=None, spark=None) -> int:
+    """CLI entry. `spark` injects an existing session (tests); the
+    CLI path creates one and stops it on exit."""
     ap = argparse.ArgumentParser()
     ap.add_argument("--store", required=True, help="state-store root directory")
     ap.add_argument("--rounds", type=int, default=3)
@@ -66,7 +68,9 @@ def main(argv=None) -> int:
     from searchengine_spark.plans.crawl import CrawlDriver
     from searchengine_spark.session import get_spark
 
-    spark = get_spark("crawl", master=args.master)
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("crawl", master=args.master)
     cfg = CrawlConfig(
         n_shards=args.n_shards,
         per_shard_quota=args.per_shard_quota,
@@ -75,8 +79,24 @@ def main(argv=None) -> int:
         use_bloom=not args.no_bloom,
         robots_ttl_rounds=args.robots_ttl,
     )
+    use_http = args.http
+    if args.resume and not args.http:
+        # resume adopts the store's pinned adapter the same way it
+        # adopts the pinned shard/bloom config: a store crawled over
+        # HTTP resumes over HTTP without re-passing --http. The
+        # check_config refusal still fires on an EXPLICIT mismatch
+        # (--http against a synthetic store, or --force-adapter to
+        # switch deliberately).
+        probe = CrawlDriver(spark, args.store, cfg)
+        stored_cfg = probe.store.read_config()
+        if stored_cfg is not None and stored_cfg.get("adapter") == "http":
+            use_http = True
+            print(
+                "note: resuming with the store's pinned 'http' fetch adapter",
+                file=sys.stderr,
+            )
     adapter = None
-    if args.http:
+    if use_http:
         if not args.seed_url and not args.resume:
             print("error: --http needs at least one --seed-url", file=sys.stderr)
             return 2
@@ -140,7 +160,8 @@ def main(argv=None) -> int:
     n_docs = driver.store.read("docs").count()
     n_seen = driver.seen_set().count()
     print(json.dumps({"total_docs": n_docs, "seen_set": n_seen}))
-    spark.stop()
+    if own_session:
+        spark.stop()
     return 0
 
 

@@ -524,3 +524,36 @@ def test_fetch_one_redirect_policy(server):
     assert st == 301 and body == ""
     st, _, body = HF.fetch_one(f"{server}/found")
     assert st == 302 and body == ""
+
+
+def test_cli_resume_adopts_pinned_http_adapter(spark, tmp_path, capsys):
+    """`run_crawl.py --resume` without --http on a store that was
+    crawled over HTTP must adopt the store's pinned adapter (the same
+    way it adopts the pinned shard/bloom config) instead of refusing
+    with an adapter-switch error; --http on resume still works too."""
+    import run_crawl
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _AllGatedHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        store = str(tmp_path / "clistore")
+        rc = run_crawl.main(
+            [
+                "--store", store, "--rounds", "1", "--http",
+                "--seed-url", f"http://127.0.0.1:{port}/",
+                "--n-shards", "4", "--fetch-timeout", "3",
+            ],
+            spark=spark,
+        )
+        assert rc == 0
+        # resume WITHOUT --http: must adopt the pinned http adapter
+        rc = run_crawl.main(
+            ["--store", store, "--rounds", "1", "--resume"], spark=spark
+        )
+        assert rc == 0
+        err = capsys.readouterr().err
+        assert "pinned 'http' fetch adapter" in err
+    finally:
+        srv.shutdown()
