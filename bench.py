@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "search_smallterm",
     "search_unmerged",
     "media_features",
+    "decontaminate",
+    "quality_repetition",
+    "pii_redact",
+    "curation_funnel",
     "text_stats",
     "events_window",
     "sessionize",

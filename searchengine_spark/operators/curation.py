@@ -1,0 +1,373 @@
+"""Corpus-curation operators for a training-data pipeline.
+
+Three first-class operations a 100 TB pretraining corpus needs beyond
+dedup (operators/dedup.py) and text stats (functions/text.py):
+
+- **Benchmark decontamination** (`decontaminate`): flag training
+  documents sharing verbatim n-grams with a held-out benchmark set —
+  the standard n-gram-overlap decontamination step (GPT-3 appendix C /
+  Llama style, over whitespace-token n-grams). The benchmark
+  membership is derived deterministically from the corpus itself
+  (doc_id % DECON_BENCH_MOD == 0) so tests and oracles need no
+  external data.
+- **Repetition quality stats** (`repetition_stats`): Gopher-style
+  duplicate-n-gram fractions (1-, 2-, 3-gram) computed entirely
+  in-row with native array expressions — the repetition signals used
+  to drop boilerplate/spam before training.
+- **Deterministic split + mixture sampling** (`corpus_sample`):
+  hash-bucket train/val/test assignment plus a per-source Bernoulli
+  sampling rate (the "mixture weights" step of corpus assembly), all
+  derived from hash60 so the split is reproducible, engine-portable
+  and oracle-checkable.
+
+Scale notes (100 TB):
+- `decontaminate` explodes candidate n-grams map-side and joins them
+  against a BROADCAST distinct benchmark n-gram hash set (benchmarks
+  are tiny relative to the corpus; hashing grams to 60-bit ints keeps
+  the broadcast at 8 bytes/gram). The only shuffle is the final
+  per-doc partial-aggregated count — no corpus-sized wide join.
+- `repetition_stats` is pure per-row projection: no shuffle at all,
+  whole-stage codegen end to end.
+- `corpus_sample` is a map + one small partial-aggregated groupBy on
+  (source, split) — output cardinality is #sources × 3.
+
+The reference engine has no curation layer (it indexes everything it
+crawls); these operators extend the pipeline the way its DocDB scan +
+word-weight pass (SearchEngine.cpp:282-490) feeds the indexer, but on
+the training-data side of the fork.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from searchengine_spark.functions.hashes import hash60, hash60_sql
+
+# decontamination.  N=3 is the test-scale default: the synthetic corpus
+# draws from a ~20-word vocabulary, so 3-grams give a substantive overlap
+# set (171 flagged docs at sf0.01) while 5-grams collide almost never
+# (1 doc).  A production run over natural text would raise this to the
+# usual 8-13 (every function below takes `n` explicitly).
+DECON_NGRAM = 3
+DECON_BENCH_MOD = 97  # doc_id % 97 == 0 -> benchmark member
+# Real decontamination flags on ANY verbatim long-n-gram hit (threshold
+# ~0); with the short test-scale n the fraction gate keeps incidental
+# single-gram collisions below the flag while still firing on docs with
+# systematic benchmark overlap (5% of distinct grams).
+DECON_FLAG_FRAC = 0.05
+
+# split + sampling
+SPLIT_BUCKETS = 10_000
+SPLIT_TRAIN_LT = 9_600  # [0, 9600) train
+SPLIT_VAL_LT = 9_800  # [9600, 9800) val; rest test
+SAMPLE_RATES = [1.0, 0.5, 0.25, 0.1]  # indexed by hash60(source) % 4
+
+
+# ---------------------------------------------------------------------------
+# n-gram builders (Spark expr + DuckDB SQL twin, same short-doc rule as
+# the shingle builders in queries.py: a doc shorter than n tokens
+# yields its single sub-n gram)
+# ---------------------------------------------------------------------------
+
+def ngrams_expr(text: Column | str, n: int, distinct: bool = True) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    w = F.split(c, " ")
+    ln = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(ln - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(w, i, n), " "),
+    )
+    return F.array_distinct(grams) if distinct else grams
+
+
+def ngrams_sql(text: str, n: int, distinct: bool = True) -> str:
+    w = f"string_split({text}, ' ')"
+    grams = (
+        f"list_transform(range(1, greatest(len({w}) - {n - 1}, 1) + 1), "
+        f"i -> array_to_string(list_slice({w}, i, i + {n - 1}), ' '))"
+    )
+    return f"list_distinct({grams})" if distinct else grams
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    docs: DataFrame,
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+    flag_frac: float = DECON_FLAG_FRAC,
+) -> DataFrame:
+    """Per-candidate-doc benchmark n-gram overlap.
+
+    Returns (doc_id, n_grams, n_hit, overlap_frac, contaminated) for
+    every non-benchmark doc sharing >= 1 distinct n-gram with the
+    benchmark set. The gram join key is hash60(gram) so the broadcast
+    side is fixed-width ints, not strings.
+    """
+    grams = ngrams_expr("text", n)
+    bench_grams = (
+        docs.where(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode(grams).alias("gram"))
+        .select(hash60(F.col("gram"), "dc").alias("gh"))
+        .distinct()
+    )
+    cand = docs.where(F.col("doc_id") % bench_mod != 0).select(
+        "doc_id", grams.alias("_g")
+    )
+    exploded = cand.select(
+        "doc_id", F.size("_g").alias("n_grams"), F.explode("_g").alias("gram")
+    ).select("doc_id", "n_grams", hash60(F.col("gram"), "dc").alias("gh"))
+    hits = (
+        exploded.join(F.broadcast(bench_grams), "gh")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        hits.withColumn(
+            "overlap_frac",
+            F.round(F.col("n_hit").cast("double") / F.col("n_grams"), 4),
+        )
+        .withColumn("contaminated", F.col("overlap_frac") >= flag_frac)
+        .select("doc_id", "n_grams", "n_hit", "overlap_frac", "contaminated")
+    )
+
+
+def decontaminate_sql(
+    n: int = DECON_NGRAM,
+    bench_mod: int = DECON_BENCH_MOD,
+    flag_frac: float = DECON_FLAG_FRAC,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`decontaminate` (CTE body; caller wraps in
+    WITH ... SELECT). Same hash-keyed join over the same gram rule."""
+    grams = ngrams_sql("text", n)
+    return f"""
+  bench_grams AS (
+    SELECT DISTINCT {hash60_sql('gram', 'dc')} AS gh
+    FROM (SELECT unnest({grams}) AS gram FROM {table}
+          WHERE doc_id % {bench_mod} = 0)
+  ),
+  cand_grams AS (
+    SELECT doc_id, len({grams}) AS n_grams,
+           unnest(list_transform({grams},
+                  g -> {hash60_sql('g', 'dc')})) AS gh
+    FROM {table} WHERE doc_id % {bench_mod} <> 0
+  ),
+  hits AS (
+    SELECT doc_id, n_grams, count(*) AS n_hit
+    FROM cand_grams JOIN bench_grams USING (gh)
+    GROUP BY doc_id, n_grams
+  ),
+  decon AS (
+    SELECT doc_id, n_grams, n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_grams, 4) AS overlap_frac,
+           round(CAST(n_hit AS DOUBLE) / n_grams, 4) >= {flag_frac}
+             AS contaminated
+    FROM hits
+  )"""
+
+
+# ---------------------------------------------------------------------------
+# repetition quality stats (pure in-row)
+# ---------------------------------------------------------------------------
+
+# gopher-ish thresholds tuned to the synthetic corpus so both states occur
+REP_MAX_DUP_WORD = 0.55
+REP_MAX_DUP_2GRAM = 0.25
+REP_MAX_DUP_3GRAM = 0.10
+
+
+def _dup_frac(text: Column | str, n: int) -> Column:
+    all_g = ngrams_expr(text, n, distinct=False)
+    return F.round(
+        F.lit(1.0)
+        - F.size(F.array_distinct(all_g)).cast("double") / F.size(all_g),
+        4,
+    )
+
+
+def _dup_frac_sql(text: str, n: int) -> str:
+    all_g = ngrams_sql(text, n, distinct=False)
+    return (
+        f"round(1.0 - CAST(len(list_distinct({all_g})) AS DOUBLE)"
+        f" / len({all_g}), 4)"
+    )
+
+
+def repetition_pass_expr(text: Column | str) -> Column:
+    """The Gopher-style repetition gate as a standalone predicate."""
+    return (
+        (_dup_frac(text, 1) <= REP_MAX_DUP_WORD)
+        & (_dup_frac(text, 2) <= REP_MAX_DUP_2GRAM)
+        & (_dup_frac(text, 3) <= REP_MAX_DUP_3GRAM)
+    )
+
+
+def repetition_pass_sql(text: str) -> str:
+    d1, d2, d3 = (_dup_frac_sql(text, n) for n in (1, 2, 3))
+    return (
+        f"({d1} <= {REP_MAX_DUP_WORD} AND {d2} <= {REP_MAX_DUP_2GRAM} "
+        f"AND {d3} <= {REP_MAX_DUP_3GRAM})"
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Duplicate-n-gram fractions per doc + a Gopher-style pass flag.
+
+    Entirely native array expressions — no explode, no shuffle; the
+    whole operator is one codegen'd projection, so at 100 TB it runs
+    at scan speed.
+    """
+    return docs.select(
+        "doc_id",
+        _dup_frac("text", 1).alias("dup_word_frac"),
+        _dup_frac("text", 2).alias("dup_2gram_frac"),
+        _dup_frac("text", 3).alias("dup_3gram_frac"),
+        repetition_pass_expr("text").alias("repetition_pass"),
+    )
+
+
+def repetition_stats_sql(text: str = "text") -> str:
+    """Projection list twin (columns match repetition_stats)."""
+    d1, d2, d3 = (_dup_frac_sql(text, n) for n in (1, 2, 3))
+    return (
+        f"doc_id, {d1} AS dup_word_frac, {d2} AS dup_2gram_frac, "
+        f"{d3} AS dup_3gram_frac, "
+        f"{repetition_pass_sql(text)} AS repetition_pass"
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic split + mixture sampling
+# ---------------------------------------------------------------------------
+
+def _split_expr(doc_id: Column) -> Column:
+    b = hash60(doc_id.cast("string"), "split") % SPLIT_BUCKETS
+    return (
+        F.when(b < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(b < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _split_sql(doc_id: str) -> str:
+    b = f"({hash60_sql(f'CAST({doc_id} AS VARCHAR)', 'split')} % {SPLIT_BUCKETS})"
+    return (
+        f"CASE WHEN {b} < {SPLIT_TRAIN_LT} THEN 'train' "
+        f"WHEN {b} < {SPLIT_VAL_LT} THEN 'val' ELSE 'test' END"
+    )
+
+
+def _rate_expr(source: Column) -> Column:
+    idx = hash60(source, "rate") % len(SAMPLE_RATES)
+    expr = F.when(idx == 0, F.lit(SAMPLE_RATES[0]))
+    for i in range(1, len(SAMPLE_RATES)):
+        expr = expr.when(idx == i, F.lit(SAMPLE_RATES[i]))
+    return expr.otherwise(F.lit(0.0))
+
+
+def _rate_sql(source: str) -> str:
+    idx = f"({hash60_sql(source, 'rate')} % {len(SAMPLE_RATES)})"
+    whens = " ".join(
+        f"WHEN {idx} = {i} THEN {r}" for i, r in enumerate(SAMPLE_RATES)
+    )
+    return f"CASE {whens} ELSE 0.0 END"
+
+
+def sampled_expr(doc_id: Column, source: Column) -> Column:
+    """Deterministic Bernoulli keep-decision at the per-source rate."""
+    b = hash60(doc_id.cast("string"), "samp") % SPLIT_BUCKETS
+    return b < _rate_expr(source) * SPLIT_BUCKETS
+
+
+def sampled_sql(doc_id: str, source: str) -> str:
+    b = f"({hash60_sql(f'CAST({doc_id} AS VARCHAR)', 'samp')} % {SPLIT_BUCKETS})"
+    return f"({b} < ({_rate_sql(source)}) * {SPLIT_BUCKETS})"
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns live in the common Java-regex (Spark) / RE2 (DuckDB) subset —
+# char classes, bounded repetition and \b word boundaries only — so the
+# native expression and the SQL twin compile to the same matches.
+# Replacement tokens contain no digits or '@' so chained redaction can
+# never re-trigger a later rule.
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii_expr(text: Column | str) -> Column:
+    """Chained regexp_replace over PII_RULES (email → ipv4 → phone).
+
+    Pure per-row projection: no shuffle, codegen'd, runs at scan speed
+    at any scale.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for _name, pat, rep in PII_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def redact_pii_sql(text: str) -> str:
+    e = text
+    for _name, pat, rep in PII_RULES:
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return e
+
+
+def pii_count_exprs(text: Column | str) -> list[Column]:
+    """One `n_<rule>` long column per rule, counted on the RAW text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return [
+        F.regexp_count(c, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _rep in PII_RULES
+    ]
+
+
+def pii_count_sqls(text: str) -> list[str]:
+    return [
+        f"CAST(len(regexp_extract_all({text}, '{pat}')) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _rep in PII_RULES
+    ]
+
+
+def corpus_sample(docs: DataFrame) -> DataFrame:
+    """Per (source, split): doc counts, sampled-doc counts and sampled
+    char volume under the deterministic hash split + mixture rates."""
+    tagged = docs.select(
+        "source",
+        "n_chars",
+        _split_expr(F.col("doc_id")).alias("split"),
+        sampled_expr(F.col("doc_id"), F.col("source")).alias("_keep"),
+    )
+    return tagged.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("_keep").cast("long")).alias("n_sampled"),
+        F.sum(F.when(F.col("_keep"), F.col("n_chars")).otherwise(0)).alias(
+            "chars_sampled"
+        ),
+    )
+
+
+def corpus_sample_sql() -> str:
+    """Full SELECT twin of :func:`corpus_sample` (unordered; caller
+    appends ORDER BY). Integer SUMs are BIGINT-cast per the oracle
+    casting rule."""
+    return f"""
+SELECT source, {_split_sql('doc_id')} AS split,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN {sampled_sql('doc_id', 'source')} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sampled,
+       CAST(sum(CASE WHEN {sampled_sql('doc_id', 'source')} THEN n_chars
+                ELSE 0 END) AS BIGINT) AS chars_sampled
+FROM documents
+GROUP BY source, {_split_sql('doc_id')}
+"""

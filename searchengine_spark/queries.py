@@ -2269,6 +2269,221 @@ ORACLE_SQL["dedup_spans"] = SQL_DEDUP_SPANS
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: decontamination / repetition filters / split+sampling
+# ---------------------------------------------------------------------------
+
+from searchengine_spark.operators import curation as CU
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination: candidate docs sharing >= 1
+    distinct DECON_NGRAM-gram with the held-out benchmark subset
+    (doc_id % DECON_BENCH_MOD == 0), with overlap fraction and a
+    >= 50% flag.
+    Broadcast hash-set join — see operators/curation.py scale notes."""
+    return CU.decontaminate(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_DECONTAMINATE = (
+    "WITH "
+    + CU.decontaminate_sql()
+    + """
+SELECT doc_id, n_grams, n_hit, overlap_frac, contaminated
+FROM decon ORDER BY doc_id
+"""
+)
+
+QUERIES["decontaminate"] = q_decontaminate
+ORACLE_SQL["decontaminate"] = SQL_DECONTAMINATE
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style duplicate-n-gram fractions + pass flag, computed
+    as one shuffle-free codegen'd projection (operators/curation.py
+    repetition_stats)."""
+    return CU.repetition_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_QUALITY_REPETITION = f"""
+SELECT {CU.repetition_stats_sql('text')}
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["quality_repetition"] = q_quality_repetition
+ORACLE_SQL["quality_repetition"] = SQL_QUALITY_REPETITION
+
+
+def q_corpus_sample(spark, sf_dir):
+    """Deterministic hash train/val/test split + per-source mixture
+    sampling rates, rolled up per (source, split). Map + small
+    partial-agg — the corpus-assembly step of a training pipeline."""
+    return CU.corpus_sample(_docs(spark, sf_dir)).orderBy("source", "split")
+
+
+SQL_CORPUS_SAMPLE = CU.corpus_sample_sql() + " ORDER BY source, split"
+
+QUERIES["corpus_sample"] = q_corpus_sample
+ORACLE_SQL["corpus_sample"] = SQL_CORPUS_SAMPLE
+
+
+def _pii_text_expr():
+    """Deterministic PII-bearing text derived from doc columns: the
+    synthetic corpus contains no PII, so the fixture injects an email /
+    phone / IPv4 on interleaved doc_id residues (all 8 presence
+    combinations occur). concat_ws skips the NULL branches."""
+    return F.concat_ws(
+        " ",
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("user"), F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("call 555-867-5309")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit("from 10."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0.1"),
+            ),
+        ),
+    )
+
+
+_PII_TEXT_SQL = """concat_ws(' ', text,
+      CASE WHEN doc_id % 3 = 0
+           THEN 'user' || CAST(doc_id AS VARCHAR) || '@example.com' END,
+      CASE WHEN doc_id % 5 = 0 THEN 'call 555-867-5309' END,
+      CASE WHEN doc_id % 7 = 0
+           THEN 'from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1' END)"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub pass: per-rule match counts on the raw text plus the
+    md5 + length of the redacted text (the redaction itself is a pure
+    chained-regexp_replace projection — operators/curation.py)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _pii_text_expr().alias("pii_text")
+    )
+    return d.select(
+        "doc_id",
+        *CU.pii_count_exprs("pii_text"),
+        F.md5(CU.redact_pii_expr("pii_text")).alias("redacted_md5"),
+        F.length(CU.redact_pii_expr("pii_text")).cast("long").alias(
+            "redacted_len"
+        ),
+    ).orderBy("doc_id")
+
+
+SQL_PII_REDACT = f"""
+WITH pii AS MATERIALIZED (
+  SELECT doc_id, {_PII_TEXT_SQL} AS pii_text FROM documents
+)
+SELECT doc_id, {', '.join(CU.pii_count_sqls('pii_text'))},
+       md5({CU.redact_pii_sql('pii_text')}) AS redacted_md5,
+       CAST(length({CU.redact_pii_sql('pii_text')}) AS BIGINT)
+         AS redacted_len
+FROM pii ORDER BY doc_id
+"""
+
+QUERIES["pii_redact"] = q_pii_redact
+ORACLE_SQL["pii_redact"] = SQL_PII_REDACT
+
+
+def q_curation_funnel(spark, sf_dir):
+    """The end-to-end corpus-curation funnel as ONE aggregate pass:
+    total docs → exact-dedup survivors (first doc_id per md5(text))
+    → repetition gate → decontamination gate (benchmark members and
+    no-hit docs count clean) → mixture sampling. Per-doc flags are
+    computed in one projection + one broadcast-joined contamination
+    lookup, then a single summary agg — no per-stage re-scan.
+
+    The universe is the numeric dup-augmented corpus (every 10th doc
+    re-appears under doc_id+1_000_000) so the dedup stage has real
+    work, mirroring _docs_exactdup_aug but keeping doc_id numeric for
+    the benchmark-membership residue and `source` for sampling."""
+    base = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    d = base.unionByName(
+        base.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+        )
+    )
+    contaminated = (
+        CU.decontaminate(d)
+        .where("contaminated")
+        .select("doc_id", F.lit(True).alias("_contam"))
+    )
+    keep_w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    flags = (
+        d.withColumn("_first", F.row_number().over(keep_w) == 1)
+        .withColumn("_rep", CU.repetition_pass_expr("text"))
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .withColumn("_clean", F.col("_contam").isNull())
+        .withColumn(
+            "_samp", CU.sampled_expr(F.col("doc_id"), F.col("source"))
+        )
+    )
+
+    def n(cond, name):
+        return F.sum(cond.cast("long")).alias(name)
+
+    return flags.agg(
+        F.count("*").alias("n_total"),
+        n(F.col("_first"), "n_dedup"),
+        n(F.col("_first") & F.col("_rep"), "n_rep_pass"),
+        n(F.col("_first") & F.col("_rep") & F.col("_clean"), "n_decon_pass"),
+        n(
+            F.col("_first") & F.col("_rep") & F.col("_clean") & F.col("_samp"),
+            "n_sampled",
+        ),
+    )
+
+
+def _sql_curation_funnel():
+    rep_pred = CU.repetition_pass_sql("text")
+    return (
+        """WITH
+  docs_f AS MATERIALIZED (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, source FROM documents
+    WHERE doc_id % 10 = 0
+  ),
+"""
+        + CU.decontaminate_sql(table="docs_f")
+        + f""",
+  contam AS MATERIALIZED (
+    SELECT doc_id FROM decon WHERE contaminated
+  ),
+  flags AS MATERIALIZED (
+    SELECT d.doc_id,
+           (ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY d.doc_id) = 1)
+             AS first_doc,
+           {rep_pred} AS rep_pass,
+           (c.doc_id IS NULL) AS clean,
+           {CU.sampled_sql('d.doc_id', 'source')} AS samp
+    FROM docs_f d LEFT JOIN contam c ON d.doc_id = c.doc_id
+  )
+SELECT CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(sum(CASE WHEN first_doc AND rep_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rep_pass,
+       CAST(sum(CASE WHEN first_doc AND rep_pass AND clean THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_decon_pass,
+       CAST(sum(CASE WHEN first_doc AND rep_pass AND clean AND samp
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM flags
+"""
+    )
+
+
+QUERIES["curation_funnel"] = q_curation_funnel
+ORACLE_SQL["curation_funnel"] = _sql_curation_funnel()
+
+
+# ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
 

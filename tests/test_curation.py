@@ -1,0 +1,249 @@
+"""Corpus-curation operator semantics + Spark/DuckDB twin equality.
+
+Covers operators/curation.py: n-gram decontamination, Gopher-style
+repetition stats, deterministic split + mixture sampling. The twin
+tests pin the exact row equality the driver's oracle relies on, on a
+crafted fixture that exercises the short-doc gram rule and both flag
+states.
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.hashes import hash60_py
+from searchengine_spark.operators import curation as CU
+
+
+def _duck(docs_pdf, sql):
+    con = duckdb.connect()
+    con.register("documents", docs_pdf)
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+# ---- n-gram builder ------------------------------------------------------
+
+def test_ngram_short_doc_rule_matches_duckdb(spark):
+    """A doc with fewer than n tokens yields its single sub-n gram, and
+    the Spark and DuckDB builders agree token-for-token."""
+    rows = [(0, "a b"), (1, "a"), (2, "a b c d e"), (3, "x x x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", CU.ngrams_expr("text", 3).alias("g")
+        ).collect()
+    }
+    assert got[0] == ["a b"]
+    assert got[1] == ["a"]
+    assert got[2] == ["a b c", "b c d", "c d e"]
+    assert got[3] == ["x x x"]
+
+    duck = _duck(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        f"SELECT doc_id, {CU.ngrams_sql('text', 3)} AS g "
+        "FROM documents ORDER BY doc_id",
+    )
+    # DuckDB's list_distinct does NOT preserve element order (Spark's
+    # array_distinct does); every consumer explodes the list into
+    # order-free joins/aggregates, so set equality is the contract.
+    for _, row in duck.iterrows():
+        assert set(row["g"]) == set(got[row["doc_id"]])
+        assert len(row["g"]) == len(got[row["doc_id"]])
+
+
+# ---- decontaminate -------------------------------------------------------
+
+def _decon_fixture():
+    # doc 0 (0 % 97 == 0) is the benchmark member; 3-grams of its text:
+    # "a b c", "b c d", "c d e".
+    return [
+        (0, "a b c d e"),     # benchmark — must not appear in output
+        (1, "a b c d x"),     # grams: abc, bcd, cdx -> 2/3 hit
+        (2, "a b c x y"),     # 1/3 hit -> not contaminated
+        (3, "a b c x"),       # 1/2 hit -> exactly at the 0.5 boundary
+        (4, "z z z z z"),     # 0 hits -> excluded entirely
+    ]
+
+
+def test_decontaminate_semantics(spark):
+    df = spark.createDataFrame(_decon_fixture(), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["overlap_frac"],
+                      r["contaminated"])
+        for r in CU.decontaminate(df, n=3, flag_frac=0.5).collect()
+    }
+    assert set(got) == {1, 2, 3}  # benchmark doc 0 and no-hit doc 4 absent
+    assert got[1] == (3, 2, 0.6667, True)
+    assert got[2] == (3, 1, 0.3333, False)
+    assert got[3] == (2, 1, 0.5, True)  # >= boundary is inclusive
+
+
+def test_decontaminate_matches_duckdb_twin(spark):
+    df = spark.createDataFrame(_decon_fixture(), "doc_id long, text string")
+    got = [
+        tuple(r)
+        for r in CU.decontaminate(df, n=3, flag_frac=0.5)
+        .orderBy("doc_id").collect()
+    ]
+    duck = _duck(
+        pd.DataFrame(_decon_fixture(), columns=["doc_id", "text"]),
+        "WITH " + CU.decontaminate_sql(n=3, flag_frac=0.5)
+        + " SELECT doc_id, n_grams, n_hit, overlap_frac, contaminated"
+        " FROM decon ORDER BY doc_id",
+    )
+    assert got == [tuple(r) for r in duck.itertuples(index=False)]
+
+
+# ---- repetition stats ----------------------------------------------------
+
+def test_repetition_stats_extremes(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a a a a a a")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in
+           CU.repetition_stats(df).collect()}
+    # all-distinct doc: zero duplicate fractions, passes
+    assert got[0]["dup_word_frac"] == 0.0
+    assert got[0]["dup_2gram_frac"] == 0.0
+    assert got[0]["dup_3gram_frac"] == 0.0
+    assert got[0]["repetition_pass"] is True
+    # all-same doc: 6 words 1 distinct -> 1 - 1/6; fails every gate
+    assert got[1]["dup_word_frac"] == round(1 - 1 / 6, 4)
+    assert got[1]["dup_2gram_frac"] == round(1 - 1 / 5, 4)
+    assert got[1]["dup_3gram_frac"] == 0.75
+    assert got[1]["repetition_pass"] is False
+
+
+def test_repetition_stats_matches_duckdb_twin(spark):
+    rows = [(0, "a b c d e f"), (1, "a a a a a a"), (2, "x"),
+            (3, "p q p q p q")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [tuple(r) for r in
+           CU.repetition_stats(df).orderBy("doc_id").collect()]
+    duck = _duck(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        f"SELECT {CU.repetition_stats_sql('text')} FROM documents"
+        " ORDER BY doc_id",
+    )
+    assert got == [tuple(r) for r in duck.itertuples(index=False)]
+
+
+# ---- split + sampling ----------------------------------------------------
+
+def _source_with_rate(rate_idx):
+    """Find a source string whose mixture-rate index is rate_idx."""
+    for i in range(1000):
+        s = f"src{i}"
+        if hash60_py(s, "rate") % len(CU.SAMPLE_RATES) == rate_idx:
+            return s
+    raise AssertionError("no source found")
+
+
+def test_corpus_sample_full_rate_source_keeps_everything(spark):
+    full = _source_with_rate(0)   # rate 1.0
+    zeroish = _source_with_rate(3)  # rate 0.1
+    rows = [(i, full if i < 40 else zeroish, 10) for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars int")
+    got = CU.corpus_sample(df).collect()
+    by_src = {}
+    for r in got:
+        a = by_src.setdefault(r["source"], [0, 0, 0])
+        a[0] += r["n_docs"]; a[1] += r["n_sampled"]; a[2] += r["chars_sampled"]
+    assert by_src[full] == [40, 40, 400]          # rate 1.0 keeps all
+    assert by_src[zeroish][1] < 40                # rate 0.1 drops most
+    assert by_src[zeroish][2] == by_src[zeroish][1] * 10
+    assert {r["split"] for r in got} <= {"train", "val", "test"}
+
+
+def test_split_assignment_is_deterministic_and_python_checkable(spark):
+    """The split of any doc is a pure function of doc_id via hash60 —
+    recompute it in pure Python and demand row equality."""
+    df = spark.createDataFrame(
+        [(i,) for i in range(500)], "doc_id long"
+    ).select("doc_id", CU._split_expr(F.col("doc_id")).alias("split"))
+    got = {r["doc_id"]: r["split"] for r in df.collect()}
+
+    def py_split(doc_id):
+        b = hash60_py(str(doc_id), "split") % CU.SPLIT_BUCKETS
+        if b < CU.SPLIT_TRAIN_LT:
+            return "train"
+        if b < CU.SPLIT_VAL_LT:
+            return "val"
+        return "test"
+
+    assert got == {i: py_split(i) for i in range(500)}
+    # sanity: the 96/2/2 design shows up at n=500 within loose bounds
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert n_train > 450
+
+
+# ---- PII redaction -------------------------------------------------------
+
+def test_redact_pii_semantics_and_twin(spark):
+    rows = [
+        (0, "mail bob.smith+x@corp.example.org now"),
+        (1, "server 192.168.1.250 up"),
+        (2, "call 555-867-5309 or 555-123-4567"),
+        (3, "no pii here at all"),
+        (4, "a@b.io and 1.2.3.4 and 555-000-1111 together"),
+        (5, "version 1.2.3 is not an ip; 12-34-5678 not a phone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = df.select(
+        "doc_id",
+        CU.redact_pii_expr("text").alias("red"),
+        *CU.pii_count_exprs("text"),
+    ).orderBy("doc_id")
+    res = {r["doc_id"]: r.asDict() for r in got.collect()}
+    assert res[0]["red"] == "mail <EMAIL> now"
+    assert res[1]["red"] == "server <IP> up"
+    assert res[2]["red"] == "call <PHONE> or <PHONE>"
+    assert res[2]["n_phone"] == 2
+    assert res[3]["red"] == "no pii here at all"
+    assert res[4]["red"] == "<EMAIL> and <IP> and <PHONE> together"
+    assert (res[4]["n_email"], res[4]["n_ipv4"], res[4]["n_phone"]) == (1, 1, 1)
+    # non-PII lookalikes untouched
+    assert res[5]["red"] == rows[5][1]
+
+    duck = _duck(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        f"SELECT doc_id, {CU.redact_pii_sql('text')} AS red, "
+        f"{', '.join(CU.pii_count_sqls('text'))} "
+        "FROM documents ORDER BY doc_id",
+    )
+    spark_rows = [tuple(r) for r in got.collect()]
+    assert spark_rows == [tuple(r) for r in duck.itertuples(index=False)]
+
+
+# ---- curation funnel -----------------------------------------------------
+
+def test_curation_funnel_monotone_and_discriminating(spark):
+    """Every stage of the funnel must be <= the previous one, and on
+    the sf0.001 corpus each gate except none-at-all must actually drop
+    documents (the fixture universe injects exact dups and the decon
+    flag threshold is set to fire on systematic overlap)."""
+    from searchengine_spark.queries import QUERIES
+
+    row = QUERIES["curation_funnel"](spark, "/root/testdata/sf0.001").collect()[0]
+    seq = [row["n_total"], row["n_dedup"], row["n_rep_pass"],
+           row["n_decon_pass"], row["n_sampled"]]
+    assert seq == sorted(seq, reverse=True)
+    assert row["n_total"] > row["n_dedup"]       # injected dups dropped
+    assert row["n_rep_pass"] < row["n_dedup"]    # repetition gate fires
+    assert row["n_sampled"] < row["n_rep_pass"]  # sampling drops some
+    assert row["n_sampled"] > 0
+
+
+def test_decontaminate_plan_broadcasts_benchmark_side(spark):
+    """Scale shape: the benchmark gram set must be the BROADCAST side —
+    a sort-merge join here would shuffle the full corpus gram stream."""
+    df = spark.createDataFrame(_decon_fixture(), "doc_id long, text string")
+    plan = CU.decontaminate(df, n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
