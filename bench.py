@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "quality_repetition",
     "pii_redact",
     "curation_funnel",
+    "pack_stats",
     "text_stats",
     "events_window",
     "sessionize",

@@ -39,7 +39,7 @@ the training-data side of the fork.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from searchengine_spark.functions.hashes import hash60, hash60_sql
 
@@ -285,6 +285,111 @@ def sampled_expr(doc_id: Column, source: Column) -> Column:
 def sampled_sql(doc_id: str, source: str) -> str:
     b = f"({hash60_sql(f'CAST({doc_id} AS VARCHAR)', 'samp')} % {SPLIT_BUCKETS})"
     return f"({b} < ({_rate_sql(source)}) * {SPLIT_BUCKETS})"
+
+
+# ---------------------------------------------------------------------------
+# sequence chunking / packing (concat-and-chunk, GPT-style)
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 128  # tokens per training sequence (whitespace tokens here)
+
+
+def _tok_expr(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(c, " ")).cast("long")
+
+
+def _tok_sql(text: str) -> str:
+    return f"CAST(len(string_split({text}, ' ')) AS BIGINT)"
+
+
+def chunk_stats(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Per-doc chunking stats for PAD-style (one doc per sequence)
+    batching: token count, number of seq_len chunks, tail padding.
+
+    Pure projection — no shuffle.
+    """
+    t = _tok_expr("text")
+    n_chunks = F.ceil(t / F.lit(seq_len)).cast("long")
+    return docs.select(
+        "doc_id",
+        t.alias("n_tokens"),
+        n_chunks.alias("n_chunks"),
+        (n_chunks * seq_len - t).alias("pad_tokens"),
+    )
+
+
+def chunk_stats_sql(text: str = "text", seq_len: int = SEQ_LEN) -> str:
+    """Projection-list twin of :func:`chunk_stats`."""
+    t = _tok_sql(text)
+    n_chunks = f"CAST(ceil({t} / {seq_len}.0) AS BIGINT)"
+    return (
+        f"doc_id, {t} AS n_tokens, {n_chunks} AS n_chunks, "
+        f"{n_chunks} * {seq_len} - {t} AS pad_tokens"
+    )
+
+
+def pack_stats(docs: DataFrame, seq_len: int = SEQ_LEN) -> DataFrame:
+    """Per-source concat-and-chunk packing stats: documents are laid
+    end-to-end in doc_id order within each source and cut into seq_len
+    sequences (the zero-padding-waste packing used for pretraining).
+
+    Returns per source: docs, total tokens, number of sequences the
+    stream cuts into, tail padding of the last sequence, and how many
+    docs straddle a sequence boundary (the attention-masking cost of
+    packing).
+
+    Scale: the prefix sum is a running-total window per source. Source
+    partitions are corpus-scale at 100 TB, so a production run would
+    range-partition each source's stream and offset per-partition sums
+    the way operators/frontier.with_global_seq does; the semantics
+    pinned here are partitioning-independent (doc_id order).
+    """
+    t = _tok_expr("text")
+    win = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    d = docs.select("source", "doc_id", t.alias("_t")).withColumn(
+        "_end", F.sum("_t").over(win)
+    )
+    d = d.withColumn("_start", F.col("_end") - F.col("_t")).withColumn(
+        "_crosses",
+        (
+            F.floor((F.col("_end") - 1) / seq_len)
+            > F.floor(F.col("_start") / seq_len)
+        ).cast("long"),
+    )
+    n_seq = F.ceil(F.sum("_t") / F.lit(seq_len)).cast("long")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_t").alias("total_tokens"),
+        n_seq.alias("n_sequences"),
+        (n_seq * seq_len - F.sum("_t")).alias("tail_pad"),
+        F.sum("_crosses").alias("docs_straddling"),
+    )
+
+
+def pack_stats_sql(seq_len: int = SEQ_LEN) -> str:
+    """Full SELECT twin of :func:`pack_stats` (unordered)."""
+    t = _tok_sql("text")
+    return f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t) AS BIGINT) AS total_tokens,
+       CAST(ceil(sum(t) / {seq_len}.0) AS BIGINT) AS n_sequences,
+       CAST(ceil(sum(t) / {seq_len}.0) AS BIGINT) * {seq_len}
+         - CAST(sum(t) AS BIGINT) AS tail_pad,
+       CAST(sum(CASE WHEN floor((e - 1) / {seq_len})
+                          > floor((e - t) / {seq_len})
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_straddling
+FROM (
+  SELECT source, doc_id, {t} AS t,
+         CAST(sum({t}) OVER (PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+  FROM documents
+)
+GROUP BY source
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -2483,6 +2483,34 @@ QUERIES["curation_funnel"] = q_curation_funnel
 ORACLE_SQL["curation_funnel"] = _sql_curation_funnel()
 
 
+def q_chunk_stats(spark, sf_dir):
+    """Per-doc PAD-style chunking stats (tokens, seq_len chunks, tail
+    padding) — a pure zero-shuffle projection."""
+    return CU.chunk_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+SQL_CHUNK_STATS = (
+    f"SELECT {CU.chunk_stats_sql()} FROM documents ORDER BY doc_id"
+)
+
+QUERIES["chunk_stats"] = q_chunk_stats
+ORACLE_SQL["chunk_stats"] = SQL_CHUNK_STATS
+
+
+def q_pack_stats(spark, sf_dir):
+    """Per-source concat-and-chunk packing stats: sequences cut from
+    the doc_id-ordered token stream, tail padding, and the number of
+    docs straddling a sequence boundary (operators/curation.py
+    pack_stats; prefix-sum window per source)."""
+    return CU.pack_stats(_docs(spark, sf_dir)).orderBy("source")
+
+
+SQL_PACK_STATS = CU.pack_stats_sql() + " ORDER BY source"
+
+QUERIES["pack_stats"] = q_pack_stats
+ORACLE_SQL["pack_stats"] = SQL_PACK_STATS
+
+
 # ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------

@@ -183,6 +183,45 @@ def test_split_assignment_is_deterministic_and_python_checkable(spark):
     assert n_train > 450
 
 
+# ---- chunking / packing --------------------------------------------------
+
+def test_chunk_stats_exact_values(spark):
+    df = spark.createDataFrame(
+        [(0, " ".join(["w"] * 128)),   # exactly one chunk, no pad
+         (1, " ".join(["w"] * 129)),   # two chunks, 127 pad
+         (2, "w")],                    # one chunk, 127 pad
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_chunks"], r["pad_tokens"])
+           for r in CU.chunk_stats(df).collect()}
+    assert got == {0: (128, 1, 0), 1: (129, 2, 127), 2: (1, 1, 127)}
+
+
+def test_pack_stats_hand_fixture(spark):
+    """seq_len=10, one source, docs of 4/5/3/9 tokens laid end-to-end:
+    stream = 21 tokens -> 3 sequences, tail_pad 9. Boundaries at 10 and
+    20: doc c spans [9,12) (straddles), doc d spans [12,21) (straddles
+    20); a=[0,4) and b=[4,9) do not."""
+    rows = [(0, "s", "a b c d"), (1, "s", "a b c d e"),
+            (2, "s", "a b c"), (3, "s", "a b c d e f g h i")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    r = CU.pack_stats(df, seq_len=10).collect()[0]
+    assert (r["n_docs"], r["total_tokens"], r["n_sequences"],
+            r["tail_pad"], r["docs_straddling"]) == (4, 21, 3, 9, 2)
+
+
+def test_pack_stats_matches_duckdb_twin(spark):
+    rows = [(i, f"s{i % 3}", " ".join(["w"] * (3 + 7 * i % 40)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = [tuple(r) for r in CU.pack_stats(df).orderBy("source").collect()]
+    duck = _duck(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"]),
+        CU.pack_stats_sql() + " ORDER BY source",
+    )
+    assert got == [tuple(r) for r in duck.itertuples(index=False)]
+
+
 # ---- PII redaction -------------------------------------------------------
 
 def test_redact_pii_semantics_and_twin(spark):
