@@ -263,6 +263,48 @@ def crawl_round_bench(spark, n_frontier: int, workdir: str | None = None) -> dic
 
 LOAD_IDLE_MAX = 2.0  # 1-min loadavg above this at start => flag the run
 
+def _canary_worker(_i: int) -> float:
+    import hashlib
+
+    block = b"\xa5" * (1 << 20)
+    h = hashlib.md5()
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < 1.0:
+        h.update(block)
+        n += 1
+    return n / (time.time() - t0)
+
+
+def _cpu_canary() -> dict:
+    """Host-speed canary: single-thread md5 MB/s plus a 16-process
+    aggregate, run BEFORE the Spark session starts.
+
+    loadavg says how BUSY the box is; the canary says how FAST it
+    currently is. Diagnosed in round 5: two suite runs at 1-min load
+    <2 were still 3x inflated on untouched queries while single-thread
+    md5 read a normal ~630 MB/s — but the 32-process aggregate showed
+    only ~12 effective cores (7.7 GB/s / 630 MB/s), i.e. physical-host
+    neighbors were stealing over half the machine's PARALLEL capacity.
+    Single-thread speed cannot see that, so the canary records both;
+    `effective_cores` (aggregate/single) is the number to normalize
+    multi-core walls by before any cross-run comparison.
+    """
+    import concurrent.futures as cf
+
+    single = _canary_worker(0)
+    try:
+        with cf.ProcessPoolExecutor(max_workers=16) as ex:
+            rates = list(ex.map(_canary_worker, range(16)))
+        par = sum(rates)
+    except Exception:
+        par = -1.0
+    return {
+        "single_mb_s": round(single, 1),
+        "par16_mb_s": round(par, 1),
+        "effective_cores": round(par / single, 1) if single > 0 and par > 0 else -1.0,
+    }
+
 
 def _load_guard() -> float:
     """Record the pre-run 1-min loadavg and warn when the box is not
@@ -288,6 +330,7 @@ def run_suite(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
     from searchengine_spark.session import get_spark
 
     load1 = _load_guard()
+    canary = _cpu_canary()  # before the JVM exists (fork-safe, unloaded)
     spark = get_spark(
         "bench",
         master=master or f"local[{CPUS}]",
@@ -345,8 +388,12 @@ def run_suite(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
         "throughput_urls_per_sec": fb["urls_per_sec"] if fb else None,
         "master": spark.sparkContext.master,
         "load_1m_start": load1,
+        "cpu_canary": canary,
     }
     spark.stop()
+    # sample again AFTER the JVM is gone: start-vs-end disagreement
+    # flags mid-run host-weather changes the start sample can't see
+    out["cpu_canary_end"] = _cpu_canary()
     return out
 
 
