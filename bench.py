@@ -276,19 +276,39 @@ def _canary_worker(_i: int) -> float:
     return n / (time.time() - t0)
 
 
-def _cpu_canary() -> dict:
-    """Host-speed canary: single-thread md5 MB/s plus a 16-process
-    aggregate, run BEFORE the Spark session starts.
+def _wakeup_probe(n: int = 150) -> tuple[float, float]:
+    """(median, p90) overshoot of time.sleep(1ms), in ms.
 
-    loadavg says how BUSY the box is; the canary says how FAST it
-    currently is. Diagnosed in round 5: two suite runs at 1-min load
-    <2 were still 3x inflated on untouched queries while single-thread
-    md5 read a normal ~630 MB/s — but the 32-process aggregate showed
-    only ~12 effective cores (7.7 GB/s / 630 MB/s), i.e. physical-host
-    neighbors were stealing over half the machine's PARALLEL capacity.
-    Single-thread speed cannot see that, so the canary records both;
-    `effective_cores` (aggregate/single) is the number to normalize
-    multi-core walls by before any cross-run comparison.
+    A healthy kernel wakes a 1 ms sleeper within ~0.1 ms. On this
+    sandbox's bad intervals the hypervisor delays vCPU wakeups by
+    1-8 ms — which leaves a hot md5 loop at full speed but makes every
+    Spark task dispatch / RPC / condition-variable handoff pay
+    milliseconds, so walls inflate while /proc/stat shows the CPUs
+    ~95% IDLE (measured: dedup_minhash 24 s with ~1.5 of 32 cores
+    busy, sleep overshoot med 1.2 ms p90 4.0 ms). This probe is the
+    discriminating signal for 'host is well'; the md5 pair below
+    covers compute capacity.
+    """
+    xs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        time.sleep(0.001)
+        xs.append((time.perf_counter() - t0 - 0.001) * 1000)
+    xs.sort()
+    return round(xs[n // 2], 3), round(xs[int(n * 0.9)], 3)
+
+
+def _cpu_canary() -> dict:
+    """Host-health canary, run BEFORE the Spark session starts.
+
+    loadavg says how BUSY the box is; the canary says how WELL it
+    currently runs the two things a Spark job needs — raw parallel
+    compute (md5 single + 16-process aggregate => effective_cores)
+    and timely thread wakeups (sleep-overshoot med/p90, see
+    _wakeup_probe). Round-5 diagnosis: suite runs at idle loadavg and
+    full effective_cores were still 3x inflated because wakeup
+    latency, not compute, was degraded. Both ride in every artifact so
+    a poisoned run self-identifies and can be normalized or discarded.
     """
     import concurrent.futures as cf
 
@@ -299,10 +319,13 @@ def _cpu_canary() -> dict:
         par = sum(rates)
     except Exception:
         par = -1.0
+    ov_med, ov_p90 = _wakeup_probe()
     return {
         "single_mb_s": round(single, 1),
         "par16_mb_s": round(par, 1),
         "effective_cores": round(par / single, 1) if single > 0 and par > 0 else -1.0,
+        "sleep_overshoot_ms_med": ov_med,
+        "sleep_overshoot_ms_p90": ov_p90,
     }
 
 

@@ -1,22 +1,26 @@
 #!/bin/bash
-# Fish for a fast-host window (cpu_canary effective_cores >= 15) and
-# record ONE clean full-suite bench run into suite_clean_runs.jsonl.
-# Writes /tmp/bench_running.lock while a bench is in flight so other
-# shells can avoid launching concurrent Spark work (CLAUDE.md bench
-# hygiene). Stops after the first clean catch or ~40 probes.
+# Fish for a healthy-host window and record ONE clean full-suite bench
+# run into suite_clean_runs.jsonl. "Healthy" = full parallel compute
+# (effective_cores >= 15) AND timely thread wakeups (sleep-overshoot
+# p90 <= 0.6 ms) — round-5 diagnosis showed wakeup latency, not
+# compute, is what poisons Spark walls on this sandbox (see
+# BENCH/SUITE_NOTES.md). Writes /tmp/bench_running.lock while a bench
+# is in flight so other shells can avoid concurrent Spark work.
 cd /root/repo || exit 1
 rm -f /tmp/bench_watch_done
-for i in $(seq 1 40); do
-  eff=$(python - <<'PYEOF'
+for i in $(seq 1 60); do
+  probe=$(python - <<'PYEOF'
 import sys
 sys.path.insert(0, ".")
 from bench import _cpu_canary
-print(_cpu_canary()["effective_cores"])
+c = _cpu_canary()
+ok = c["effective_cores"] >= 15.0 and c["sleep_overshoot_ms_p90"] <= 0.6
+print(f"{1 if ok else 0} eff={c['effective_cores']} "
+      f"ov_med={c['sleep_overshoot_ms_med']} ov_p90={c['sleep_overshoot_ms_p90']}")
 PYEOF
 )
-  echo "$(date +%H:%M:%S) probe $i effective_cores=$eff"
-  ok=$(python -c "print(1 if float('$eff') >= 15.0 else 0)")
-  if [ "$ok" = "1" ]; then
+  echo "$(date +%H:%M:%S) probe $i $probe"
+  if [ "${probe%% *}" = "1" ]; then
     touch /tmp/bench_running.lock
     echo "$(date +%H:%M:%S) window open -> running suite"
     python bench.py > /tmp/bench_watch_try.json 2>/dev/null
@@ -27,17 +31,17 @@ r = json.load(open("/tmp/bench_watch_try.json"))
 q = r["queries"]
 clean = (q["search_2term"] < 8 and q["crawl_round"] < 9
          and q["dedup_minhash"] < 7)
-end_ok = r.get("cpu_canary_end", {}).get("effective_cores", 0) >= 14.5
+end = r.get("cpu_canary_end", {})
+end_ok = (end.get("effective_cores", 0) >= 14.5
+          and end.get("sleep_overshoot_ms_p90", 99) <= 0.8)
 print("verdict:", "CLEAN" if (clean and end_ok) else "dirty",
       "| search_2term", q["search_2term"], "crawl_round", q["crawl_round"],
-      "minhash", q["dedup_minhash"], "end_eff",
-      r.get("cpu_canary_end", {}).get("effective_cores"))
+      "minhash", q["dedup_minhash"], "| end", end)
 if clean and end_ok:
     r["note"] = ("CLEAN run caught by the canary watcher "
-                 "(tools/clean_bench_watch.sh): effective_cores >= 15 at "
-                 "start AND end; first clean artifact including the "
-                 "curation rows (decontaminate, quality_repetition, "
-                 "pii_redact, curation_funnel, pack_stats)")
+                 "(tools/clean_bench_watch.sh): effective_cores and "
+                 "wakeup latency healthy at start AND end; first clean "
+                 "artifact including the curation rows")
     with open("BENCH/suite_clean_runs.jsonl", "a") as f:
         f.write(json.dumps(r) + "\n")
     open("/tmp/bench_watch_done", "w").write("1")
