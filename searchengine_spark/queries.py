@@ -2392,6 +2392,58 @@ QUERIES["pii_redact"] = q_pii_redact
 ORACLE_SQL["pii_redact"] = SQL_PII_REDACT
 
 
+def q_media_dedup(spark, sf_dir):
+    """Exact duplicate detection over BINARY media payloads (the
+    image-dedup step of a multimodal pipeline): group by the content
+    hash of the payload bytes, keep the min doc_id. The universe
+    injects a byte-identical copy of every 10th payload under
+    'dup'||doc_id so dup groups exist. Both engines key on
+    md5(lower(hex(payload))) — DuckDB's md5 is VARCHAR-only, so the
+    hex transport makes the key engine-portable while still being a
+    pure function of the payload BYTES."""
+    m = MM.synth_media_df(spark, sf_dir).select("doc_id", "payload")
+    aug = m.unionByName(
+        m.where(F.col("doc_id").cast("long") % 10 == 0).select(
+            F.concat(F.lit("dup"), F.col("doc_id")).alias("doc_id"), "payload"
+        )
+    )
+    return (
+        aug.groupBy(F.md5(F.lower(F.hex("payload"))).alias("payload_md5"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .where(F.col("n_copies") > 1)
+        .orderBy("payload_md5")
+    )
+
+
+def _sql_media_dedup() -> str:
+    h = hash60_sql("CAST(doc_id AS VARCHAR)", "media")
+    return f"""
+WITH payloads AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unhex(repeat(md5('payload' || CAST(doc_id AS VARCHAR)),
+                      ({h} % 6) + 1)) AS payload
+  FROM documents
+),
+aug AS MATERIALIZED (
+  SELECT doc_id, payload FROM payloads
+  UNION ALL
+  SELECT 'dup' || doc_id, payload FROM payloads
+  WHERE CAST(doc_id AS BIGINT) % 10 = 0
+)
+SELECT md5(lower(hex(payload))) AS payload_md5,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       min(doc_id) AS keep_doc_id
+FROM aug GROUP BY 1 HAVING count(*) > 1 ORDER BY payload_md5
+"""
+
+
+QUERIES["media_dedup"] = q_media_dedup
+ORACLE_SQL["media_dedup"] = _sql_media_dedup()
+
+
 def q_curation_funnel(spark, sf_dir):
     """The end-to-end corpus-curation funnel as ONE aggregate pass:
     total docs → exact-dedup survivors (first doc_id per md5(text))

@@ -306,6 +306,27 @@ def test_media_stats_prunes_payload(spark, tmp_path):
     assert "payload" not in plan
 
 
+def test_media_dedup_groups_byte_identical_payloads(spark):
+    """media_dedup keys on a pure function of the payload BYTES: the
+    injected 'dup'||doc_id copies (every 10th doc) must land in the same
+    group as their originals, the kept id must be the (string-)min which
+    is always the original, and no group may mix distinct payloads."""
+    from searchengine_spark import queries as Q
+
+    rows = Q.QUERIES["media_dedup"](spark, SF).collect()
+    n_dup_sources = (
+        MM.synth_media_df(spark, SF)
+        .where(F.col("doc_id").cast("long") % 10 == 0)
+        .select("payload")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_dup_sources
+    for r in rows:
+        assert r["n_copies"] >= 2
+        assert not r["keep_doc_id"].startswith("dup")
+
+
 def _make_bmp_24(pixels_topdown, width, height, bottom_up=True):
     """Build a real uncompressed 24-bpp BMP byte-for-byte: 14-byte file
     header + 40-byte BITMAPINFOHEADER + padded pixel rows."""
