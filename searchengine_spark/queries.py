@@ -1828,6 +1828,101 @@ QUERIES["events_props_json"] = q_events_props_json
 ORACLE_SQL["events_props_json"] = SQL_EVENTS_PROPS_JSON
 
 
+def q_events_asof(spark, sf_dir):
+    """Point-in-time attribution: every purchase joined to the most
+    recent prior click by the same user (backward-inclusive as-of
+    join). The Spark side is the union+running-window form
+    (operators/temporal.asof_join — ONE key shuffle, no range-join
+    nested loop); the oracle is DuckDB's NATIVE ``ASOF LEFT JOIN`` —
+    a fully independent implementation of the same semantics."""
+    from searchengine_spark.operators import temporal as TP
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = TP.asof_join(
+        p, c, key="user_id", left_ts="ts", right_ts="ts",
+        right_payload=["event_id", "ts"], tiebreak="event_id",
+    )
+    return j.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_timestamp("ts").alias("purchase_epoch"),
+        F.col("event_id_r").alias("click_id"),
+        F.unix_timestamp("ts_r").alias("click_epoch"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("ts_r")).alias("lag_sec"),
+        _e(F.col("value"), 4).alias("value_e4"),
+    ).orderBy("purchase_id")
+
+
+SQL_EVENTS_ASOF = f"""
+WITH p AS MATERIALIZED (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+),
+c AS MATERIALIZED (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       c.event_id AS click_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       CAST(floor(epoch(p.ts)) - floor(epoch(c.ts)) AS BIGINT) AS lag_sec,
+       {_e_sql('p.value', 4)} AS value_e4
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id
+"""
+
+QUERIES["events_asof"] = q_events_asof
+ORACLE_SQL["events_asof"] = SQL_EVENTS_ASOF
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: per-(type, day) and
+    per-(type, day, hour) aggregates computed in ONE grouping-sets
+    pass (operators/temporal.rollup_time — single shuffle, map-side
+    partial agg across both resolutions)."""
+    from searchengine_spark.operators import temporal as TP
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value_e4", _e(F.col("value"), 4)
+    )
+    r = TP.rollup_time(ev, ts="ts", group="event_type", value="value_e4")
+    return r.select(
+        F.col("g").alias("event_type"),
+        F.unix_timestamp("day").alias("day_epoch"),
+        F.unix_timestamp("hour").alias("hour_epoch"),
+        "resolution",
+        "n_events",
+        F.col("sum_value").alias("sum_value_e4"),
+    ).orderBy("event_type", "day_epoch", "resolution", "hour_epoch")
+
+
+SQL_EVENTS_ROLLUP = f"""
+WITH base AS MATERIALIZED (
+  SELECT event_type AS g, date_trunc('day', ts) AS day,
+         date_trunc('hour', ts) AS hour, {_e_sql('value', 4)} AS v
+  FROM events
+)
+SELECT g AS event_type,
+       CAST(floor(epoch(day)) AS BIGINT) AS day_epoch,
+       CAST(floor(epoch(hour)) AS BIGINT) AS hour_epoch,
+       CASE WHEN GROUPING(hour) = 1 THEN 'day' ELSE 'hour' END AS resolution,
+       CAST(count(v) AS BIGINT) AS n_events,
+       CAST(sum(v) AS BIGINT) AS sum_value_e4
+FROM base
+GROUP BY GROUPING SETS ((g, day), (g, day, hour))
+ORDER BY event_type, day_epoch, resolution, hour_epoch
+"""
+
+QUERIES["events_rollup"] = q_events_rollup
+ORACLE_SQL["events_rollup"] = SQL_EVENTS_ROLLUP
+
+
 def q_ranked_term_stats(spark, sf_dir):
     """Rank-weighted index (§3.2 parity): postings rank scaled by the
     doc's PageRank (A5's rank *= pageRank), aggregated per term."""

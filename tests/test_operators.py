@@ -688,3 +688,58 @@ def test_repeated_spans_maximal_merge(spark):
         (1, 1, 8, 8),
         (2, 4, 11, 8),
     }
+
+
+# ---- temporal ---------------------------------------------------------------
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: equal timestamps match; later right
+    rows never leak; keys with no eligible right row keep NULLs; at a
+    (key, ts) collision on the right the LARGEST tiebreak wins
+    (running last() over the tiebreak ordering), deterministically."""
+    from searchengine_spark.operators import temporal as TP
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (3, 7, "d")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "r10"), (1, 15, "r15"), (1, 15, "r15b"), (2, 99, "r99")],
+        "k long, ts long, rtag string",
+    )
+    out = TP.asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        right_payload=["rtag", "ts"], tiebreak="rtag",
+    )
+    got = {(r["k"], r["ts"]): (r["rtag_r"], r["ts_r"]) for r in out.collect()}
+    assert got[(1, 10)] == ("r10", 10)        # inclusive at equal ts
+    assert got[(1, 20)] == ("r15b", 15)       # max tiebreak at the tie
+    assert got[(2, 5)] == (None, None)        # right row is in the future
+    assert got[(3, 7)] == (None, None)        # key absent on the right
+    assert out.count() == 4                   # exactly one row per left row
+
+
+def test_rollup_time_one_pass_consistency(spark):
+    """Day rows must equal the sum of their hour rows, and the whole
+    rollup is ONE grouping-sets aggregate (single shuffle), not one
+    job per resolution."""
+    from searchengine_spark.operators import temporal as TP
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "v", (F.col("value") * 100).cast("long")
+    )
+    r = TP.rollup_time(ev, ts="ts", group="event_type", value="v").collect()
+    day = {(x["g"], x["day"]): (x["n_events"], x["sum_value"])
+           for x in r if x["resolution"] == "day"}
+    from collections import defaultdict
+    acc = defaultdict(lambda: [0, 0])
+    for x in r:
+        if x["resolution"] == "hour":
+            a = acc[(x["g"], x["day"].replace(hour=0))]
+            a[0] += x["n_events"]
+            a[1] += x["sum_value"]
+    assert day == {k: (v[0], v[1]) for k, v in acc.items()}
+    plan = TP.rollup_time(ev, ts="ts", group="event_type", value="v") \
+        ._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -291,3 +291,26 @@ def test_shared_postings_barrier_survives_optimizer(spark):
     )
     rows = sorted((r["term"], r["doc_id"]) for r in shared.collect())
     assert rows == [("alpha", "d1"), ("beta", "d2")]
+
+
+def test_catalog_plan_audit_invariants(spark):
+    """North-rule sweep over EVERY catalog query's physical plan:
+    'vectorized pandas/Arrow UDFs (no per-row Python) throughout' means
+    zero BatchEvalPython nodes anywhere, and no unbounded CartesianProduct
+    may appear (tiny-side cross joins must come through as
+    BroadcastNestedLoopJoin). Noise-immune counterpart to the wall-clock
+    bench: tools/plan_audit.py emits the full per-query inventory."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from plan_audit import audit_catalog
+
+    audit = audit_catalog(spark, SF)
+    assert len(audit) >= 50  # the whole catalog, not a subset
+    row_python = {n: a["row_python"] for n, a in audit.items() if a["row_python"]}
+    assert not row_python, (
+        "row-at-a-time Python UDF (BatchEvalPython) found in catalog "
+        f"plans — the north rule mandates Arrow-vectorized only: {row_python}"
+    )
+    cartesian = {n: a["cartesian"] for n, a in audit.items() if a["cartesian"]}
+    assert not cartesian, f"CartesianProduct in catalog plans: {cartesian}"
