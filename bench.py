@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "search_smallterm",
     "search_unmerged",
     "media_features",
+    "media_dedup",
+    "events_asof",
+    "events_rollup",
+    "events_quantiles",
     "decontaminate",
     "quality_repetition",
     "pii_redact",

@@ -1923,6 +1923,54 @@ QUERIES["events_rollup"] = q_events_rollup
 ORACLE_SQL["events_rollup"] = SQL_EVENTS_ROLLUP
 
 
+def q_events_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per event type — Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` are INDEPENDENT
+    implementations of the same linear-interpolation definition
+    (rank = q*(n-1)), compared here on the fixed-point integer grid.
+
+    Scale note: exact percentile buffers each group's values (fine for
+    a bounded number of groups; one shuffle, map-side partial
+    collection). At 100 TB with huge groups the scale path is
+    ``approx_percentile`` (t-digest-style mergeable sketch, same call
+    shape) — exact is used here because the oracle gate needs
+    bit-stable answers."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", _e(F.col("value"), 4).alias("v")
+    )
+    pct = F.expr("percentile(v, array(0.25D, 0.5D, 0.9D, 0.99D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("v").alias("n_events"),
+            F.round(pct.getItem(0), 4).alias("p25_e4"),
+            F.round(pct.getItem(1), 4).alias("p50_e4"),
+            F.round(pct.getItem(2), 4).alias("p90_e4"),
+            F.round(pct.getItem(3), 4).alias("p99_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_EVENTS_QUANTILES = f"""
+WITH base AS MATERIALIZED (
+  SELECT event_type, {_e_sql('value', 4)} AS v FROM events
+)
+SELECT event_type,
+       CAST(count(v) AS BIGINT) AS n_events,
+       round(quantile_cont(v, 0.25), 4) AS p25_e4,
+       round(quantile_cont(v, 0.5), 4) AS p50_e4,
+       round(quantile_cont(v, 0.9), 4) AS p90_e4,
+       round(quantile_cont(v, 0.99), 4) AS p99_e4
+FROM base
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["events_quantiles"] = q_events_quantiles
+ORACLE_SQL["events_quantiles"] = SQL_EVENTS_QUANTILES
+
+
 def q_ranked_term_stats(spark, sf_dir):
     """Rank-weighted index (§3.2 parity): postings rank scaled by the
     doc's PageRank (A5's rank *= pageRank), aggregated per term."""

@@ -743,3 +743,18 @@ def test_rollup_time_one_pass_consistency(spark):
         ._jdf.queryExecution().executedPlan().toString()
     import re
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_quantiles_interpolation_definition(spark):
+    """Spark ``percentile`` must implement the interpolated-rank
+    definition rank = q*(n-1) (numpy's method="linear") — the same
+    definition DuckDB's quantile_cont uses, which is what makes the
+    events_quantiles oracle a comparison of two INDEPENDENT
+    implementations rather than a tautology."""
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = df.agg(
+        F.expr("percentile(v, array(0.25D, 0.5D, 0.9D, 0.99D))").alias("p")
+    ).collect()[0]["p"]
+    want = np.percentile(vals, [25, 50, 90, 99], method="linear")
+    assert np.allclose(got, want, atol=1e-12)
