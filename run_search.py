@@ -41,6 +41,13 @@ def main(argv=None) -> int:
         "--unmerge", action="store_true",
         help="#unmerge: raw top-K, no host-dedup of results",
     )
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="maintain the index incrementally: re-tokenize only crawl "
+        "rounds newer than the last indexed round (persisted "
+        "postings_base/tokens_base/links_base append chains + a "
+        "recomputed pageRank factor applied at read time)",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
     if not args.query and not args.get and args.get_index is None:
@@ -57,7 +64,7 @@ def main(argv=None) -> int:
         print(f"error: {args.store} has no committed crawl state", file=sys.stderr)
         spark.stop()
         return 2
-    svc = SearchService(driver.store)
+    svc = SearchService(driver.store, incremental=args.incremental)
     if args.get or args.get_index is not None:
         doc = (
             svc.get_doc(args.get)

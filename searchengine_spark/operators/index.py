@@ -213,6 +213,7 @@ def build_weighted_postings(
     sorted_output: bool = True,
     blocks_col: str | None = None,
     token_stream: DataFrame | None = None,
+    components: bool = False,
 ) -> DataFrame:
     """The reference-faithful index build (getWords,
     SearchEngine.cpp:306-490): per accepted token
@@ -286,6 +287,28 @@ def build_weighted_postings(
         )
     )
     total = best.groupBy("doc_id").agg(F.sum("_rank_raw").alias("_tot"))
+    if components:
+        # Incremental-index form: everything above this point is a PURE
+        # PER-DOC function (tokenize -> weight -> per-doc max -> per-doc
+        # total), so these rows are append-only across crawl rounds. The
+        # global pageRank factor — the only corpus-dependent input — is
+        # applied later by `factor_postings` with the exact final-rank
+        # expression, so base ∘ factor is bit-equal to the one-shot
+        # build. rank_raw/tot stay unrounded doubles (parquet round-trips
+        # them exactly); rounding before the factor would change the
+        # result.
+        base = best.join(total, "doc_id").select(
+            F.col("word").alias("term"),
+            "doc_id",
+            "pos",
+            F.col("_rank_raw").alias("rank_raw"),
+            F.col("_tot").alias("tot"),
+        )
+        if not sorted_output:
+            return base
+        return base.repartitionByRange(
+            n_term_partitions, "term"
+        ).sortWithinPartitions("term", "doc_id")
     pr = page_rank if page_rank is not None else None
     out = best.join(total, "doc_id")
     if pr is not None:
@@ -307,6 +330,32 @@ def build_weighted_postings(
         return postings
     return postings.repartitionByRange(n_term_partitions, "term").sortWithinPartitions(
         "term", "rank", "doc_id"
+    )
+
+
+def factor_postings(base: DataFrame, page_rank: DataFrame | None) -> DataFrame:
+    """Apply the global pageRank factor to component postings
+    (term, doc_id, pos, rank_raw, tot) -> (term, doc_id, pos, rank).
+
+    This is the read-time half of the incremental index: the same
+    expression tree as the one-shot build's normalization
+    (round(rank_raw * pr / tot, 6), SearchEngine.cpp:479-488 — same
+    operand order, so the same doubles produce the same bits). The
+    join is per-doc-keyed and sits ABOVE the base scan, so a search's
+    term predicate still pushes down to the sorted base files before
+    the factor join touches anything."""
+    out = base
+    if page_rank is not None:
+        out = out.join(page_rank, "doc_id", "left").withColumn(
+            "_pr", F.coalesce(F.col("page_rank"), F.lit(1.0))
+        )
+    else:
+        out = out.withColumn("_pr", F.lit(1.0))
+    return out.select(
+        "term",
+        "doc_id",
+        "pos",
+        F.round(F.col("rank_raw") * F.col("_pr") / F.col("tot"), 6).alias("rank"),
     )
 
 

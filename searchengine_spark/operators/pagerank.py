@@ -20,13 +20,15 @@ DAMPING = 0.85  # SearchEngine.cpp:1074
 RANK_CLAMP = 100.0  # SearchEngine.cpp:1267-1281
 
 
-def edges_from_docs(docs: DataFrame) -> DataFrame:
-    """docs(url_md5, spans) -> edges(src, dst, out_degree).
-
-    Link spans -> canonical target key; J2 semi-join keeps only edges
-    whose target exists in the doc set; per-page dedup via
-    array_distinct before explode (A10).
-    """
+def link_pairs(docs: DataFrame) -> DataFrame:
+    """docs(url_md5, spans) -> raw link pairs (src, dst): canonical
+    md5-keyed targets, per-page dedup (A10), self-loops dropped —
+    everything about a link that is a PURE PER-DOC function. This is
+    the append-only half of the edge derivation: a doc's link pairs
+    never change after it is fetched, so an incremental indexer can
+    persist them per crawl round and never re-parse old spans. The
+    target-EXISTENCE semi-join (J2) is deliberately not here — new
+    crawl rounds legitimately turn old pairs into live edges."""
     from searchengine_spark.functions.urls import canonicalize_expr, url_md5_expr
 
     raw = docs.select(
@@ -43,13 +45,31 @@ def edges_from_docs(docs: DataFrame) -> DataFrame:
     tgt = raw.withColumn("_c", canonicalize_expr("raw_target")).where(
         F.col("_c").isNotNull()
     )
-    edges = tgt.select("src", url_md5_expr("_c").alias("dst")).where(
+    return tgt.select("src", url_md5_expr("_c").alias("dst")).where(
         F.col("dst").isNotNull() & (F.col("dst") != F.col("src"))
     ).distinct()
+
+
+def edges_from_links(links: DataFrame, docs: DataFrame) -> DataFrame:
+    """links(src, dst) + the current doc set -> edges(src, dst,
+    out_degree): the corpus-dependent half — existence semi-join (J2,
+    SearchEngine.cpp:1034-1043) and out-degree over the SURVIVING
+    edges (:1045-1046)."""
     exists = docs.select(F.col("url_md5").alias("dst"))
-    edges = edges.join(exists, "dst", "left_semi")
+    edges = links.join(exists, "dst", "left_semi")
     w = W.partitionBy("src")
     return edges.withColumn("out_degree", F.count("*").over(w))
+
+
+def edges_from_docs(docs: DataFrame) -> DataFrame:
+    """docs(url_md5, spans) -> edges(src, dst, out_degree).
+
+    Link spans -> canonical target key; J2 semi-join keeps only edges
+    whose target exists in the doc set; per-page dedup via
+    array_distinct before explode (A10). Composition of the per-doc
+    (`link_pairs`) and corpus-dependent (`edges_from_links`) halves so
+    the one-shot and incremental index paths share one definition."""
+    return edges_from_links(link_pairs(docs), docs)
 
 
 def pagerank(

@@ -78,6 +78,17 @@ class TableStore:
     def exists(self, table: str) -> bool:
         return self.latest_version(table) > 0
 
+    def pointer_meta(self, table: str) -> dict:
+        """The `meta` dict recorded with the table's latest commit
+        (Iceberg: snapshot summary properties). Empty dict when the
+        table has no snapshot or the commit carried no meta — callers
+        use this for index bookkeeping (e.g. `indexed_round`)."""
+        p = self._pointer(table)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f).get("meta") or {}
+
     def snapshot_path(self, table: str, version: int | None = None) -> str:
         v = version if version is not None else self.latest_version(table)
         return os.path.join(self._tdir(table), f"v{v:06d}")

@@ -134,3 +134,98 @@ def test_get_doc_dump(crawled):
     key = crawled.store.read("docs").limit(1).collect()[0]["url_md5"]
     dump = svc.get_doc(key).collect()
     assert len(dump) == 1 and dump[0]["spans"]
+
+
+# ---- incremental index maintenance ---------------------------------------
+
+@pytest.fixture(scope="module")
+def inc_store(spark, tmp_path_factory):
+    """Two-phase crawl with an incremental refresh after each phase:
+    rounds 0-1 -> first build (overwrite), rounds 2-3 -> delta append."""
+    root = str(tmp_path_factory.mktemp("incstore"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed([raw_url_py(i) for i in range(32)])
+    d.run(2)
+    svc = SearchService(d.store, incremental=True)
+    svc.refresh_incremental()
+    d.run(2, resume=True)
+    svc.refresh_incremental()
+    return d, svc
+
+
+def test_incremental_appends_only_delta(inc_store):
+    """The second refresh must fast-append exactly the new rounds'
+    rows — old docs are never re-tokenized. Observable: the chain has
+    one delta, and the delta files hold only round>1 doc_ids."""
+    import os
+
+    d, svc = inc_store
+    store = d.store
+    assert store.chain_length("postings_base") == 2
+    assert store.pointer_meta("postings_base")["indexed_round"] == 3
+    v = store.latest_version("postings_base")
+    delta = svc.store.spark.read.parquet(
+        os.path.join(store.snapshot_path("postings_base", v), "delta")
+    )
+    old_ids = {
+        r["url_md5"]
+        for r in store.read("docs").where("round <= 1").collect()
+    }
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").distinct().collect()}
+    assert delta_ids and not (delta_ids & old_ids)
+
+
+def test_links_base_pairs_survive_to_later_rounds(inc_store):
+    """links_base stores pairs BEFORE the existence semi-join: a link
+    extracted in rounds 0-1 whose target is only crawled in rounds 2-3
+    must become a live edge of the final graph (the reason edges can't
+    be persisted post-join)."""
+    from searchengine_spark.operators.pagerank import edges_from_links
+
+    d, _ = inc_store
+    docs = d.store.read("docs")
+    old = docs.where("round <= 1").select(F.col("url_md5").alias("src"))
+    new = docs.where("round > 1").select(F.col("url_md5").alias("dst"))
+    cross = (
+        d.store.read("links_base")
+        .join(old, "src", "left_semi")
+        .join(new, "dst", "left_semi")
+    )
+    assert cross.count() > 0  # frontier mechanics guarantee these exist
+    live = edges_from_links(d.store.read("links_base"), docs)
+    assert live.join(cross, ["src", "dst"], "left_semi").count() == cross.count()
+
+
+def test_incremental_noop_without_new_rounds(inc_store):
+    """No new crawl rounds -> no new base/graph snapshots (views are
+    rewired from persisted state; nothing is recomputed)."""
+    d, _ = inc_store
+    tables = ("postings_base", "tokens_base", "links_base", "doc_pr")
+    before = {t: d.store.latest_version(t) for t in tables}
+    svc2 = SearchService(d.store, incremental=True)
+    svc2.refresh_incremental()
+    assert {t: d.store.latest_version(t) for t in tables} == before
+    assert d.store.pointer_meta("postings_small")["indexed_round"] == 3
+    assert svc2.search("page body", k=5).count() > 0
+
+
+def test_incremental_refresh_equals_full_rebuild(inc_store):
+    """base ∘ factor must be row-equal (ranks included) to the
+    one-shot `refresh()` over the final doc set — postings, small
+    dict, token stream, and served search results."""
+    d, svc = inc_store
+    full = SearchService(d.store)
+    full.refresh()
+
+    def rows(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    pcols = ["term", "doc_id", "pos", "rank"]
+    assert rows(svc._postings, pcols) == rows(full._postings, pcols)
+    scols = ["sterm", "doc_id", "pos", "rank"]
+    assert rows(svc._small, scols) == rows(full._small, scols)
+    tcols = ["doc_id", "word", "position"]
+    assert rows(svc._tokens, tcols) == rows(full._tokens, tcols)
+    hcols = ["doc_id", "score", "url"]
+    for q in ("page body", '"page https"', "highlight1"):
+        assert rows(svc.search(q, k=10), hcols) == rows(full.search(q, k=10), hcols)
