@@ -267,6 +267,108 @@ def crawl_round_bench(spark, n_frontier: int, workdir: str | None = None) -> dic
 
 LOAD_IDLE_MAX = 2.0  # 1-min loadavg above this at start => flag the run
 
+def index_incremental_bench(
+    spark, n_docs: int, workdir: str | None = None
+) -> dict:
+    """Index-maintenance cost: one-shot full rebuild vs incremental
+    refresh of the SAME final doc set, where the last crawl round added
+    5% of the corpus. The incremental path re-tokenizes only the delta
+    (append-only postings_base/tokens_base/links_base) and recomputes
+    only the graph-sized parts (PageRank factor, small-dict pick) —
+    the 100 TB argument made measurable at bench scale.
+
+    Untimed setup: two stores — 'full' holds all n_docs at round 0;
+    'inc' holds 95% at round 0 (initial index built untimed) + 5%
+    appended as round 1. Timed: refresh() on full vs
+    refresh_incremental() on inc.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.functions.urls import url_md5_expr
+    from searchengine_spark.plans.index_pipeline import SearchService
+    from searchengine_spark.sources.statestore import TableStore
+
+    workdir = workdir or tempfile.mkdtemp(prefix="bench_idx_")
+    parts = spark.sparkContext.defaultParallelism * 2
+    n_delta = max(1, n_docs // 20)
+    n_hosts = 997
+
+    def mk_docs(lo: int, hi: int, rnd: int):
+        ids = spark.range(lo, hi, 1, parts)
+        host_of = lambda t: F.concat(
+            F.lit("ihost"), F.pmod(t, F.lit(n_hosts)).cast("string"), F.lit(".com")
+        )
+        url = F.concat(host_of(F.col("id")), F.lit("/p/"), F.col("id").cast("string"))
+        word = lambda k: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.col("id") + F.lit(k)), F.lit(500)).cast("string"),
+        )
+        body = F.concat_ws(" ", *[word(k) for k in range(40)])
+        nostr = F.lit(None).cast("string")
+
+        def link(j: int):
+            # target id inside the doc universe, host derived FROM the
+            # target id so the canonical md5 matches a real doc key
+            t = F.pmod(F.xxhash64(F.col("id") * 13 + F.lit(j)), F.lit(n_docs))
+            return F.concat(
+                F.lit("http://"), host_of(t), F.lit("/p/"), t.cast("string")
+            )
+
+        spans = F.array(
+            F.struct(
+                F.lit("title").alias("kind"),
+                F.concat(F.lit("page "), url).alias("text"),
+                nostr.alias("media_ref"),
+                F.lit(0).alias("offset"),
+            ),
+            F.struct(
+                F.lit("text").alias("kind"), body.alias("text"),
+                nostr.alias("media_ref"), F.lit(1).alias("offset"),
+            ),
+            F.struct(
+                F.lit("link").alias("kind"), nostr.alias("text"),
+                link(0).alias("media_ref"), F.lit(2).alias("offset"),
+            ),
+            F.struct(
+                F.lit("link").alias("kind"), nostr.alias("text"),
+                link(1).alias("media_ref"), F.lit(3).alias("offset"),
+            ),
+        )
+        return ids.select(
+            url_md5_expr(url).alias("url_md5"),
+            url.alias("url"),
+            host_of(F.col("id")).alias("host"),
+            F.lit(0).alias("shard"),
+            F.lit(rnd).alias("round"),
+            F.col("id").cast("int").alias("seq_in_round"),
+            spans.alias("spans"),
+        )
+
+    # ---- untimed setup
+    store_full = TableStore(spark, os.path.join(workdir, "full"))
+    v = store_full.commit("docs", mk_docs(0, n_docs, 0))
+    store_full.commit_manifest(0, {"docs": v})
+
+    store_inc = TableStore(spark, os.path.join(workdir, "inc"))
+    v = store_inc.commit("docs", mk_docs(0, n_docs - n_delta, 0))
+    store_inc.commit_manifest(0, {"docs": v})
+    SearchService(store_inc, incremental=True).refresh_incremental()
+    v = store_inc.commit("docs", mk_docs(n_docs - n_delta, n_docs, 1), mode="append")
+    store_inc.commit_manifest(1, {"docs": v})
+
+    # ---- timed
+    t0 = time.time()
+    SearchService(store_full).refresh()
+    t_full = round(time.time() - t0, 3)
+    t0 = time.time()
+    SearchService(store_inc, incremental=True).refresh_incremental()
+    t_inc = round(time.time() - t0, 3)
+    spark.catalog.clearCache()  # the services cache postings/tokens views
+    return {"full_sec": t_full, "incremental_sec": t_inc, "n_docs": n_docs}
+
+
 def _canary_worker(_i: int) -> float:
     import hashlib
 
@@ -395,6 +497,12 @@ def run_suite(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
         t0 = time.time()
         drv.run(2)
         timings["crawl_loop_2rounds"] = round(time.time() - t0, 3)
+
+        ib = index_incremental_bench(
+            spark, int(os.environ.get("BENCH_INDEX_DOCS", max(2000, int(400_000 * sf))))
+        )
+        timings["index_full_rebuild"] = ib["full_sec"]
+        timings["index_incremental"] = ib["incremental_sec"]
         for name in BENCH_QUERIES:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).count()
