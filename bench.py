@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "events_rollup",
     "events_quantiles",
     "decontaminate",
+    "bpe_merges",
     "quality_repetition",
     "pii_redact",
     "curation_funnel",

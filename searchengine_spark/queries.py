@@ -2707,6 +2707,55 @@ ORACLE_SQL["pack_stats"] = SQL_PACK_STATS
 
 
 # ---------------------------------------------------------------------------
+# BPE vocabulary induction (operators/vocab.py)
+# ---------------------------------------------------------------------------
+
+from searchengine_spark.operators import vocab as VB
+
+
+def q_bpe_merges(spark, sf_dir):
+    """BPE vocabulary training: the first VB.N_MERGES merge rules
+    learned from corpus word frequencies (word-level Sennrich BPE —
+    one corpus pass builds the |V|-row word table, each merge is a
+    vocab-sized pair-count agg + argmax; merge application is a
+    codegen'd replace() over an engine-portable delimited symbol
+    string — see operators/vocab.py module docstring)."""
+    return VB.bpe_merges(spark, _docs(spark, sf_dir)).orderBy("merge_rank")
+
+
+SQL_BPE_MERGES = (
+    "WITH "
+    + VB.bpe_ctes_sql()
+    + "\n"
+    + VB.merges_select_sql()
+)
+
+QUERIES["bpe_merges"] = q_bpe_merges
+ORACLE_SQL["bpe_merges"] = SQL_BPE_MERGES
+
+
+def q_bpe_encode_stats(spark, sf_dir):
+    """Corpus encoding stats under the learned BPE vocabulary:
+    per-source docs/words/BPE-tokens and chars-per-token compression.
+    The encoded vocab joins back to the exploded corpus (vocab is tiny
+    vs corpus -> AQE broadcasts; degrades to a word-key shuffle join
+    at production vocab sizes)."""
+    return VB.bpe_encode_stats(spark, _docs(spark, sf_dir)).orderBy("source")
+
+
+SQL_BPE_ENCODE_STATS = (
+    "WITH "
+    + VB.bpe_ctes_sql()
+    + ",\n"
+    + VB.encode_stats_select_sql()
+    + "\nORDER BY source"
+)
+
+QUERIES["bpe_encode_stats"] = q_bpe_encode_stats
+ORACLE_SQL["bpe_encode_stats"] = SQL_BPE_ENCODE_STATS
+
+
+# ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
 
