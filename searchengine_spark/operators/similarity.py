@@ -300,7 +300,7 @@ def ivf_fit(
 
 
 def ivf_assign(
-    e: DataFrame, cents: DataFrame, vec_col: str = "xi"
+    e: DataFrame, cents: DataFrame, vec_col: str = "xi", keep_dist: bool = False
 ) -> DataFrame:
     """Nearest-centroid assignment by exact integer distance; ties ->
     smallest cid. One broadcast of k centroids; the reduce is keyed by
@@ -309,13 +309,15 @@ def ivf_assign(
     (_d, cid) sort prefix, which is unique per group since cid is
     distinct), so the winning row's values are taken deterministically
     — no first()-nondeterminism even if a caller adds a column that is
-    not constant within a vec_id group."""
+    not constant within a vec_id group. keep_dist=True also emits the
+    winning exact squared distance as `d2` (e6² integer units)."""
     d = _sqdist_e6(F.col(vec_col), F.col("cvec"))
     scored = e.crossJoin(F.broadcast(cents)).withColumn("_d", d)
     others = [c for c in e.columns if c != "vec_id"]
     m = F.min(
         F.struct(F.col("_d"), F.col("cid"), *[F.col(c) for c in others])
     ).alias("_m")
+    extra = [F.col("_m._d").alias("d2")] if keep_dist else []
     return (
         scored.groupBy("vec_id")
         .agg(m)
@@ -323,6 +325,7 @@ def ivf_assign(
             "vec_id",
             *[F.col(f"_m.{c}").alias(c) for c in others],
             F.col("_m.cid").alias("cid"),
+            *extra,
         )
     )
 
@@ -408,3 +411,81 @@ def embedding_near_dups(
         .select("vec_a", "vec_b", "cosine")
     )
     return pairs
+
+
+def embedding_clusters(
+    embeddings: DataFrame,
+    n_centroids: int = N_IVF_CENTROIDS,
+    n_iter: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cluster summary of the deterministic Lloyd k-means fit:
+    members, exact integer inertia (e6^2 units), and the min member id
+    as a stable exemplar. The corpus-curation clustering step (cluster
+    profiles drive sampling/pruning decisions; SemDeDup-style dedup
+    then runs inside clusters — see semdedup_pairs).
+
+    Scale: k centroids broadcast; assignment reduce keyed by vec_id
+    alone; the rollup is a k-row aggregate. Inertia terms are cast to
+    long PER ROW before summing (each term <= 64*(2*_Q6_MAX_ABS)^2 <
+    2^53, so the per-row value is exact in both engines; the long sum
+    never rounds, where a double sum over many members would)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _q6(F.col(vec_col)).alias("xi")
+    )
+    cents = ivf_fit(embeddings, n_centroids, n_iter, id_col, vec_col)
+    asg = ivf_assign(e, cents, keep_dist=True).drop("xi")
+    return (
+        asg.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("d2").alias("inertia_e12"),
+            F.min("vec_id").alias("exemplar_id"),
+        )
+    )
+
+
+def semdedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = N_IVF_CENTROIDS,
+    n_iter: int = IVF_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cluster-then-dedup near-duplicate pairs (SemDeDup, Abbas et al.
+    2023, arXiv:2303.09540): k-means partitions the corpus, exact
+    cosine runs only WITHIN each cluster — pair work is sum(n_c^2)
+    instead of n^2, and the cid equi-join shuffles each vector once.
+    Complementary to embedding_near_dups (LSH buckets): LSH recall
+    depends on bucket collisions; cluster-bounded search catches pairs
+    whose hyperplane signatures differ but who share a centroid.
+
+    Scale: choose k ~ n / target_cluster_size to bound per-cluster
+    pair work; a skewed giant cluster is re-split by raising k (the
+    fit is cheap: centroids stay broadcast-sized). Pairs are emitted
+    a < b once — no dedup pass needed since each vector lives in
+    exactly one cluster (unlike multi-table LSH)."""
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("vec"),
+        _q6(F.col(vec_col)).alias("xi"),
+    )
+    cents = ivf_fit(embeddings, n_centroids, n_iter, id_col, vec_col)
+    asg = ivf_assign(e, cents).drop("xi")
+    x, y = asg.alias("x"), asg.alias("y")
+    return (
+        x.join(y, "cid")
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .withColumn(
+            "cosine", F.round(cosine_expr(F.col("x.vec"), F.col("y.vec")), 4)
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("cid"),
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("y.vec_id").alias("vec_b"),
+            F.col("cosine"),
+        )
+    )

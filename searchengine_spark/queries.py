@@ -1361,26 +1361,32 @@ def q_ann_ivf(spark, sf_dir):
     return SIM.ivf_topk(e, q, k=5)
 
 
-def _ivf_sql(
+def _ivf_dist_sql(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}))"
+    )
+
+
+def _ivf_assign_parts(
     k: int = SIM.N_IVF_CENTROIDS,
     n_iter: int = SIM.IVF_ITERS,
-    nprobe: int = SIM.IVF_NPROBE,
-    topk: int = 5,
-) -> str:
+    source: str = "embeddings",
+) -> tuple[list[str], str]:
+    """Shared IVF oracle CTEs: eq -> seeded c0 -> n_iter Lloyd rounds
+    -> final `corpus` assignment (vec_id, v, cid, d2). Reused by the
+    ann_ivf, embedding_clusters and semdedup_pairs twins; returns
+    (parts, final_centroid_cte_name). `source` must expose
+    (vec_id, embedding)."""
     off = SIM._IVF_OFF
-
-    def dist(a, b):
-        return (
-            f"(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
-            f" + list_dot_product({b}, {b}))"
-        )
+    dist = _ivf_dist_sql
 
     parts = [
-        """eq AS (
+        f"""eq AS (
     SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
            list_transform(CAST(embedding AS DOUBLE[]),
                           x -> CAST(round(x * 1e6) AS BIGINT)) AS xi
-    FROM embeddings
+    FROM {source}
   )""",
         f"""c0 AS (
     SELECT cid, xi AS cvec FROM (
@@ -1417,13 +1423,25 @@ def _ivf_sql(
     cn = f"c{n_iter}"
     parts.append(
         f"""corpus AS (
-    SELECT vec_id, v, cid FROM (
-      SELECT e.vec_id, e.v, c.cid, ROW_NUMBER() OVER (
+    SELECT vec_id, v, cid, CAST(d2raw AS BIGINT) AS d2 FROM (
+      SELECT e.vec_id, e.v, c.cid, {dist('e.xi', 'c.cvec')} AS d2raw,
+        ROW_NUMBER() OVER (
         PARTITION BY e.vec_id
         ORDER BY {dist('e.xi', 'c.cvec')}, c.cid) AS rn
       FROM eq e CROSS JOIN {cn} c) WHERE rn = 1
   )"""
     )
+    return parts, cn
+
+
+def _ivf_sql(
+    k: int = SIM.N_IVF_CENTROIDS,
+    n_iter: int = SIM.IVF_ITERS,
+    nprobe: int = SIM.IVF_NPROBE,
+    topk: int = 5,
+) -> str:
+    dist = _ivf_dist_sql
+    parts, cn = _ivf_assign_parts(k, n_iter)
     parts.append(
         "qv AS (SELECT vec_id AS query_id, v AS qvec, xi AS qxi "
         "FROM eq WHERE vec_id < 3)"
@@ -2753,6 +2771,78 @@ SQL_BPE_ENCODE_STATS = (
 
 QUERIES["bpe_encode_stats"] = q_bpe_encode_stats
 ORACLE_SQL["bpe_encode_stats"] = SQL_BPE_ENCODE_STATS
+
+
+# ---------------------------------------------------------------------------
+# embedding clustering + cluster-bounded near-dup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_clusters(spark, sf_dir):
+    """Per-cluster profile of the deterministic Lloyd k-means fit
+    (members, exact integer inertia, min-id exemplar) — the clustering
+    step of a curation pipeline; shares the hash-verified coarse
+    quantizer with ann_ivf (operators/similarity.embedding_clusters)."""
+    return SIM.embedding_clusters(_emb(spark, sf_dir)).orderBy("cid")
+
+
+SQL_EMBEDDING_CLUSTERS = (
+    "WITH "
+    + ",\n  ".join(_ivf_assign_parts()[0])
+    + """
+SELECT CAST(cid AS INT) AS cid,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(d2) AS BIGINT) AS inertia_e12,
+       min(vec_id) AS exemplar_id
+FROM corpus GROUP BY cid ORDER BY cid
+"""
+)
+
+QUERIES["embedding_clusters"] = q_embedding_clusters
+ORACLE_SQL["embedding_clusters"] = SQL_EMBEDDING_CLUSTERS
+
+
+def q_semdedup_pairs(spark, sf_dir):
+    """Cluster-then-dedup (SemDeDup): exact-cosine near-dup pairs
+    found WITHIN k-means clusters — sum(n_c^2) pair work instead of
+    n^2, one cid equi-join, no LSH recall dependence
+    (operators/similarity.semdedup_pairs). Runs on the same
+    clone-augmented set as embedding_near_dups: identical vectors
+    have identical e6 quantizations, hence identical centroid
+    distances and (ties -> min cid) the same cluster — so every
+    planted clone pair is provably intra-cluster and the two dedup
+    paths cross-validate on the same ground truth."""
+    return SIM.semdedup_pairs(_emb_aug(spark, sf_dir), threshold=0.999).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+SQL_SEMDEDUP_PAIRS = (
+    """WITH embaug AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id < 500
+    UNION ALL
+    SELECT vec_id + 100000, embedding FROM embeddings
+    WHERE vec_id < 500 AND vec_id % 50 = 0
+  ),
+  """
+    + ",\n  ".join(_ivf_assign_parts(source="embaug")[0])
+    + """,
+  sp AS (
+    SELECT CAST(a.cid AS INT) AS cid,
+           a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 4) AS cosine
+    FROM corpus a JOIN corpus b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+  )
+SELECT cid, vec_a, vec_b, cosine FROM sp
+WHERE cosine >= 0.999 ORDER BY vec_a, vec_b
+"""
+)
+
+QUERIES["semdedup_pairs"] = q_semdedup_pairs
+ORACLE_SQL["semdedup_pairs"] = SQL_SEMDEDUP_PAIRS
 
 
 # ---------------------------------------------------------------------------

@@ -758,3 +758,59 @@ def test_quantiles_interpolation_definition(spark):
     ).collect()[0]["p"]
     want = np.percentile(vals, [25, 50, 90, 99], method="linear")
     assert np.allclose(got, want, atol=1e-12)
+
+
+def test_embedding_clusters_partition_and_exact_inertia(spark):
+    """embedding_clusters is a true partition of the corpus (members
+    sum to n, every vec assigned once) and its inertia is the EXACT
+    integer sum of e6^2 squared distances — recomputed independently
+    here in numpy int64 from the fitted centroids."""
+    from searchengine_spark import queries as Q
+
+    e = Q._emb(spark, "/root/testdata/sf0.001")
+    n = e.count()
+    prof = SIM.embedding_clusters(e).collect()
+    assert sum(r["n_members"] for r in prof) == n
+    assert len({r["cid"] for r in prof}) == len(prof)
+
+    cents = {
+        r["cid"]: np.array(r["cvec"], dtype=np.int64)
+        for r in SIM.ivf_fit(e).collect()
+    }
+    asg = SIM.ivf_assign(
+        e.select("vec_id", SIM._q6(F.col("embedding")).alias("xi")),
+        SIM.ivf_fit(e),
+        keep_dist=True,
+    ).collect()
+    inertia = {}
+    for r in asg:
+        xi = np.array(r["xi"], dtype=np.int64)
+        d = xi - cents[r["cid"]]
+        want = int((d * d).sum())
+        assert want == r["d2"]  # keep_dist emits the exact winner distance
+        inertia[r["cid"]] = inertia.get(r["cid"], 0) + want
+    assert {r["cid"]: r["inertia_e12"] for r in prof} == inertia
+
+
+def test_semdedup_clones_share_cluster_and_match_lsh(spark):
+    """SemDeDup ground truth: an exact clone has identical e6
+    quantization -> identical centroid distances -> (ties -> min cid)
+    the SAME cluster, so cluster-bounded search can never miss a
+    clone pair. On the clone-augmented corpus the semdedup pair set
+    must equal the LSH near-dup pair set at the same threshold — two
+    independent candidate generators, one ground truth."""
+    from searchengine_spark import queries as Q
+
+    aug = Q._emb_aug(spark, "/root/testdata/sf0.001")
+    sd = SIM.semdedup_pairs(aug, threshold=0.999)
+    sd_pairs = {(r["vec_a"], r["vec_b"]) for r in sd.collect()}
+    lsh = SIM.embedding_near_dups(aug, threshold=0.999)
+    lsh_pairs = {(r["vec_a"], r["vec_b"]) for r in lsh.collect()}
+    assert sd_pairs == lsh_pairs
+    assert sd_pairs  # non-vacuous: the planted clones are found
+    # every planted clone pair present
+    clones = {
+        (r["vec_id"], r["vec_id"] + 100000)
+        for r in aug.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).collect()
+    }
+    assert clones <= sd_pairs

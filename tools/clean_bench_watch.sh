@@ -40,9 +40,7 @@ print("verdict:", "CLEAN" if (clean and end_ok) else "dirty",
 if clean and end_ok:
     r["note"] = ("CLEAN run caught by the canary watcher "
                  "(tools/clean_bench_watch.sh): effective_cores and "
-                 "wakeup latency healthy at start AND end; first clean "
-                 "artifact including the temporal/quantiles/media_dedup "
-                 "rows alongside the curation rows")
+                 "wakeup latency healthy at start AND end")
     with open("BENCH/suite_clean_runs.jsonl", "a") as f:
         f.write(json.dumps(r) + "\n")
     open("/tmp/bench_watch_done", "w").write("1")
