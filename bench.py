@@ -268,6 +268,52 @@ def crawl_round_bench(spark, n_frontier: int, workdir: str | None = None) -> dic
 
 LOAD_IDLE_MAX = 2.0  # 1-min loadavg above this at start => flag the run
 
+
+def bpe_train_bench(
+    spark, n_words: int, n_merges: int = 16, batch: int = 8
+) -> dict:
+    """Merge-loop cost: sequential BPE (one driver round-trip per
+    merge) vs batched (B disjoint merges per vocab pass) on a
+    synthetic n_words-row vocabulary — the driver-round-trip argument
+    for learn_merges_batched made measurable. The corpus pass (word
+    counting) is identical for both variants and excluded; the vocab
+    table is persisted untimed, so the timed region is exactly the
+    merge loops."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import vocab as VB
+
+    parts = spark.sparkContext.defaultParallelism * 2
+    base = spark.range(0, n_words, 1, parts)
+    word = F.concat_ws(
+        "",
+        *[
+            F.expr(f"char(97 + pmod(xxhash64(id + {k}), 26))")
+            for k in range(8)
+        ],
+    )
+    words = (
+        base.select(
+            word.alias("word"),
+            (F.pmod(F.xxhash64("id"), F.lit(1000)) + 1).alias("cnt"),
+        )
+        .withColumn("rep", VB.encode_word_expr("word"))
+        .persist()
+    )
+    try:
+        words.count()  # materialize untimed
+        t0 = time.time()
+        seq = VB.learn_merges(words, n_merges)
+        t_seq = round(time.time() - t0, 3)
+        t0 = time.time()
+        bat = VB.learn_merges_batched(words, n_merges, batch=batch)
+        t_bat = round(time.time() - t0, 3)
+    finally:
+        words.unpersist()
+    assert len(seq) == n_merges and len(bat) == n_merges
+    return {"seq_sec": t_seq, "batched_sec": t_bat}
+
+
 def index_incremental_bench(
     spark, n_docs: int, workdir: str | None = None
 ) -> dict:
@@ -504,6 +550,13 @@ def run_suite(master: str | None = None, sf_dir: str = SF_DIR) -> dict:
         )
         timings["index_full_rebuild"] = ib["full_sec"]
         timings["index_incremental"] = ib["incremental_sec"]
+
+        bb = bpe_train_bench(
+            spark,
+            int(os.environ.get("BENCH_BPE_WORDS", max(20_000, int(2_000_000 * sf)))),
+        )
+        timings["bpe_seq16"] = bb["seq_sec"]
+        timings["bpe_batched16"] = bb["batched_sec"]
         for name in BENCH_QUERIES:
             t0 = time.time()
             QUERIES[name](spark, sf_dir).count()

@@ -112,3 +112,57 @@ def run_stream_over_parquet(spark, parquet_path: str, schema, query_name: str = 
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def dedup_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    streaming: bool = False,
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Ingest-time exact dedup by content hash (md5(text)) — the
+    streaming twin of operators/dedup.exact: keeps the FIRST arrival
+    per content key.
+
+    Streaming uses dropDuplicatesWithinWatermark, so the dedup state
+    store holds only the watermark horizon — the unbounded-state-safe
+    form (a duplicate arriving later than the horizon passes through;
+    at ingest scale the horizon is sized to the source's max
+    reordering, and the batch exact-dedup downstream remains the
+    backstop). Batch mode is plain dropDuplicates on the same key for
+    stream≡batch comparison tests."""
+    keyed = docs.withColumn("content_key", F.md5(F.col("text")))
+    if streaming:
+        keyed = keyed.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).withWatermark(ts_col, watermark)
+        return keyed.dropDuplicatesWithinWatermark(["content_key"])
+    return keyed.dropDuplicates(["content_key"])
+
+
+def run_dedup_stream_over_parquet(
+    spark,
+    parquet_path: str,
+    schema,
+    query_name: str = "dd_out",
+    one_file_per_trigger: bool = True,
+):
+    """Drive dedup_stream over a parquet directory synchronously.
+    one_file_per_trigger forces one file per micro-batch so duplicates
+    SPANNING batches must be caught by the state store, not by
+    within-batch dedup."""
+    reader = spark.readStream.schema(schema)
+    if one_file_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    stream = reader.parquet(parquet_path)
+    out = dedup_stream(stream, streaming=True)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -143,3 +143,48 @@ def test_oracle_twin_matches_spark_on_fixture(spark, tmp_path):
     sql = "WITH " + VB.bpe_ctes_sql() + "\n" + VB.merges_select_sql()
     dk = con.execute(sql).fetchall()
     assert [tuple(r) for r in dk] == sp
+
+
+def test_batched_py_batch1_equals_sequential():
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaa": 4}
+    assert VB.bpe_train_batched_py(wc, 8, batch=1) == VB.bpe_train_py(wc, 8)
+
+
+def test_batched_selection_symbols_disjoint():
+    top = [
+        {"a": "e", "b": "r", "pc": 9},
+        {"a": "r", "b": "s", "pc": 8},  # shares 'r' -> skipped
+        {"a": "s", "b": "t", "pc": 7},
+        {"a": "e", "b": "t", "pc": 6},  # shares both -> skipped
+        {"a": "o", "b": "w", "pc": 5},
+    ]
+    picked = VB._pick_nonconflicting(top, 3)
+    assert [(r["a"], r["b"]) for r in picked] == [
+        ("e", "r"), ("s", "t"), ("o", "w")
+    ]
+    syms = [s for r in picked for s in (r["a"], r["b"])]
+    assert len(syms) == len(set(syms))
+
+
+def test_batched_spark_matches_py_and_batch1_sequential(spark):
+    texts = [
+        "low low low lower lowest newest newest",
+        "wide wider widest new newer est est",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    counts = {}
+    for t in texts:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    words = VB.word_table(docs).persist()
+    try:
+        seq = VB.learn_merges(words, 6)
+        b1 = VB.learn_merges_batched(words, 6, batch=1)
+        b3 = VB.learn_merges_batched(words, 6, batch=3)
+    finally:
+        words.unpersist()
+    assert b1 == seq  # batch=1 IS the sequential algorithm
+    assert b3 == VB.bpe_train_batched_py(counts, 6, batch=3)
+    assert len(b3) == 6
