@@ -12,6 +12,18 @@ available backend:
   against a local hadoop-catalog Iceberg table, so swapping
   TableStore's mechanics for real Iceberg commits cannot drift
   semantically without this file going red.
+
+Jar acquisition was verified IMPOSSIBLE in this sandbox (probed
+2026-08-18): no runtime jar on disk (none of the 287 jars in
+pyspark/jars is Iceberg; a filesystem-wide `find -name '*iceberg*'`
+hits only this test), and no network path to fetch one — DNS
+resolution itself fails (`getent hosts repo1.maven.org` -> no
+answer; curl to repo1.maven.org and urllib to pypi.org both fail
+with "Name or service not known"). pip/apt installs are also
+prohibited by the environment contract. The skip is therefore
+load-bearing by necessity, not neglect; drop
+iceberg-spark-runtime-4.x onto the classpath and this suite goes
+live unchanged.
 """
 
 import pytest

@@ -10,6 +10,7 @@ training loop matches bpe_train_py, ties and early-stop included.
 
 import duckdb
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from searchengine_spark.operators import vocab as VB
@@ -164,6 +165,86 @@ def test_batched_selection_symbols_disjoint():
     ]
     syms = [s for r in picked for s in (r["a"], r["b"])]
     assert len(syms) == len(set(syms))
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis) — broaden the curated MERGE_CASES to
+# arbitrary symbol sequences and arbitrary word tables
+# ---------------------------------------------------------------------------
+
+# symbols: 1-3 chars over a tiny alphabet to force overlap runs,
+# suffix/prefix traps and a==b collisions with high probability
+_sym = st.text(alphabet="abc", min_size=1, max_size=3)
+_syms = st.lists(_sym, min_size=0, max_size=10)
+_words = st.dictionaries(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    st.integers(min_value=1, max_value=9),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(_syms, _sym, _sym)
+@settings(max_examples=500, deadline=None)
+def test_prop_replace_equals_greedy_merge(syms, a, b):
+    """The delimited-string replace() IS greedy left-to-right
+    non-overlapping merge, for ANY symbol sequence (vocab.py:27-39)."""
+    pat = SEP + a + DLM + b + SEP
+    rew = SEP + a + b + SEP
+    got = _unrep(_rep(syms).replace(pat, rew))
+    assert got == VB.bpe_apply_py(syms, a, b)
+    # delimiter structure survives the merge (rep stays well-formed)
+    assert _rep(got) == _rep(syms).replace(pat, rew)
+
+
+@given(_syms, _sym, _sym)
+@settings(max_examples=150, deadline=None)
+def test_prop_replace_duckdb_matches_py(syms, a, b):
+    """DuckDB replace() scanner ≡ Python str.replace on merge patterns
+    (the SQL-twin half of the portability claim)."""
+    pat = SEP + a + DLM + b + SEP
+    rew = SEP + a + b + SEP
+    con = duckdb.connect()
+    try:
+        (dk,) = con.execute(
+            "SELECT replace(?, ?, ?)", [_rep(syms), pat, rew]
+        ).fetchone()
+    finally:
+        con.close()
+    assert dk == _rep(syms).replace(pat, rew)
+
+
+@given(_words, st.integers(min_value=1, max_value=10))
+@settings(max_examples=200, deadline=None)
+def test_prop_batch1_is_sequential(wc, n):
+    assert VB.bpe_train_batched_py(wc, n, batch=1) == VB.bpe_train_py(wc, n)
+
+
+@given(
+    _words,
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=200, deadline=None)
+def test_prop_batched_counts_are_exact(wc, n, batch):
+    """The exactness claim of _pick_nonconflicting (vocab.py:386-404):
+    every recorded pair_count equals a from-scratch recount of the
+    state immediately before THAT merge applies — i.e. in-batch
+    disjoint merges neither create nor destroy each other's pairs."""
+    rows = VB.bpe_train_batched_py(wc, n, batch=batch)
+    state = {w: list(w) for w in wc}
+    for rank, a, b, merged, pc in rows:
+        counts = {}
+        for w, syms in state.items():
+            c = wc[w]
+            for j in range(len(syms) - 1):
+                k = (syms[j], syms[j + 1])
+                counts[k] = counts.get(k, 0) + c
+        assert counts.get((a, b), 0) == pc, (rank, a, b)
+        assert merged == a + b
+        state = {w: VB.bpe_apply_py(s, a, b) for w, s in state.items()}
+    # rank column is dense 1..len
+    assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
 
 
 def test_batched_spark_matches_py_and_batch1_sequential(spark):
