@@ -1,0 +1,233 @@
+"""Mergeable KMV (bottom-k) distinct-cardinality sketch.
+
+The reference engine answers "how many distinct URLs / hosts have we
+seen" EXACTLY, by construction: every key lives in its KeyValDB seen
+set (KeyValueDB.hpp:25-48) and the counters in SearchEngine.h are
+incremented on first insert. That is the right design for one box and
+10^8 keys; at 100 TB / 10^12 keys an exact distinct per dimension is a
+full shuffle of every distinct key — the classic scale wall.
+
+The KMV (k-minimum-values, a.k.a. bottom-k) sketch replaces that with
+a fixed-size, MERGEABLE summary: keep the k smallest distinct values
+of a uniform hash of the key. Cardinality estimate (Bar-Yossef et al.
+2002; Beyer et al. SIGMOD'07 "On synopses for distinct-value
+estimation"):
+
+    n̂ = (k-1) / U_(k)          with U_(k) = kth smallest hash / 2^60
+
+Relative error ~ 1/sqrt(k-2). Mergeability is exact and closed:
+sketch(A ∪ B) = bottom-k(sketch(A) ∪ sketch(B)) — which is what a
+1000-executor cluster (partial per executor, merge at the end) and an
+incremental crawl (merge yesterday's sketch with today's delta) both
+need. Unlike HLL the sketch state is plain `array<bigint>`, so the
+DuckDB oracle can reproduce it bit-for-bit from the shared `hash60`.
+
+Spark shape (scale-first):
+- ONE wide shuffle keyed (group, h mod n_cells) with map-side partial
+  `collect_set` — the hash-space partitioning by `h mod n_cells` means
+  a value can only ever collide with itself inside one cell, so no
+  cross-cell dedup is needed and per-reduce-cell memory is bounded by
+  distinct/n_cells (pick n_cells ~ distinct_upper / 10^6 at scale).
+- A second TINY shuffle (n_cells rows per group, each ≤ k longs) folds
+  cells into the final bottom-k.
+- Exact n_distinct falls out for free as sum of cell set sizes (it is
+  the same number the reference's counters hold, modulo md5 collisions
+  at ~2^-30 for 10^9 keys — documented, not hidden).
+
+Three-form discipline: the sketch is pure `hash60` + order statistics,
+so the DuckDB twin (row_number window) and the pure-Python twin
+(`kmv_sketch_py`) are row-equal with the Spark form by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashes import HASH60_MASK, hash60, hash60_py
+
+TWO60 = float(1 << 60)  # exactly representable: 1152921504606846976.0
+
+DEFAULT_K = 64
+DEFAULT_CELLS = 16
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value: Column | str,
+    k: int = DEFAULT_K,
+    n_cells: int = DEFAULT_CELLS,
+) -> DataFrame:
+    """Per-group bottom-k sketch over ``hash60(value)``.
+
+    Returns ``group_cols + [n_distinct: long, kmv: array<long>]`` where
+    ``kmv`` is the ascending-sorted k smallest distinct hashes (shorter
+    than k iff the group has fewer than k distinct values). The result
+    is independent of input partitioning/layout (pinned by
+    tests/test_sketches.py) — bottom-k of a set is layout-free.
+    """
+    h = hash60(F.col(value) if isinstance(value, str) else value).alias("_h")
+    cells = (
+        df.select(*group_cols, h)
+        .groupBy(*group_cols, F.pmod(F.col("_h"), F.lit(n_cells)).alias("_cell"))
+        .agg(F.array_sort(F.collect_set("_h")).alias("_set"))
+        .select(
+            *group_cols,
+            F.size("_set").alias("_cell_n"),
+            F.slice("_set", 1, k).alias("_ks"),
+        )
+    )
+    return cells.groupBy(*group_cols).agg(
+        F.sum("_cell_n").cast("long").alias("n_distinct"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("_ks"))), 1, k).alias("kmv"),
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = DEFAULT_K) -> DataFrame:
+    """Attach ``kth_min`` (null below k) and the integer estimate
+    ``kmv_est`` = floor((k-1)·2^60 / kth) — floor, not round, because
+    floor of an identical IEEE double is engine-portable by definition
+    while round() at a .5 ulp boundary is luck (CLAUDE.md float rule).
+    Groups with fewer than k distinct values report the exact count.
+    """
+    below = F.size("kmv") < k
+    kth = F.element_at("kmv", k)
+    est = F.floor(F.lit(float(k - 1)) * F.lit(TWO60) / kth.cast("double")).cast("long")
+    return sketch.select(
+        "*",
+        F.when(below, F.lit(None).cast("long")).otherwise(kth).alias("kth_min"),
+        F.when(below, F.col("n_distinct")).otherwise(est).alias("kmv_est"),
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_cols: list[str], k: int = DEFAULT_K) -> DataFrame:
+    """Exact sketch union: full-outer on the group key, concat + sort +
+    slice. ``n_distinct`` does NOT merge exactly (the halves may share
+    values), so the merged frame carries only the sketch columns —
+    estimate via :func:`kmv_estimate` (which then uses ``size(kmv)`` as
+    the below-k exact count, correct because below k the sketch IS the
+    distinct set).
+    """
+    pa = a.select(*group_cols, F.col("kmv").alias("_ka"))
+    pb = b.select(*group_cols, F.col("kmv").alias("_kb"))
+    merged = F.slice(
+        F.array_sort(
+            F.array_union(
+                F.coalesce("_ka", F.array().cast("array<long>")),
+                F.coalesce("_kb", F.array().cast("array<long>")),
+            )
+        ),
+        1,
+        k,
+    )
+    return (
+        pa.join(pb, group_cols, "full_outer")
+        .select(*group_cols, merged.alias("kmv"))
+        .withColumn("n_distinct", F.size("kmv").cast("long"))
+        .select(*group_cols, "n_distinct", "kmv")
+    )
+
+
+def kmv_set_estimates(joined: DataFrame, ka: str = "_ka", kb: str = "_kb", k: int = DEFAULT_K) -> DataFrame:
+    """Theta-style set-operation estimates from TWO sketches per row.
+
+    ``joined`` holds two sketch arrays (columns ``ka``/``kb``); attaches
+
+    - ``theta``: min of the two kth-minima (2^60 when a side is below k
+      — that side's sketch is its full distinct set, so its theta is
+      the whole hash space);
+    - ``n_and`` / ``n_or``: sketch members below theta present in both
+      / either. Sound because a sketch contains ALL of its set's hashes
+      below its own theta ≥ theta, so below theta the sketches are
+      complete — intersection/union there is exact, not sampled twice;
+    - ``est_intersect`` / ``est_union`` = floor(n·2^60/theta) — the
+      theta estimator n/θ_norm; collapses to the exact count when both
+      sides are below k (theta = 2^60), and to the KMV (k-1)/U_(k)
+      estimator for the union when theta is a kth min;
+    - ``jaccard_e6`` = (n_and·10^6) div n_or — all-integer, so
+      cross-engine parity is exact by construction.
+
+    This is what "how contaminated is corpus B with corpus A" costs at
+    100 TB: two fixed-size sketches and a per-group array op — no join
+    between the corpora.
+    """
+    top = F.lit(1 << 60)
+    theta = F.least(
+        F.coalesce(F.element_at(ka, k), top),
+        F.coalesce(F.element_at(kb, k), top),
+    )
+    j = joined.withColumn("theta", theta)
+    below = lambda arr: F.filter(arr, lambda x: x < F.col("theta"))  # noqa: E731
+    j = j.withColumn(
+        "n_and", F.size(below(F.array_intersect(ka, kb))).cast("long")
+    ).withColumn("n_or", F.size(below(F.array_union(ka, kb))).cast("long"))
+    est = lambda n: (  # noqa: E731
+        F.floor(F.col(n).cast("double") * F.lit(TWO60) / F.col("theta").cast("double"))
+        .cast("long")
+    )
+    return (
+        j.withColumn("est_intersect", est("n_and"))
+        .withColumn("est_union", est("n_or"))
+        .withColumn(
+            "jaccard_e6",
+            F.when(F.col("n_or") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("(n_and * 1000000) div n_or")
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------- py twin
+
+
+def kmv_sketch_py(values, k: int = DEFAULT_K) -> tuple[int, list[int]]:
+    """Pure-Python twin: (n_distinct, bottom-k sorted hash list)."""
+    hs = {hash60_py(str(v)) for v in values}
+    return len(hs), sorted(hs)[:k]
+
+
+def kmv_merge_py(a: list[int], b: list[int], k: int = DEFAULT_K) -> list[int]:
+    return sorted(set(a) | set(b))[:k]
+
+
+def kmv_estimate_py(kmv: list[int], k: int = DEFAULT_K) -> int:
+    if len(kmv) < k:
+        return len(kmv)
+    import math
+
+    return int(math.floor(float(k - 1) * TWO60 / float(kmv[k - 1])))
+
+
+def kmv_set_estimates_py(ka: list[int], kb: list[int], k: int = DEFAULT_K) -> dict:
+    import math
+
+    top = 1 << 60
+    theta = min(
+        ka[k - 1] if len(ka) >= k else top,
+        kb[k - 1] if len(kb) >= k else top,
+    )
+    sa, sb = set(ka), set(kb)
+    n_and = sum(1 for h in sa & sb if h < theta)
+    n_or = sum(1 for h in sa | sb if h < theta)
+    est = lambda n: int(math.floor(float(n) * TWO60 / float(theta)))  # noqa: E731
+    return {
+        "theta": theta,
+        "n_and": n_and,
+        "n_or": n_or,
+        "est_intersect": est(n_and),
+        "est_union": est(n_or),
+        "jaccard_e6": (n_and * 1_000_000) // n_or if n_or else 0,
+    }
+
+
+__all__ = [
+    "HASH60_MASK",
+    "kmv_sketch",
+    "kmv_estimate",
+    "kmv_merge",
+    "kmv_set_estimates",
+    "kmv_sketch_py",
+    "kmv_merge_py",
+    "kmv_estimate_py",
+    "kmv_set_estimates_py",
+]

@@ -2845,6 +2845,156 @@ QUERIES["semdedup_pairs"] = q_semdedup_pairs
 ORACLE_SQL["semdedup_pairs"] = SQL_SEMDEDUP_PAIRS
 
 
+def q_distinct_sketch(spark, sf_dir):
+    """Mergeable KMV distinct-cardinality sketch (operators/sketches.py)
+    per event_type over user_id: exact n_distinct (free by-product),
+    the kth-smallest hash, and the bottom-k estimate. The reference
+    counts distincts exactly through its seen-set inserts
+    (KeyValueDB.hpp:25-48); the sketch is the 100 TB replacement —
+    fixed-size state, exactly mergeable across executors and rounds.
+
+    k=64 exercises both branches across the driver SFs: sf0.001 has 15
+    distinct users per type (below-k exact path), sf0.01 has 150
+    (estimator path). kmv_lo8 exposes the first 8 sketch entries so the
+    oracle pins the sketch CONTENT, not just the estimate."""
+    from searchengine_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    sk = SK.kmv_estimate(SK.kmv_sketch(ev, ["event_type"], "uid", k=64), k=64)
+    return sk.select(
+        "event_type",
+        "n_distinct",
+        "kth_min",
+        "kmv_est",
+        F.slice("kmv", 1, 8).alias("kmv_lo8"),
+    ).orderBy("event_type")
+
+
+SQL_DISTINCT_SKETCH = f"""
+WITH h AS MATERIALIZED (
+  SELECT DISTINCT event_type,
+         {hash60_sql('CAST(user_id AS VARCHAR)')} AS h
+  FROM events
+),
+ranked AS MATERIALIZED (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n_distinct
+  FROM h
+)
+SELECT event_type,
+       CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN max(n_distinct) < 64 THEN NULL
+                 ELSE max(CASE WHEN rn = 64 THEN h END) END AS BIGINT)
+         AS kth_min,
+       CAST(CASE WHEN max(n_distinct) < 64 THEN max(n_distinct)
+                 ELSE floor(63.0 * 1152921504606846976.0
+                            / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE))
+            END AS BIGINT) AS kmv_est,
+       list_sort(list(h) FILTER (WHERE rn <= 8)) AS kmv_lo8
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["distinct_sketch"] = q_distinct_sketch
+ORACLE_SQL["distinct_sketch"] = SQL_DISTINCT_SKETCH
+
+
+def q_sketch_set_ops(spark, sf_dir):
+    """Theta-style set-operation estimates between per-type KMV
+    sketches (operators/sketches.kmv_set_estimates): overlap of
+    distinct (user, day) activity between every pair of event types —
+    the fixed-size-sketch answer to "how much does corpus B overlap
+    corpus A" that at 100 TB costs two sketches and an array op
+    instead of a distinct-join between the corpora. user_id|day (not
+    bare user_id) so the sets genuinely differ (~0.22 true Jaccard at
+    sf0.01). jaccard_e6 is all-integer; the floor() estimates are
+    IEEE-portable (sketches.py docstrings)."""
+    from searchengine_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("|"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("ud"),
+    )
+    sk = SK.kmv_sketch(ev, ["event_type"], "ud", k=64)
+    pa = sk.select(F.col("event_type").alias("type_a"), F.col("kmv").alias("_ka"))
+    pb = sk.select(F.col("event_type").alias("type_b"), F.col("kmv").alias("_kb"))
+    pairs = pa.join(pb, F.col("type_a") < F.col("type_b"))
+    return (
+        SK.kmv_set_estimates(pairs, k=64)
+        .select(
+            "type_a",
+            "type_b",
+            "theta",
+            "n_and",
+            "n_or",
+            "est_intersect",
+            "est_union",
+            "jaccard_e6",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+SQL_SKETCH_SET_OPS = f"""
+WITH h AS MATERIALIZED (
+  SELECT DISTINCT event_type,
+         {hash60_sql("CAST(user_id AS VARCHAR) || '|' || strftime(ts, '%Y-%m-%d')")} AS h
+  FROM events
+),
+ranked AS MATERIALIZED (
+  SELECT event_type, h,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM h
+),
+sk AS MATERIALIZED (SELECT event_type, h FROM ranked WHERE rn <= 64),
+th AS MATERIALIZED (
+  SELECT event_type,
+         CASE WHEN count(*) >= 64 THEN max(h)
+              ELSE 1152921504606846976 END AS side_theta
+  FROM sk GROUP BY event_type
+),
+pairs AS MATERIALIZED (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         least(a.side_theta, b.side_theta) AS theta
+  FROM th a JOIN th b ON a.event_type < b.event_type
+),
+members AS MATERIALIZED (
+  SELECT p.type_a, p.type_b, p.theta, s.h,
+         count(DISTINCT s.event_type) AS sides
+  FROM pairs p
+  JOIN sk s ON s.event_type IN (p.type_a, p.type_b) AND s.h < p.theta
+  GROUP BY 1, 2, 3, 4
+)
+SELECT type_a, type_b,
+       CAST(theta AS BIGINT) AS theta,
+       CAST(count(*) FILTER (WHERE sides = 2) AS BIGINT) AS n_and,
+       CAST(count(*) AS BIGINT) AS n_or,
+       CAST(floor(CAST(count(*) FILTER (WHERE sides = 2) AS DOUBLE)
+                  * 1152921504606846976.0 / CAST(theta AS DOUBLE)) AS BIGINT)
+         AS est_intersect,
+       CAST(floor(CAST(count(*) AS DOUBLE)
+                  * 1152921504606846976.0 / CAST(theta AS DOUBLE)) AS BIGINT)
+         AS est_union,
+       CAST(CASE WHEN count(*) = 0 THEN 0
+                 ELSE (count(*) FILTER (WHERE sides = 2)) * 1000000 // count(*)
+            END AS BIGINT) AS jaccard_e6
+FROM members
+GROUP BY type_a, type_b, theta
+ORDER BY type_a, type_b
+"""
+
+QUERIES["sketch_set_ops"] = q_sketch_set_ops
+ORACLE_SQL["sketch_set_ops"] = SQL_SKETCH_SET_OPS
+
+
 # ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------

@@ -1,0 +1,147 @@
+"""KMV bottom-k sketch: merge algebra, layout independence, estimator
+accuracy, and the three-form (Spark / py) equivalence."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import sketches as SK
+
+K = 32
+
+
+def _values_df(spark, n, prefix="v", parts=4):
+    return (
+        spark.range(n)
+        .repartition(parts)
+        .select(
+            F.lit("g").alias("grp"),
+            F.concat(F.lit(prefix), F.col("id").cast("string")).alias("v"),
+        )
+    )
+
+
+def _sketch_map(df):
+    rows = df.collect()
+    return {r["grp"]: (r["n_distinct"], list(r["kmv"])) for r in rows}
+
+
+def test_exact_below_k(spark):
+    df = _values_df(spark, 10)
+    sk = SK.kmv_estimate(SK.kmv_sketch(df, ["grp"], "v", k=K), k=K)
+    row = sk.collect()[0]
+    assert row["n_distinct"] == 10
+    assert len(row["kmv"]) == 10
+    assert row["kth_min"] is None
+    assert row["kmv_est"] == 10  # below k the sketch IS the distinct set
+
+
+def test_layout_independent_and_duplicate_proof(spark):
+    base = _values_df(spark, 500)
+    dup = base.union(base).union(base)  # heavy duplication
+    a = _sketch_map(SK.kmv_sketch(base.repartition(1), ["grp"], "v", k=K))
+    b = _sketch_map(SK.kmv_sketch(dup.repartition(13), ["grp"], "v", k=K, n_cells=3))
+    assert a == b  # same distinct set -> identical sketch, any layout
+
+
+def test_merge_equals_sketch_of_union(spark):
+    # overlapping halves: union cardinality < sum of halves
+    left = _values_df(spark, 400)  # v0..v399
+    right = (
+        spark.range(200, 700)
+        .select(
+            F.lit("g").alias("grp"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+        )
+    )  # v200..v699
+    sk_l = SK.kmv_sketch(left, ["grp"], "v", k=K)
+    sk_r = SK.kmv_sketch(right, ["grp"], "v", k=K)
+    merged = _sketch_map(SK.kmv_merge(sk_l, sk_r, ["grp"], k=K))
+    full = _sketch_map(SK.kmv_sketch(left.union(right), ["grp"], "v", k=K))
+    assert merged["g"][1] == full["g"][1]  # sketch(A∪B) == merge(skA, skB)
+    # disjoint group keys survive the full-outer merge
+    only_l = sk_l.withColumn("grp", F.lit("left_only"))
+    m2 = _sketch_map(SK.kmv_merge(only_l, sk_r, ["grp"], k=K))
+    assert set(m2) == {"left_only", "g"}
+
+
+def test_estimator_error_bound(spark):
+    n = 5000
+    k = 256
+    df = _values_df(spark, n, parts=8)
+    row = SK.kmv_estimate(SK.kmv_sketch(df, ["grp"], "v", k=k), k=k).collect()[0]
+    rel = abs(row["kmv_est"] - n) / n
+    # theory: stderr ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert rel < 4 / math.sqrt(k - 2), (row["kmv_est"], n, rel)
+    assert row["n_distinct"] == n  # exact count by-product stays exact
+
+
+def test_py_twin_matches_spark(spark):
+    vals = [f"v{i}" for i in range(100)]
+    df = spark.createDataFrame([("g", v) for v in vals], ["grp", "v"])
+    n_py, kmv_py = SK.kmv_sketch_py(vals, k=K)
+    sp = _sketch_map(SK.kmv_sketch(df, ["grp"], "v", k=K))["g"]
+    assert sp == (n_py, kmv_py)
+    assert SK.kmv_estimate_py(kmv_py, k=K) == (
+        SK.kmv_estimate(SK.kmv_sketch(df, ["grp"], "v", k=K), k=K)
+        .collect()[0]["kmv_est"]
+    )
+    # py merge twin agrees with itself as ground truth for chunked build
+    chunks = [vals[:30], vals[30:80], vals[80:]]
+    acc: list[int] = []
+    for c in chunks:
+        acc = SK.kmv_merge_py(acc, SK.kmv_sketch_py(c, k=K)[1], k=K)
+    assert acc == kmv_py
+
+
+def _pair_frame(spark, n_a, lo_b, hi_b, k):
+    a = _values_df(spark, n_a)  # v0..v{n_a-1}
+    b = spark.range(lo_b, hi_b).select(
+        F.lit("g").alias("grp"),
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+    )
+    sk_a = SK.kmv_sketch(a, ["grp"], "v", k=k).select(
+        "grp", F.col("kmv").alias("_ka")
+    )
+    sk_b = SK.kmv_sketch(b, ["grp"], "v", k=k).select(
+        "grp", F.col("kmv").alias("_kb")
+    )
+    return sk_a.join(sk_b, "grp")
+
+
+def test_set_ops_exact_below_k(spark):
+    # both sides below k: theta = 2^60, everything exact
+    row = SK.kmv_set_estimates(_pair_frame(spark, 20, 10, 40, K), k=K).collect()[0]
+    assert row["theta"] == 1 << 60
+    assert row["n_and"] == row["est_intersect"] == 10  # v10..v19
+    assert row["n_or"] == row["est_union"] == 40  # v0..v39
+    assert row["jaccard_e6"] == 10 * 1_000_000 // 40
+
+
+def test_set_ops_estimator_accuracy(spark):
+    # |A|=1000 (v0..999), |B|=1000 (v500..1499): true ∩=500 ∪=1500 J=1/3
+    k = 256
+    row = SK.kmv_set_estimates(_pair_frame(spark, 1000, 500, 1500, k), k=k).collect()[0]
+    assert abs(row["est_union"] - 1500) / 1500 < 4 / math.sqrt(k - 2)
+    assert abs(row["est_intersect"] - 500) / 500 < 0.35  # ~k/3 candidates
+    assert abs(row["jaccard_e6"] / 1e6 - 1 / 3) < 0.12
+
+
+def test_set_ops_py_twin_matches_spark(spark):
+    row = SK.kmv_set_estimates(_pair_frame(spark, 200, 100, 400, K), k=K).collect()[0]
+    _, ka = SK.kmv_sketch_py([f"v{i}" for i in range(200)], k=K)
+    _, kb = SK.kmv_sketch_py([f"v{i}" for i in range(100, 400)], k=K)
+    want = SK.kmv_set_estimates_py(ka, kb, k=K)
+    got = {f: row[f] for f in want}
+    assert got == want
+
+
+def test_plan_shape_two_shuffles_no_collect(spark):
+    """The sketch is two exchanges (cell agg, group fold) and nothing
+    driver-side; assert no CartesianProduct and that partial
+    aggregation survives (ObjectHashAggregate for collect_set)."""
+    df = _values_df(spark, 200)
+    sk = SK.kmv_sketch(df, ["grp"], "v", k=K)
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3  # cell agg + group fold (+AQE reads)
