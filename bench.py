@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "events_asof",
     "events_rollup",
     "events_quantiles",
+    "quantile_hist",
     "distinct_sketch",
     "decontaminate",
     "bpe_merges",

@@ -177,6 +177,100 @@ def kmv_set_estimates(joined: DataFrame, ka: str = "_ka", kb: str = "_kb", k: in
     )
 
 
+# ------------------------------------------------------- histogram sketch
+
+
+def hist_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_int: Column | str,
+    lo: int,
+    width: int,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-grid histogram over an INTEGER-grid column (e.g. an e4
+    fixed-point value): bucket = clamp((v - lo) div width, 0, n_bins-1).
+
+    This is the mergeable-quantile companion to the KMV sketch: state
+    is ≤ n_bins counts per group, built in ONE groupBy with full
+    map-side combine, and histograms MERGE by plain count addition
+    (:func:`hist_merge`) — across executors, crawl rounds, or days.
+    Spark's own ``approx_percentile`` (t-digest-ish) is the built-in
+    alternative; this form exists because its all-integer arithmetic
+    is engine-portable, so the oracle can pin it exactly, and because
+    the state is a plain (bucket, cnt) table any engine can store.
+
+    Out-of-range values clamp into the edge bins (their mass is
+    counted; their position saturates — stated, not hidden).
+    """
+    v = F.col(value_int) if isinstance(value_int, str) else value_int
+    prep = df.withColumn("_v", v.cast("long"))
+    b = F.least(
+        F.greatest(F.expr(f"(_v - {int(lo)}) div {int(width)}"), F.lit(0)),
+        F.lit(int(n_bins) - 1),
+    )
+    return prep.groupBy(*group_cols, b.cast("long").alias("bucket")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def hist_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Histogram union: counts add. Exact and closed, like kmv_merge."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    lo: int,
+    width: int,
+    qs_e6: list[int],
+) -> DataFrame:
+    """Interpolated quantiles FROM a histogram — rank r = q·(n-1) (the
+    same definition as Spark ``percentile`` / DuckDB ``quantile_cont``,
+    so the error vs exact is bounded by one bin width), rank carried in
+    e6 units and the within-bin interpolation done with integer floor
+    division: bit-identical in Spark, DuckDB and Python.
+
+    Per group the histogram is ≤ n_bins rows, so the cumulative window
+    is bounded; int64 holds width·(n-1)·10^6 — beyond ~10^11 rows per
+    group scale the rank units down (or widen to decimal), documented
+    here rather than silently truncated.
+    """
+    from pyspark.sql import Window as W
+
+    cum_w = W.partitionBy(*group_cols).orderBy("bucket")
+    all_w = W.partitionBy(*group_cols)
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(cum_w))
+        .withColumn("n", F.sum("cnt").over(all_w))
+        .withColumn(
+            "q_e6", F.explode(F.array([F.lit(int(q)).cast("long") for q in qs_e6]))
+        )
+        .withColumn("r_e6", F.col("q_e6") * (F.col("n") - 1))
+    )
+    inbin = ((F.col("cum") - F.col("cnt")) * 1_000_000 <= F.col("r_e6")) & (
+        F.col("r_e6") < F.col("cum") * 1_000_000
+    )
+    est = (
+        F.lit(int(lo))
+        + F.col("bucket") * int(width)
+        + F.expr(
+            f"(({int(width)} * (r_e6 - (cum - cnt) * 1000000)) div (cnt * 1000000))"
+        )
+    )
+    return h.where(inbin).select(
+        *group_cols,
+        "q_e6",
+        F.col("n").alias("n_rows"),
+        est.cast("long").alias("est"),
+    )
+
+
 # ---------------------------------------------------------------- py twin
 
 
@@ -196,6 +290,33 @@ def kmv_estimate_py(kmv: list[int], k: int = DEFAULT_K) -> int:
     import math
 
     return int(math.floor(float(k - 1) * TWO60 / float(kmv[k - 1])))
+
+
+def hist_sketch_py(values, lo: int, width: int, n_bins: int) -> dict[int, int]:
+    out: dict[int, int] = {}
+    for v in values:
+        b = min(max((int(v) - lo) // width, 0), n_bins - 1)
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def hist_quantiles_py(
+    hist: dict[int, int], lo: int, width: int, qs_e6: list[int]
+) -> dict[int, int]:
+    n = sum(hist.values())
+    out = {}
+    for q in qs_e6:
+        r = q * (n - 1)
+        cum = 0
+        for b in sorted(hist):
+            cnt = hist[b]
+            if cum * 1_000_000 <= r < (cum + cnt) * 1_000_000:
+                out[q] = lo + b * width + (width * (r - cum * 1_000_000)) // (
+                    cnt * 1_000_000
+                )
+                break
+            cum += cnt
+    return out
 
 
 def kmv_set_estimates_py(ka: list[int], kb: list[int], k: int = DEFAULT_K) -> dict:
@@ -226,6 +347,11 @@ __all__ = [
     "kmv_estimate",
     "kmv_merge",
     "kmv_set_estimates",
+    "hist_sketch",
+    "hist_merge",
+    "hist_quantiles",
+    "hist_sketch_py",
+    "hist_quantiles_py",
     "kmv_sketch_py",
     "kmv_merge_py",
     "kmv_estimate_py",

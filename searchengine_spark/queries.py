@@ -2995,6 +2995,70 @@ QUERIES["sketch_set_ops"] = q_sketch_set_ops
 ORACLE_SQL["sketch_set_ops"] = SQL_SKETCH_SET_OPS
 
 
+# quantile_hist grid: e4 fixed-point values, 2.5-unit bins covering
+# [0, 640) — events.value spans [0, ~560] at every SF; outliers clamp
+_QH_LO, _QH_WIDTH, _QH_BINS = 0, 25_000, 256
+_QH_QS_E6 = [500_000, 900_000, 990_000]
+
+
+def q_quantile_hist(spark, sf_dir):
+    """Mergeable histogram quantiles (operators/sketches.hist_sketch /
+    hist_quantiles): ONE map-side-combined groupBy builds ≤256 counts
+    per event_type; quantiles interpolate inside the located bin with
+    all-integer rank arithmetic (rank = q·(n−1) in e6 units — same
+    definition as events_quantiles' exact form, error ≤ one bin
+    width). The scale story vs exact `percentile`: state is 256 longs
+    per group instead of every value buffered, and histograms MERGE by
+    addition across executors/rounds/days (tests pin merge≡full and
+    the one-bin error bound)."""
+    from searchengine_spark.operators import sketches as SK
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", _e(F.col("value"), 4).alias("v_e4")
+    )
+    h = SK.hist_sketch(ev, ["event_type"], "v_e4", _QH_LO, _QH_WIDTH, _QH_BINS)
+    return (
+        SK.hist_quantiles(h, ["event_type"], _QH_LO, _QH_WIDTH, _QH_QS_E6)
+        .select("event_type", "q_e6", "n_rows", F.col("est").alias("est_e4"))
+        .orderBy("event_type", "q_e6")
+    )
+
+
+SQL_QUANTILE_HIST = f"""
+WITH base AS MATERIALIZED (
+  SELECT event_type, {_e_sql('value', 4)} AS v FROM events
+),
+hist AS MATERIALIZED (
+  SELECT event_type,
+         least(greatest((v - {_QH_LO}) // {_QH_WIDTH}, 0), {_QH_BINS - 1}) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2
+),
+cum AS MATERIALIZED (
+  SELECT event_type, bucket, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM hist
+),
+ranks AS MATERIALIZED (
+  SELECT c.*, q.q_e6, q.q_e6 * (c.n - 1) AS r_e6
+  FROM cum c CROSS JOIN (VALUES (500000), (900000), (990000)) q(q_e6)
+)
+SELECT event_type,
+       CAST(q_e6 AS BIGINT) AS q_e6,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST({_QH_LO} + bucket * {_QH_WIDTH}
+            + ({_QH_WIDTH} * (r_e6 - (cum - cnt) * 1000000)) // (cnt * 1000000)
+         AS BIGINT) AS est_e4
+FROM ranks
+WHERE (cum - cnt) * 1000000 <= r_e6 AND r_e6 < cum * 1000000
+ORDER BY event_type, q_e6
+"""
+
+QUERIES["quantile_hist"] = q_quantile_hist
+ORACLE_SQL["quantile_hist"] = SQL_QUANTILE_HIST
+
+
 # ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------

@@ -136,6 +136,78 @@ def test_set_ops_py_twin_matches_spark(spark):
     assert got == want
 
 
+def _value_rows(spark, vals, parts=4):
+    return spark.createDataFrame(
+        [("g", int(v)) for v in vals], "grp string, v long"
+    ).repartition(parts)
+
+
+def test_hist_quantiles_within_one_bin_of_exact(spark):
+    # skewed integers on [0, 10000): quadratic ramp
+    vals = [(i * i) % 10_000 for i in range(3000)]
+    df = _value_rows(spark, vals)
+    lo, width, n_bins = 0, 100, 100
+    qs = [250_000, 500_000, 900_000, 990_000]
+    h = SK.hist_sketch(df, ["grp"], "v", lo, width, n_bins)
+    got = {
+        r["q_e6"]: r["est"]
+        for r in SK.hist_quantiles(h, ["grp"], lo, width, qs).collect()
+    }
+    exact = (
+        df.groupBy("grp")
+        .agg(
+            F.expr(
+                "percentile(v, array(0.25D, 0.5D, 0.9D, 0.99D))"
+            ).alias("p")
+        )
+        .collect()[0]["p"]
+    )
+    for q, ex in zip(qs, exact):
+        assert abs(got[q] - ex) <= width, (q, got[q], ex)
+    # n_rows exact
+    rows = SK.hist_quantiles(h, ["grp"], lo, width, qs).collect()
+    assert all(r["n_rows"] == 3000 for r in rows)
+
+
+def test_hist_merge_equals_full(spark):
+    vals = [(i * 7) % 5000 for i in range(2000)]
+    lo, width, n_bins = 0, 50, 100
+    a = SK.hist_sketch(_value_rows(spark, vals[:800]), ["grp"], "v", lo, width, n_bins)
+    b = SK.hist_sketch(_value_rows(spark, vals[800:]), ["grp"], "v", lo, width, n_bins)
+    merged = {
+        (r["bucket"]): r["cnt"]
+        for r in SK.hist_merge(a, b, ["grp"]).collect()
+    }
+    full = {
+        (r["bucket"]): r["cnt"]
+        for r in SK.hist_sketch(
+            _value_rows(spark, vals, parts=9), ["grp"], "v", lo, width, n_bins
+        ).collect()
+    }
+    assert merged == full
+    # py twin: same buckets, same interpolated quantiles
+    assert SK.hist_sketch_py(vals, lo, width, n_bins) == full
+    qs = [500_000, 990_000]
+    want_py = SK.hist_quantiles_py(full, lo, width, qs)
+    got = {
+        r["q_e6"]: r["est"]
+        for r in SK.hist_quantiles(
+            SK.hist_merge(a, b, ["grp"]), ["grp"], lo, width, qs
+        ).collect()
+    }
+    assert got == want_py
+
+
+def test_hist_clamps_out_of_range(spark):
+    df = _value_rows(spark, [-50, -1, 0, 999, 1000, 5000])
+    h = {
+        r["bucket"]: r["cnt"]
+        for r in SK.hist_sketch(df, ["grp"], "v", 0, 100, 10).collect()
+    }
+    assert h[0] == 3  # -50, -1 clamp into bin 0 alongside 0
+    assert h[9] == 3  # 999 lands in last bin; 1000, 5000 clamp into it
+
+
 def test_plan_shape_two_shuffles_no_collect(spark):
     """The sketch is two exchanges (cell agg, group fold) and nothing
     driver-side; assert no CartesianProduct and that partial
