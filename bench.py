@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "events_quantiles",
     "quantile_hist",
     "distinct_sketch",
+    "priority_sample",
     "decontaminate",
     "bpe_merges",
     "quality_repetition",

@@ -177,6 +177,85 @@ def kmv_set_estimates(joined: DataFrame, ka: str = "_ka", kb: str = "_kb", k: in
     )
 
 
+# ------------------------------------------------------ priority sampling
+
+
+def priority_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    weight_col: str,
+    k: int = DEFAULT_K,
+    n_cells: int = DEFAULT_CELLS,
+) -> DataFrame:
+    """Deterministic priority sampling (Duffield-Lund-Thorup, JACM'07):
+    a fixed-size weight-sensitive sample with UNBIASED subset-sum
+    estimators — the third member of the mergeable-summary family
+    (distinct → KMV, quantiles → histogram, weighted totals → this).
+
+    priority q_i = w_i / u_i with u_i = (hash60(id)+1)/2^60; keep the k
+    largest priorities per group; τ = (k+1)-th priority (0 when the
+    group fits entirely). For ANY subset S of kept items,
+    E[Σ max(w_i, τ)] = Σ_{i∈S_true} w_i — estimate per-source bytes,
+    per-domain token counts, etc. of a 100 TB corpus from k rows.
+    Heavy items (w ≥ τ) are ALWAYS kept and reported exactly.
+
+    Spark shape mirrors kmv_sketch: per-(group, h mod n_cells) partial
+    top-(k+1) via one map-side-combined collect_list (cells partition
+    the id space, so cell tops are disjoint and fold exactly), then a
+    tiny per-group fold. Sorting uses struct(-q, id, w) ascending ≡
+    (q DESC, id ASC): negation of a double is exact, so the order — and
+    therefore the sample — is bit-identical in the DuckDB twin's
+    row_number form. All OUTPUT columns are integers (τ and estimates
+    in e6 fixed-point, floored) so oracle value-hashing never touches a
+    float. Merge = top-(k+1) of the union of two samples (priorities
+    kept in the rows), closed like the other two sketches.
+    """
+    h = hash60(F.col(id_col).cast("string"), "prio")
+    q = F.col(weight_col).cast("double") / (
+        (h + F.lit(1)).cast("double") / F.lit(TWO60)
+    )
+    base = df.select(
+        *group_cols,
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(weight_col).cast("long").alias("_w"),
+        q.alias("_q"),
+        h.alias("_h"),
+    )
+    item = F.struct(
+        (-F.col("_q")).alias("nq"), F.col("_id").alias("id"), F.col("_w").alias("w")
+    )
+    cells = base.groupBy(
+        *group_cols, F.pmod(F.col("_h"), F.lit(n_cells)).alias("_cell")
+    ).agg(F.slice(F.array_sort(F.collect_list(item)), 1, k + 1).alias("_top"))
+    folded = cells.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, k + 1).alias(
+            "_top"
+        )
+    )
+    tau_e6 = (
+        F.when(
+            F.size("_top") == k + 1,
+            F.floor(-F.element_at("_top", k + 1).getField("nq") * 1_000_000),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    out = folded.withColumn("tau_e6", tau_e6).select(
+        *group_cols,
+        "tau_e6",
+        F.posexplode(F.slice("_top", 1, k)).alias("_pos", "_item"),
+    )
+    return out.select(
+        *group_cols,
+        (F.col("_pos") + 1).cast("long").alias("rank"),
+        F.col("_item.id").alias("sample_id"),
+        F.col("_item.w").alias("w"),
+        "tau_e6",
+        F.greatest(F.col("_item.w") * 1_000_000, F.col("tau_e6")).alias("est_w_e6"),
+    )
+
+
 # ------------------------------------------------------- histogram sketch
 
 
@@ -292,6 +371,29 @@ def kmv_estimate_py(kmv: list[int], k: int = DEFAULT_K) -> int:
     return int(math.floor(float(k - 1) * TWO60 / float(kmv[k - 1])))
 
 
+def priority_sample_py(items, k: int = DEFAULT_K) -> list[tuple]:
+    """Pure twin: items = [(id, w)]; returns
+    [(rank, sample_id, w, tau_e6, est_w_e6)] — same IEEE op sequence
+    as the Spark/DuckDB forms (int→double, two divisions, ·1e6, floor).
+    """
+    import math
+
+    scored = sorted(
+        (
+            -(float(w) / ((hash60_py(str(i), "prio") + 1) / TWO60)),
+            str(i),
+            int(w),
+        )
+        for i, w in items
+    )
+    top = scored[: k + 1]
+    tau_e6 = int(math.floor(-top[k][0] * 1_000_000)) if len(top) == k + 1 else 0
+    return [
+        (r + 1, sid, w, tau_e6, max(w * 1_000_000, tau_e6))
+        for r, (_nq, sid, w) in enumerate(top[:k])
+    ]
+
+
 def hist_sketch_py(values, lo: int, width: int, n_bins: int) -> dict[int, int]:
     out: dict[int, int] = {}
     for v in values:
@@ -347,6 +449,8 @@ __all__ = [
     "kmv_estimate",
     "kmv_merge",
     "kmv_set_estimates",
+    "priority_sample",
+    "priority_sample_py",
     "hist_sketch",
     "hist_merge",
     "hist_quantiles",

@@ -3059,6 +3059,57 @@ QUERIES["quantile_hist"] = q_quantile_hist
 ORACLE_SQL["quantile_hist"] = SQL_QUANTILE_HIST
 
 
+def q_priority_sample(spark, sf_dir):
+    """Priority sampling (sketches.priority_sample, Duffield-Lund-
+    Thorup): per-lang fixed-size (k=16) weight-sensitive document
+    sample over n_chars with the unbiased max(w, τ) estimator — the
+    "estimate per-source corpus volume from k rows" primitive. The
+    whole sample is pinned row-for-row against the oracle's
+    row_number form: identical priorities (same IEEE int→double and
+    two divisions), identical order (struct(-q, id) ≡ q DESC, id ASC),
+    identical integer e6 outputs."""
+    from searchengine_spark.operators import sketches as SK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "doc_id", "n_chars"
+    )
+    return (
+        SK.priority_sample(docs, ["lang"], "doc_id", "n_chars", k=16)
+        .withColumnRenamed("sample_id", "doc_id")
+        .orderBy("lang", "rank")
+    )
+
+
+SQL_PRIORITY_SAMPLE = f"""
+WITH pr AS MATERIALIZED (
+  SELECT lang, CAST(doc_id AS VARCHAR) AS doc_id, CAST(n_chars AS BIGINT) AS w,
+         CAST(n_chars AS DOUBLE)
+           / (CAST({hash60_sql('CAST(doc_id AS VARCHAR)', 'prio')} + 1 AS DOUBLE)
+              / 1152921504606846976.0) AS q
+  FROM documents
+),
+ranked AS MATERIALIZED (
+  SELECT lang, doc_id, w, q,
+         row_number() OVER (PARTITION BY lang ORDER BY q DESC, doc_id) AS rn
+  FROM pr
+),
+tau AS MATERIALIZED (
+  SELECT lang,
+         coalesce(CAST(floor(max(CASE WHEN rn = 17 THEN q END) * 1000000)
+                       AS BIGINT), 0) AS tau_e6
+  FROM ranked GROUP BY lang
+)
+SELECT r.lang, CAST(r.rn AS BIGINT) AS rank, r.doc_id, r.w, t.tau_e6,
+       greatest(r.w * 1000000, t.tau_e6) AS est_w_e6
+FROM ranked r JOIN tau t USING (lang)
+WHERE r.rn <= 16
+ORDER BY r.lang, r.rn
+"""
+
+QUERIES["priority_sample"] = q_priority_sample
+ORACLE_SQL["priority_sample"] = SQL_PRIORITY_SAMPLE
+
+
 # ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------

@@ -136,6 +136,61 @@ def test_set_ops_py_twin_matches_spark(spark):
     assert got == want
 
 
+def _weighted_df(spark, items, parts=4):
+    return spark.createDataFrame(
+        [("g", str(i), int(w)) for i, w in items], "grp string, id string, w long"
+    ).repartition(parts)
+
+
+def test_priority_sample_exact_when_k_covers(spark):
+    items = [(f"d{i}", 10 + i) for i in range(12)]
+    rows = SK.priority_sample(
+        _weighted_df(spark, items), ["grp"], "id", "w", k=20
+    ).collect()
+    assert len(rows) == 12
+    assert all(r["tau_e6"] == 0 for r in rows)
+    assert all(r["est_w_e6"] == r["w"] * 1_000_000 for r in rows)
+    assert {r["sample_id"] for r in rows} == {i for i, _ in items}
+
+
+def test_priority_sample_matches_py_twin_and_layout_free(spark):
+    items = [(f"d{i}", 1 + (i * 37) % 500) for i in range(300)]
+    want = SK.priority_sample_py(items, k=24)
+    for parts, cells in [(1, 16), (13, 5)]:
+        got = [
+            (r["rank"], r["sample_id"], r["w"], r["tau_e6"], r["est_w_e6"])
+            for r in SK.priority_sample(
+                _weighted_df(spark, items, parts), ["grp"], "id", "w", k=24,
+                n_cells=cells,
+            ).orderBy("rank").collect()
+        ]
+        assert got == want, (parts, cells)
+
+
+def test_priority_sample_heavy_item_always_kept_exact(spark):
+    # one item carries half the total weight: w >= tau, kept, est exact
+    items = [(f"d{i}", 10) for i in range(400)] + [("whale", 4000)]
+    rows = SK.priority_sample(
+        _weighted_df(spark, items), ["grp"], "id", "w", k=16
+    ).collect()
+    whale = [r for r in rows if r["sample_id"] == "whale"]
+    assert len(whale) == 1
+    # w=4000 >> tau (~10·n/k of the light tail), so est is the exact w
+    assert whale[0]["est_w_e6"] == 4000 * 1_000_000
+    assert whale[0]["w"] * 1_000_000 >= whale[0]["tau_e6"]
+
+
+def test_priority_sample_subset_sum_estimate(spark):
+    # unbiased total-weight estimator: sum over sample of max(w, tau)
+    items = [(f"d{i}", 1 + (i * i) % 200) for i in range(500)]
+    true_total = sum(w for _, w in items)
+    rows = SK.priority_sample(
+        _weighted_df(spark, items, parts=8), ["grp"], "id", "w", k=64
+    ).collect()
+    est_total = sum(r["est_w_e6"] for r in rows) / 1e6
+    assert abs(est_total - true_total) / true_total < 0.25, (est_total, true_total)
+
+
 def _value_rows(spark, vals, parts=4):
     return spark.createDataFrame(
         [("g", int(v)) for v in vals], "grp string, v long"
