@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "quantile_hist",
     "distinct_sketch",
     "priority_sample",
+    "warc_roundtrip",
     "decontaminate",
     "bpe_merges",
     "quality_repetition",

@@ -3110,6 +3110,71 @@ QUERIES["priority_sample"] = q_priority_sample
 ORACLE_SQL["priority_sample"] = SQL_PRIORITY_SAMPLE
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC sink+source round trip (sources/warc.py): export documents
+    as WARC/1.0 response records (range-partitioned mapInPandas sink,
+    one .warc.gz per partition — gzip members can't split mid-file, so
+    file count IS the parallelism, Common-Crawl-style), read them back
+    through the binaryFile+mapInPandas source, and aggregate per lang
+    FROM THE PARSED RECORDS (group key comes out of the X-SE metadata
+    headers, bytes out of the payload blocks). The oracle computes the
+    same aggregates straight from the original parquet: round trip ≡
+    identity is the assertion. Export goes to a fresh tmpdir per call
+    (left for the lazy read; OS tmp reaping collects it)."""
+    import tempfile
+
+    from searchengine_spark.sources import warc as WARC
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_key"),
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("uri"),
+        F.col("text"),
+        F.col("lang"),
+        F.col("source"),
+    )
+    out_dir = tempfile.mkdtemp(prefix="se_warc_rt_")
+    WARC.warc_export(
+        docs, out_dir, key_col="doc_key", uri_col="uri", payload_col="text",
+        meta_cols=["lang", "source"],
+    )
+    back = WARC.read_warc(spark, f"{out_dir}/*.warc.gz")
+    return (
+        back.select(
+            F.col("meta").getItem("lang").alias("lang"),
+            F.col("target_uri").alias("uri"),
+            F.length("payload").alias("nbytes"),
+            (hash60(F.col("payload").cast("string")) % F.lit(1_000_000_000_000)).alias(
+                "pcheck"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("uri").alias("n_uris"),
+            F.sum("nbytes").cast("long").alias("total_bytes"),
+            F.sum("pcheck").cast("long").alias("payload_check"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_WARC_ROUNDTRIP = f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(count(DISTINCT 'doc://' || CAST(doc_id AS VARCHAR)) AS BIGINT)
+         AS n_uris,
+       CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+       CAST(sum({hash60_sql('text')} % 1000000000000) AS BIGINT)
+         AS payload_check
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+QUERIES["warc_roundtrip"] = q_warc_roundtrip
+ORACLE_SQL["warc_roundtrip"] = SQL_WARC_ROUNDTRIP
+
+
 # ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
