@@ -152,6 +152,40 @@ def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.mapInPandas(_parse, READ_SCHEMA)
 
 
+def import_warc(spark: SparkSession, path_glob: str, store) -> int:
+    """Re-import WARC archives (as written by tools/export_warc.py)
+    into a crawl store's ``docs`` table and commit a manifest pinning
+    it — the "index a crawl archive" direction: after this,
+    ``SearchService(store)`` serves the imported corpus exactly as it
+    serves a crawled one (parity pinned end-to-end by
+    tests/test_warc.py::test_warc_import_search_parity).
+
+    The payload block is the span-sequence JSON (lossless post-parse
+    form) and the X-SE headers carry the crawl coordinates, so the
+    reconstructed docs table is row-equal to the exported one. Returns
+    the number of imported docs.
+    """
+    from ..corpus import SPANS_SCHEMA
+
+    parsed = read_warc(spark, path_glob)
+    m = F.col("meta")
+    docs = parsed.select(
+        m.getItem("url_md5").alias("url_md5"),
+        F.col("target_uri").alias("url"),
+        m.getItem("host").alias("host"),
+        m.getItem("shard").cast("int").alias("shard"),
+        m.getItem("round").cast("int").alias("round"),
+        m.getItem("seq_in_round").cast("int").alias("seq_in_round"),
+        F.from_json(F.col("payload").cast("string"), SPANS_SCHEMA).alias("spans"),
+    )
+    v = store.commit("docs", docs, meta={"kind": "warc-import", "src": path_glob})
+    imported = store.read("docs", v)
+    n = imported.count()
+    max_round = imported.agg(F.max("round")).collect()[0][0]
+    store.commit_manifest(int(max_round if max_round is not None else 0), {"docs": v})
+    return int(n)
+
+
 def warc_export(
     df: DataFrame,
     out_dir: str,
@@ -172,7 +206,10 @@ def warc_export(
     number of records written.
     """
     os.makedirs(out_dir, exist_ok=True)
-    cols = [key_col, uri_col, payload_col, *meta_cols]
+    # dedupe: meta_cols may repeat key/uri cols (the CLI carries url_md5
+    # both as the record key and as an X-SE header); a duplicate column
+    # in select() would make pandas itertuples mangle the field names
+    cols = list(dict.fromkeys([key_col, uri_col, payload_col, *meta_cols]))
     prepped = (
         df.select(*cols)
         .repartitionByRange(n_files, key_col)

@@ -76,6 +76,85 @@ def test_export_read_roundtrip(spark, tmp_path, compress):
     assert back.select("src_file").distinct().count() == 3
 
 
+def test_export_warc_cli_over_crawl_store(spark, tmp_path):
+    """End-to-end: seed+run a tiny crawl, export via the CLI main, read
+    the archives back, and verify the corpus and its ordering metadata
+    survived losslessly (payload = span JSON; X-SE headers = crawl
+    coordinates)."""
+    import json as J
+
+    from searchengine_spark.config import CrawlConfig
+    from searchengine_spark.corpus import raw_url_py
+    from searchengine_spark.plans.crawl import CrawlDriver
+    from tools.export_warc import main as export_main
+
+    root = str(tmp_path / "store")
+    out = str(tmp_path / "warc_out")
+    cfg = CrawlConfig(n_shards=2, per_shard_quota=4, max_doc=40)
+    driver = CrawlDriver(spark, root, cfg)
+    driver.seed([raw_url_py(i) for i in range(12)])
+    driver.run(2)
+    rc = export_main(
+        ["--store", root, "--out", out, "--n-files", "2"], spark=spark
+    )
+    assert rc == 0
+    back = W.read_warc(spark, f"{out}/*.warc.gz")
+    docs = driver.store.read(
+        "docs", driver.store.read_manifest()["versions"]["docs"]
+    )
+    want = {
+        r["url_md5"]: (r["url"], r["host"], r["round"], r["seq_in_round"], r["sj"])
+        for r in docs.select(
+            "url_md5", "url", "host", "round", "seq_in_round",
+            F.to_json("spans").alias("sj"),
+        ).collect()
+    }
+    got_rows = back.collect()
+    assert len(got_rows) == len(want) > 0
+    for r in got_rows:
+        key = r["meta"]["url_md5"]
+        url, host, rnd, seq, sj = want[key]
+        assert r["target_uri"] == url
+        assert r["record_id"] == key
+        assert (r["meta"]["host"], int(r["meta"]["round"]),
+                int(r["meta"]["seq_in_round"])) == (host, rnd, seq)
+        payload = bytes(r["payload"]).decode("utf-8")
+        assert payload == sj
+        J.loads(payload)  # re-importable spans JSON
+
+    # non-store path: clean exit 2, nothing written
+    rc2 = export_main(
+        ["--store", str(tmp_path / "nope"), "--out", str(tmp_path / "w2")],
+        spark=spark,
+    )
+    assert rc2 == 2
+
+    # ---- import direction: WARC -> fresh store -> search parity ----
+    from searchengine_spark.plans.index_pipeline import SearchService
+    from searchengine_spark.sources.statestore import TableStore
+
+    store_b = TableStore(spark, str(tmp_path / "store_b"))
+    n_imported = W.import_warc(spark, f"{out}/*.warc.gz", store_b)
+    assert n_imported == len(want)
+    # reconstructed docs table row-equal to the exported snapshot
+    cols = ["url_md5", "url", "host", "shard", "round", "seq_in_round"]
+    a_rows = {tuple(r) for r in docs.select(*cols, F.to_json("spans")).collect()}
+    b_rows = {
+        tuple(r)
+        for r in store_b.read("docs").select(*cols, F.to_json("spans")).collect()
+    }
+    assert a_rows == b_rows
+
+    svc_a = SearchService(driver.store)
+    svc_a.refresh()
+    svc_b = SearchService(store_b)
+    svc_b.refresh()
+    q = "page body"
+    res_a = [tuple(r) for r in svc_a.search(q, k=5).collect()]
+    res_b = [tuple(r) for r in svc_b.search(q, k=5).collect()]
+    assert res_a == res_b and len(res_a) > 0
+
+
 def test_export_bytes_deterministic(spark, tmp_path):
     def content_set(d):
         out = set()
