@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "search_phrase",
     "search_smallterm",
     "search_unmerged",
+    "search_batch",
     "media_features",
     "media_dedup",
     "events_asof",
@@ -70,6 +71,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "curation_funnel",
     "pack_stats",
+    "lm_perplexity",
     "text_stats",
     "events_window",
     "sessionize",

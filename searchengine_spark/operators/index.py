@@ -724,6 +724,81 @@ def _norm_postings(p: DataFrame) -> DataFrame:
     return p
 
 
+def search_weighted_batch(
+    postings: DataFrame,
+    queries: dict[str, list[str]],
+    docs_meta: DataFrame | None = None,
+    host_col: str = "host",
+    k: int = MAX_SHOW,
+    max_search: int = MAX_SEARCH,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Evaluate MANY queries against the dict in ONE action — the
+    amortization a serve-one-query-at-a-time engine structurally cannot
+    do (the reference re-walks its dict per request,
+    PageSearcher.cpp:400-440; a Spark search tier batches the request
+    log and pays the dict scan once per batch, not per query).
+
+    Two sharing levels, both in-plan:
+
+    * TERM sharing: the union of all queries' terms is tagged in one
+      ``_tagged_top2`` pass with a GLOBAL term index, so a term used by
+      five queries is boundary-expanded and top-2-reduced once, not
+      five times.
+    * PASS sharing: every per-query scoring branch hangs off one
+      doc-keyed exchange of the tagged-top2 frame, guarded by the same
+      fold-proof ``element_at(shuffle([true]),1)`` barrier as
+      :func:`shared_postings` (see CLAUDE.md trap: per-branch filter
+      pushdown below the exchange would break canonical-subtree reuse).
+      Every branch reads the same five columns — column pruning below
+      the exchange would likewise break reuse.
+
+    Per-query semantics are EXACTLY :func:`search_weighted` (main-dict
+    boundary expansion, PosRanks top-2, min-posdiff coRank, top-K, host
+    dedup) — pinned per query by
+    tests/test_index_pipeline.py::test_search_batch_matches_single.
+    Terms within one query must be distinct. Plan size grows linearly
+    with the batch (one scoring subplan per query): batches of
+    hundreds are fine; a request-log-scale tier (10^5+ queries/batch)
+    should instead join a queries TABLE against the tagged frame and
+    score with grouped aggregates.
+
+    Returns (query_id, doc_id, score, host?, n_more_from_host?) —
+    host columns only when docs_meta is given.
+    """
+    postings = _norm_postings(postings)
+    g_idx: dict[str, int] = {}
+    for terms in queries.values():
+        if len(set(terms)) != len(terms):
+            raise ValueError("terms within one query must be distinct")
+        for t in terms:
+            g_idx.setdefault(t, len(g_idx))
+    idx_terms = [(i, t) for t, i in g_idx.items()]
+    top2 = _tagged_top2(postings, idx_terms, max_search)
+    barrier = F.element_at(F.shuffle(F.array(F.lit(True))), 1)
+    shared = top2.repartition(n_parts, "doc_id").where(barrier)
+    branches = []
+    for qid in sorted(queries):
+        terms = queries[qid]
+        gidxs = [g_idx[t] for t in terms]
+        piv = _pivot_top2(shared.where(F.col("_ti").isin(gidxs)), gidxs)
+        local = piv.select(
+            "doc_id",
+            *[
+                c
+                for i, g in enumerate(gidxs)
+                for c in (
+                    F.col(f"trank_{g}").alias(f"trank_{i}"),
+                    F.col(f"p{g}a").alias(f"p{i}a"),
+                    F.col(f"p{g}b").alias(f"p{i}b"),
+                )
+            ],
+        )
+        res = _score_joined(local, len(terms), k, docs_meta, host_col)
+        branches.append(res.select(F.lit(qid).alias("query_id"), "*"))
+    return reduce(lambda a, b: a.unionByName(b), branches)
+
+
 def _score_joined(
     joined: DataFrame,
     n: int,

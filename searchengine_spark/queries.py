@@ -33,6 +33,7 @@ from searchengine_spark.functions.urls import (
 from searchengine_spark.operators import dedup as DD
 from searchengine_spark.operators import frontier as FR
 from searchengine_spark.operators import index as IX
+from searchengine_spark.operators import lm as LM
 from searchengine_spark.operators import multimodal as MM
 from searchengine_spark.operators import pagerank as PR
 from searchengine_spark.operators import similarity as SIM
@@ -836,9 +837,9 @@ SELECT term, doc_id, pos, rank FROM wpostings ORDER BY term, doc_id
 )
 
 
-def _top2_sql(src: str, idx: int) -> str:
+def _top2_sql(src: str, idx: int, prefix: str = "") -> str:
     return f"""
-  k{idx} AS (
+  {prefix}k{idx} AS (
     SELECT doc_id, sum(rank) AS trank_{idx},
            min(CASE WHEN rn = 1 THEN pos END) AS p{idx}a,
            min(CASE WHEN rn = 2 THEN pos END) AS p{idx}b
@@ -1527,6 +1528,50 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Model-based quality scoring (the CCNet recipe, here self-scored:
+    fit the bigram LM on the corpus, score every doc's NLL under it —
+    outlier docs surface as the high-avg_nll_e6 tail). Exact BIGINT
+    micro-nats end-to-end: the per-bigram logprob is floored to e6
+    BEFORE the per-doc sum, so both engines sum identical integers."""
+    d = _docs(spark, sf_dir)
+    model = LM.fit_bigram_lm(d)
+    return LM.score_bigram_lm(d, model).orderBy("doc_id")
+
+
+SQL_LM_PERPLEXITY = """
+WITH lm_d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+  FROM documents
+),
+lm_bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> {'a': ws[i], 'b': ws[i + 1]})) AS p
+  FROM lm_d WHERE len(ws) >= 2
+),
+lm_bge AS (SELECT doc_id, p.a AS a, p.b AS b FROM lm_bg),
+lm_ctx AS (SELECT a, count(*) AS c_a FROM lm_bge GROUP BY a),
+lm_pair AS (SELECT a, b, count(*) AS c_ab FROM lm_bge GROUP BY a, b),
+lm_v AS (SELECT count(DISTINCT w) AS vsz
+         FROM (SELECT unnest(ws) AS w FROM lm_d)),
+lm_scored AS (
+  SELECT g.doc_id,
+         CAST(floor(1e6 * ln(CAST(p.c_ab + 1 AS DOUBLE) / (c.c_a + v.vsz)))
+              AS BIGINT) AS lp
+  FROM lm_bge g
+  JOIN lm_pair p USING (a, b)
+  JOIN lm_ctx c USING (a)
+  CROSS JOIN lm_v v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(-sum(lp) AS BIGINT) AS nll_e6,
+       CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_e6
+FROM lm_scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -1770,6 +1815,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "lm_perplexity": q_lm_perplexity,
     "fingerprint": q_fingerprint,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -1805,6 +1851,7 @@ ORACLE_SQL = {
     # ann_lsh: rows-only (pandas-UDF hyperplanes; recall tested vs brute force)
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
     "fingerprint": SQL_FINGERPRINT,
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,
@@ -2205,6 +2252,92 @@ SELECT doc_id, score FROM j ORDER BY score DESC, doc_id LIMIT 50
 
 QUERIES["search_unmerged"] = q_search_unmerged
 ORACLE_SQL["search_unmerged"] = SQL_SEARCH_UNMERGED
+
+# One batch = one dict evaluation; terms deliberately OVERLAP across
+# queries (join/sort/batch each serve 2-3 queries) so the driver pins
+# the term-sharing path, and lengths span 1/2/3 terms so the generic
+# per-query scoring remap is exercised at every arity in the catalog.
+BATCH_SEARCH = {
+    "q1_joinsort": ["join", "sort"],  # == search_2term, batch-evaluated
+    "q2_sortbatch": ["sort", "batch"],
+    "q3_scan": ["scan"],
+    "q4_three": ["join", "sort", "batch"],  # == search_3term
+}
+
+
+def q_search_batch(spark, sf_dir):
+    """Batched multi-query search: four queries with overlapping terms
+    answered in ONE action over ONE dict evaluation
+    (IX.search_weighted_batch) — per-query semantics identical to
+    search_2term/search_3term (the q1/q4 arms ARE those queries, plus
+    a query_id column). The serve-one-query reference re-walks its
+    dict per request (PageSearcher.cpp:400-440); a batch tier pays the
+    dict scan once."""
+    docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
+    p = _wpostings_blocks(spark, sf_dir, sorted_output=False)
+    return IX.search_weighted_batch(p, BATCH_SEARCH, docs_meta, k=50).orderBy(
+        "query_id", F.desc("score"), "doc_id"
+    )
+
+
+def _search_batch_sql(queries: dict[str, list[str]], k: int = 50) -> str:
+    """DuckDB twin of search_weighted_batch: one shared wpostings CTE,
+    one qid-namespaced copy of the _search_sql scoring chain per query,
+    arms UNION ALL'd under a query_id literal."""
+    parts, arms = [], []
+    for qid in sorted(queries):
+        terms = queries[qid]
+        n = len(terms)
+        p = qid
+        for i, t in enumerate(terms):
+            parts.append(
+                f"{p}_t{i} AS (SELECT * FROM wpostings "
+                f"WHERE {IX.expand_word_term_sql(t)})"
+            )
+        parts += [_top2_sql(f"{p}_t{i}", i, prefix=f"{p}_") for i in range(n)]
+        joins = " JOIN ".join(
+            [f"{p}_k0"] + [f"{p}_k{i} USING (doc_id)" for i in range(1, n)]
+        )
+        sum_rank = " + ".join(f"trank_{i}" for i in range(n))
+        co = " * ".join(
+            f"greatest(power(0.9, {_min_posdiff_sql(i, i + 1)} - 1), 1e-6)"
+            for i in range(n - 1)
+        ) or "1.0"
+        parts.append(
+            f"{p}_j AS (SELECT {p}_k0.doc_id, round(({sum_rank}) * {co}, 6) "
+            f"AS score FROM {joins})"
+        )
+        parts.append(
+            f"{p}_top AS (SELECT doc_id, score FROM {p}_j "
+            f"ORDER BY score DESC, doc_id LIMIT {k})"
+        )
+        parts.append(
+            f"{p}_wh AS (SELECT t.doc_id, t.score, d.source AS host "
+            f"FROM {p}_top t JOIN documents d ON d.doc_id = t.doc_id)"
+        )
+        parts.append(
+            f"{p}_dd AS (SELECT *, ROW_NUMBER() OVER "
+            f"(PARTITION BY host ORDER BY score DESC, doc_id) rn, "
+            f"COUNT(*) OVER (PARTITION BY host) AS nh FROM {p}_wh)"
+        )
+        arms.append(
+            f"SELECT '{p}' AS query_id, doc_id, score, host, "
+            f"(nh - 1) AS n_more_from_host FROM {p}_dd WHERE rn = 1"
+        )
+    return (
+        "WITH "
+        + WEIGHTED_CTES
+        + ","
+        + ",".join(parts)
+        + "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(arms)
+        + "\n) ORDER BY query_id, score DESC, doc_id\n"
+    )
+
+
+SQL_SEARCH_BATCH = _search_batch_sql(BATCH_SEARCH)
+QUERIES["search_batch"] = q_search_batch
+ORACLE_SQL["search_batch"] = SQL_SEARCH_BATCH
 
 QUERIES["weighted_postings"] = q_weighted_postings
 ORACLE_SQL["weighted_postings"] = SQL_WEIGHTED_POSTINGS

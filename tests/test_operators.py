@@ -814,3 +814,84 @@ def test_semdedup_clones_share_cluster_and_match_lsh(spark):
         for r in aug.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).collect()
     }
     assert clones <= sd_pairs
+
+
+def test_search_weighted_batch_matches_single(spark):
+    """Every arm of a batched search returns exactly the single-query
+    search_weighted rows (plus query_id) — term sharing and the
+    shared-pass barrier must not change any score, host dedup, or
+    AND semantics — and the fold-proof barrier survives optimization
+    (same Spark-version coupling as shared_postings, see CLAUDE.md)."""
+    p = spark.createDataFrame(
+        [
+            ("alpha", "d1", 10, 0.5), ("beta", "d1", 12, 0.3),
+            ("alpha", "d2", 1, 0.4), ("beta", "d2", 9, 0.2),
+            ("gamma", "d2", 3, 0.6), ("alpha", "d3", 5, 0.7),
+            ("gamma", "d3", 6, 0.1), ("beta", "d4", 2, 0.9),
+        ],
+        "term string, doc_id string, pos int, rank double",
+    )
+    meta = spark.createDataFrame(
+        [("d1", "h1"), ("d2", "h1"), ("d3", "h2"), ("d4", "h3")],
+        "doc_id string, host string",
+    )
+    queries = {
+        "ab": ["alpha", "beta"],
+        "ag": ["alpha", "gamma"],
+        "b": ["beta"],
+        "abg": ["alpha", "beta", "gamma"],
+    }
+    batch = IX.search_weighted_batch(p, queries, meta, k=10)
+    by_q: dict = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], set()).add(
+            (r["doc_id"], r["score"], r["host"], r["n_more_from_host"])
+        )
+    for qid, terms in queries.items():
+        single = {
+            (r["doc_id"], r["score"], r["host"], r["n_more_from_host"])
+            for r in IX.search_weighted(p, terms, meta, k=10).collect()
+        }
+        assert single, qid  # non-vacuous fixture: every arm has hits
+        assert by_q.get(qid, set()) == single, qid
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "shuffle(" in plan, (
+        "search_weighted_batch's doc-keyed barrier was optimized away — "
+        "every per-query scoring branch re-evaluates the tagged-top2 "
+        "pass (batch search degrades to q independent dict scans)"
+    )
+    with pytest.raises(ValueError):
+        IX.search_weighted_batch(p, {"bad": ["alpha", "alpha"]})
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Hand-computed add-one bigram NLL: counts, smoothing denominator,
+    per-bigram e6 floor, integer sum and integer-division average all
+    pinned on a 2-doc fixture."""
+    from searchengine_spark.operators import lm as LMO
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b a")], "doc_id int, text string"
+    )
+    model = LMO.fit_bigram_lm(docs)
+    pair = {(r["a"], r["b"]): r["c_ab"] for r in model.pair_counts.collect()}
+    ctx = {r["a"]: r["c_a"] for r in model.ctx_counts.collect()}
+    assert pair == {("a", "b"): 1, ("b", "a"): 2}
+    assert ctx == {"a": 1, "b": 2}
+    assert model.vocab.collect()[0]["vsz"] == 2
+
+    got = {r["doc_id"]: r for r in LMO.score_bigram_lm(docs, model).collect()}
+    # d1: (a,b) P=2/3 -> floor(1e6*ln(2/3)) = -405466
+    #     (b,a) P=3/4 -> floor(1e6*ln(3/4)) = -287683
+    assert got[1]["n_bigrams"] == 2
+    assert got[1]["nll_e6"] == 405466 + 287683
+    assert got[1]["avg_nll_e6"] == (405466 + 287683) // 2
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["nll_e6"] == 287683
+
+    # train/score split: unseen pair AND unseen context take the
+    # smoothed 1/(0+V) path through the left joins
+    target = spark.createDataFrame([(3, "c a"), (4, "x")], "doc_id int, text string")
+    sc = {r["doc_id"]: r for r in LMO.score_bigram_lm(target, model).collect()}
+    assert sc[3]["nll_e6"] == 693148  # -floor(1e6*ln(1/2))
+    assert 4 not in sc  # single-token doc: no bigrams, absent by contract
