@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "events_quantiles",
     "quantile_hist",
     "distinct_sketch",
+    "heavy_hitters",
     "priority_sample",
     "warc_roundtrip",
     "decontaminate",

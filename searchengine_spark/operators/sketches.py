@@ -350,6 +350,183 @@ def hist_quantiles(
     )
 
 
+# ------------------------------------------------------- heavy hitters
+
+
+def topk_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    item: Column | str,
+    t: int = 8,
+    n_cells: int = DEFAULT_CELLS,
+) -> DataFrame:
+    """Deterministic mergeable heavy-hitters summary — the fourth
+    member of the mergeable family (distinct → KMV, quantiles →
+    histogram, subset-sums → priority sample, frequent items → this).
+
+    Classic Misra-Gries/SpaceSaving state depends on stream ORDER, so
+    it can never be oracle-pinned layout-free. This form is
+    deterministic by the same trick as the other sketches: cell =
+    hash60(item) mod n_cells partitions the ITEM space, so an item's
+    entire count lands in exactly one cell — per-cell counts are exact
+    global counts, and the summary keeps each cell's top-t by
+    (cnt DESC, item ASC) plus ``bound`` = the cell's (t+1)-th count
+    (0 when the cell holds ≤ t items). Soundness: any item ABSENT from
+    the summary has true count ≤ its cell's bound.
+
+    Spark shape: one map-side-combined exact count keyed
+    (group, item) — the same first shuffle an exact top-k pays — then
+    a tiny per-(group, cell) fold; per-reduce-cell memory is bounded
+    by distinct/n_cells. The sketch's value is downstream: state is
+    ≤ n_cells·t rows per group FOREVER, and cross-round merging
+    (:func:`topk_merge`) never rescans the corpus — the incremental
+    "top hosts / top terms per round" shape (the reference keeps exact
+    per-host counters in PendDB for its top-hosts report, which is the
+    one-box answer this replaces at 10^12 keys).
+
+    Returns group_cols + [cell, items: array<struct<item,lo,hi>>,
+    bound]; lo = hi = exact count for a fresh sketch (they diverge
+    only after merges, where an absent side contributes its bound to
+    hi).
+    """
+    c = (F.col(item) if isinstance(item, str) else item).cast("string")
+    cnts = (
+        df.select(*group_cols, c.alias("_it"))
+        .groupBy(*group_cols, "_it")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    entry = F.struct(
+        (-F.col("_cnt")).alias("nc"), F.col("_it").alias("item"), F.col("_cnt").alias("cnt")
+    )
+    cells = cnts.groupBy(
+        *group_cols, F.pmod(hash60(F.col("_it")), F.lit(n_cells)).alias("cell")
+    ).agg(F.slice(F.array_sort(F.collect_list(entry)), 1, t + 1).alias("_top"))
+    bound = (
+        F.when(F.size("_top") == t + 1, F.element_at("_top", t + 1).getField("cnt"))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    items = F.transform(
+        F.slice("_top", 1, t),
+        lambda e: F.struct(
+            e.getField("item").alias("item"),
+            e.getField("cnt").alias("lo"),
+            e.getField("cnt").alias("hi"),
+        ),
+    )
+    return cells.select(*group_cols, "cell", items.alias("items"), bound.alias("bound"))
+
+
+def topk_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], t: int = 8
+) -> DataFrame:
+    """Merge two heavy-hitters summaries (e.g. two crawl rounds).
+
+    Per (group, cell): lo counts ADD where present (each side's lo is
+    a true lower bound of that side's count); an item absent from one
+    side contributes that side's BOUND to hi (it may have been
+    truncated there with up to bound occurrences). Re-truncate to
+    top-t by (lo DESC, item ASC); the merged bound is
+    max(bound_a + bound_b, max dropped hi) so the absence guarantee
+    survives: any item not in the merged summary has true total
+    ≤ merged bound. Associative and closed like the other merges.
+    """
+    key = [*group_cols, "cell"]
+    ea = a.select(*key, F.col("bound").alias("_ba"), F.explode("items").alias("e")).select(
+        *key, "_ba", F.col("e.item").alias("item"),
+        F.col("e.lo").alias("_loa"), F.col("e.hi").alias("_hia"),
+    )
+    eb = b.select(*key, F.col("bound").alias("_bb"), F.explode("items").alias("e")).select(
+        *key, "_bb", F.col("e.item").alias("item"),
+        F.col("e.lo").alias("_lob"), F.col("e.hi").alias("_hib"),
+    )
+    bounds = (
+        a.select(*key, F.col("bound").alias("ba"))
+        .join(b.select(*key, F.col("bound").alias("bb")), key, "full_outer")
+        .select(
+            *key,
+            F.coalesce("ba", F.lit(0)).alias("ba"),
+            F.coalesce("bb", F.lit(0)).alias("bb"),
+        )
+    )
+    merged = (
+        ea.drop("_ba")
+        .join(eb.drop("_bb"), [*key, "item"], "full_outer")
+        .join(bounds, key, "left")
+        .select(
+            *key,
+            "item",
+            (F.coalesce("_loa", F.lit(0)) + F.coalesce("_lob", F.lit(0))).alias("lo"),
+            (
+                F.coalesce("_hia", F.col("ba")) + F.coalesce("_hib", F.col("bb"))
+            ).alias("hi"),
+        )
+    )
+    entry = F.struct(
+        (-F.col("lo")).alias("nl"), F.col("item").alias("item"),
+        F.col("lo").alias("lo"), F.col("hi").alias("hi"),
+    )
+    folded = merged.groupBy(*key).agg(
+        F.array_sort(F.collect_list(entry)).alias("_all")
+    ).join(bounds, key, "left")
+    kept = F.transform(
+        F.slice("_all", 1, t),
+        lambda e: F.struct(
+            e.getField("item").alias("item"),
+            e.getField("lo").alias("lo"),
+            e.getField("hi").alias("hi"),
+        ),
+    )
+    dropped_hi = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.slice(
+                    "_all", t + 1, F.greatest(F.size("_all") - t, F.lit(0))
+                ),
+                lambda e: e.getField("hi"),
+            )
+        ),
+        F.lit(0),
+    )
+    new_bound = F.greatest(F.col("ba") + F.col("bb"), dropped_hi).cast("long")
+    return folded.select(
+        *group_cols, "cell", kept.alias("items"), new_bound.alias("bound")
+    )
+
+
+def topk_estimate(
+    sketch: DataFrame, group_cols: list[str], k: int = 10
+) -> DataFrame:
+    """Fold a summary's cells into per-group top-k rows:
+    (group, rank, item, cnt_lo, cnt_hi, miss_bound) — rank by
+    (lo DESC, item ASC); miss_bound = max cell bound, the sound cap on
+    any item NOT shown. All outputs integer (oracle-exact)."""
+    entry = F.struct(
+        (-F.col("e.lo")).alias("nl"),
+        F.col("e.item").alias("item"),
+        F.col("e.lo").alias("lo"),
+        F.col("e.hi").alias("hi"),
+    )
+    ex = sketch.select(*group_cols, "bound", F.explode("items").alias("e"))
+    folded = ex.groupBy(*group_cols).agg(
+        F.slice(F.array_sort(F.collect_list(entry)), 1, k).alias("_top"),
+        F.max("bound").alias("miss_bound"),
+    )
+    out = folded.select(
+        *group_cols,
+        "miss_bound",
+        F.posexplode("_top").alias("_pos", "_e"),
+    )
+    return out.select(
+        *group_cols,
+        (F.col("_pos") + 1).cast("long").alias("rank"),
+        F.col("_e.item").alias("item"),
+        F.col("_e.lo").alias("cnt_lo"),
+        F.col("_e.hi").alias("cnt_hi"),
+        F.col("miss_bound").cast("long").alias("miss_bound"),
+    )
+
+
 # ---------------------------------------------------------------- py twin
 
 
@@ -421,6 +598,38 @@ def hist_quantiles_py(
     return out
 
 
+def topk_sketch_py(
+    values, t: int = 8, n_cells: int = DEFAULT_CELLS
+) -> dict[int, tuple[list[tuple[str, int, int]], int]]:
+    """Pure twin: cell -> ([(item, lo, hi)] top-t by (cnt DESC, item),
+    bound = the cell's (t+1)-th count or 0)."""
+    from collections import Counter
+
+    cnt = Counter(str(v) for v in values)
+    cells: dict[int, list] = {}
+    for it, c in cnt.items():
+        cells.setdefault(hash60_py(it) % n_cells, []).append((-c, it, c))
+    out = {}
+    for cell, lst in cells.items():
+        lst.sort()
+        bound = lst[t][2] if len(lst) > t else 0
+        out[cell] = ([(it, c, c) for _nc, it, c in lst[:t]], bound)
+    return out
+
+
+def topk_estimate_py(sketch: dict, k: int = 10) -> list[tuple]:
+    """Pure twin of topk_estimate: [(rank, item, lo, hi, miss_bound)]."""
+    flat = sorted(
+        (-lo, it, lo, hi)
+        for items, _b in sketch.values()
+        for it, lo, hi in items
+    )
+    mb = max((b for _items, b in sketch.values()), default=0)
+    return [
+        (r + 1, it, lo, hi, mb) for r, (_nl, it, lo, hi) in enumerate(flat[:k])
+    ]
+
+
 def kmv_set_estimates_py(ka: list[int], kb: list[int], k: int = DEFAULT_K) -> dict:
     import math
 
@@ -460,4 +669,9 @@ __all__ = [
     "kmv_merge_py",
     "kmv_estimate_py",
     "kmv_set_estimates_py",
+    "topk_sketch",
+    "topk_merge",
+    "topk_estimate",
+    "topk_sketch_py",
+    "topk_estimate_py",
 ]

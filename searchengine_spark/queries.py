@@ -3036,6 +3036,66 @@ QUERIES["distinct_sketch"] = q_distinct_sketch
 ORACLE_SQL["distinct_sketch"] = SQL_DISTINCT_SKETCH
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Deterministic mergeable heavy-hitters (operators/sketches.
+    topk_sketch): top-10 words per document language with exact counts
+    for kept items and a sound miss_bound for everything truncated.
+    t=4 over 4 hash cells against a ~30-word vocabulary forces real
+    per-cell truncation at both driver SFs, so the oracle pins the
+    estimator branch (nonzero bound), not just exact pass-through."""
+    from searchengine_spark.operators import sketches as SK
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .where(F.length("w") > 0)
+    )
+    sk = SK.topk_sketch(toks, ["lang"], "w", t=4, n_cells=4)
+    return SK.topk_estimate(sk, ["lang"], k=10).orderBy("lang", "rank")
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH hh_tok AS (
+  SELECT lang, w FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) > 0
+),
+hh_cnt AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM hh_tok GROUP BY 1, 2
+),
+hh_rn AS (
+  SELECT lang, w, cnt, {hash60_sql('w')} % 4 AS cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, {hash60_sql('w')} % 4
+           ORDER BY cnt DESC, w) AS rn
+  FROM hh_cnt
+),
+hh_bound AS (
+  SELECT lang, cell,
+         CAST(coalesce(max(CASE WHEN rn = 5 THEN cnt END), 0) AS BIGINT)
+           AS bound
+  FROM hh_rn GROUP BY 1, 2
+),
+hh_mb AS (
+  SELECT lang, CAST(max(bound) AS BIGINT) AS miss_bound
+  FROM hh_bound GROUP BY 1
+),
+hh_glob AS (
+  SELECT lang, w, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS rank
+  FROM hh_rn WHERE rn <= 4
+)
+SELECT g.lang, CAST(g.rank AS BIGINT) AS rank, g.w AS item,
+       g.cnt AS cnt_lo, g.cnt AS cnt_hi, m.miss_bound
+FROM hh_glob g JOIN hh_mb m USING (lang)
+WHERE g.rank <= 10
+ORDER BY lang, rank
+"""
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+ORACLE_SQL["heavy_hitters"] = SQL_HEAVY_HITTERS
+
+
 def q_sketch_set_ops(spark, sf_dir):
     """Theta-style set-operation estimates between per-type KMV
     sketches (operators/sketches.kmv_set_estimates): overlap of

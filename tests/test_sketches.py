@@ -272,3 +272,73 @@ def test_plan_shape_two_shuffles_no_collect(spark):
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 3  # cell agg + group fold (+AQE reads)
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def _hh_stream(spec):
+    """spec: {item: count} -> flat list of occurrences."""
+    out = []
+    for it, c in spec.items():
+        out.extend([it] * c)
+    return out
+
+
+def test_topk_sketch_exact_kept_and_sound_bound(spark):
+    """Kept items carry EXACT global counts (an item's whole count
+    lives in one hash cell); every truncated item's true count is
+    <= miss_bound; Spark == pure-py twin row-for-row; layout-free."""
+    spec = {f"w{i}": 50 - i for i in range(20)}  # 20 items, 50..31
+    rows = [("g", v) for v in _hh_stream(spec)]
+    df = spark.createDataFrame(rows, "grp string, it string").repartition(7)
+    t, n_cells, k = 3, 4, 8
+    sk = SK.topk_sketch(df, ["grp"], "it", t=t, n_cells=n_cells)
+    est = SK.topk_estimate(sk, ["grp"], k=k).collect()
+    got = [(r["rank"], r["item"], r["cnt_lo"], r["cnt_hi"], r["miss_bound"]) for r in est]
+    want = SK.topk_estimate_py(SK.topk_sketch_py(_hh_stream(spec), t=t, n_cells=n_cells), k=k)
+    assert got == want
+    kept = {r["item"] for r in est}
+    mb = est[0]["miss_bound"]
+    for r in est:
+        assert r["cnt_lo"] == r["cnt_hi"] == spec[r["item"]]  # exact
+    for it, c in spec.items():
+        if it not in kept and c > mb:
+            # only rank-k truncation (not cell truncation) may drop it;
+            # then an equal-or-larger kept item must exist beyond rank
+            assert c <= min(r["cnt_lo"] for r in est), it
+    # layout independence
+    est2 = SK.topk_estimate(
+        SK.topk_sketch(df.repartition(13), ["grp"], "it", t=t, n_cells=n_cells),
+        ["grp"], k=k,
+    ).collect()
+    assert [tuple(r) for r in est2] == [tuple(r) for r in est]
+
+
+def test_topk_merge_soundness_and_identification(spark):
+    """Merging two rounds' summaries: every kept item's true union
+    count lies in [lo, hi]; any item with true count > miss_bound is
+    guaranteed present; bounds add across merges."""
+    spec_a = {"big": 40, "x1": 9, "x2": 8, "x3": 7, "x4": 6, "x5": 5, "y1": 4}
+    spec_b = {"big": 35, "x1": 10, "z1": 9, "z2": 8, "z3": 7, "y1": 6, "x9": 2}
+    true = {k: spec_a.get(k, 0) + spec_b.get(k, 0) for k in {*spec_a, *spec_b}}
+    t, n_cells = 2, 2
+    mk = lambda spec: SK.topk_sketch(  # noqa: E731
+        spark.createDataFrame(
+            [("g", v) for v in _hh_stream(spec)], "grp string, it string"
+        ),
+        ["grp"], "it", t=t, n_cells=n_cells,
+    )
+    merged = SK.topk_merge(mk(spec_a), mk(spec_b), ["grp"], t=t)
+    est = SK.topk_estimate(merged, ["grp"], k=10).collect()
+    assert est, "merged summary empty"
+    mb = est[0]["miss_bound"]
+    kept = {}
+    for r in est:
+        kept[r["item"]] = (r["cnt_lo"], r["cnt_hi"])
+        assert r["cnt_lo"] <= true[r["item"]] <= r["cnt_hi"], r["item"]
+    for it, c in true.items():
+        if c > mb:
+            assert it in kept, f"{it} (true {c} > miss_bound {mb}) missing"
+    # the heavy item is identified with a nontrivial lower bound
+    assert "big" in kept and kept["big"][0] == true["big"]
