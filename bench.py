@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "search_smallterm",
     "search_unmerged",
     "search_batch",
+    "search_batch_joined",
     "media_features",
     "media_dedup",
     "events_asof",
@@ -72,6 +73,7 @@ BENCH_QUERIES = [
     "pii_redact",
     "curation_funnel",
     "pack_stats",
+    "mixture_budget",
     "lm_perplexity",
     "text_stats",
     "events_window",

@@ -42,6 +42,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from searchengine_spark.functions.hashes import hash60, hash60_sql
+from searchengine_spark.functions.text import (
+    quality_score_expr,
+    quality_score_sql,
+    token_count_expr,
+)
 
 # decontamination.  N=3 is the test-scale default: the synthetic corpus
 # draws from a ~20-word vocabulary, so 3-grams give a substantive overlap
@@ -476,3 +481,141 @@ SELECT source, {_split_sql('doc_id')} AS split,
 FROM documents
 GROUP BY source, {_split_sql('doc_id')}
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture assembly
+# ---------------------------------------------------------------------------
+
+# hash60(source,'mix') % 4 -> budget multiplier (test-scale defaults;
+# production passes an explicit budgets table). 0.25/0.6 exercise
+# downsampling, 1.0 the exact-fit edge, 2.5 multi-epoch upsampling.
+MIX_MULTS = [0.25, 0.6, 1.0, 2.5]
+QLEVEL_SCALE = 10_000  # quality_score is 4-dp-rounded; ×1e4 is exact
+
+
+def mixture_assign(docs: DataFrame, budgets: DataFrame | None = None) -> DataFrame:
+    """Assemble a training mixture against per-source TOKEN budgets:
+    every doc gets an integer epoch count (0 = dropped), filled in
+    quality order — the "mixture weights" step that turns a curated
+    corpus into an actual pretraining data recipe (each source sampled
+    up or down to its target share).
+
+    Deterministic, engine-portable rule (selection unit = quality
+    LEVEL, the 4-dp quality score × 1e4):
+
+    * ``n_full = budget div total_tokens`` epochs go to EVERY doc of
+      the source (multi-epoch upsampling when budget > available);
+    * the remainder ``budget mod total_tokens`` is filled by whole
+      quality levels from the top: a level gets the extra epoch iff
+      the level-token cumsum BEFORE it is < the remainder (the
+      crossing level is included, so realized ≥ budget and the
+      overshoot is < one level's tokens).
+
+    Doc-exact prefix selection would need a per-source cumsum over
+    every doc — a skewed single-task window at corpus scale. Level
+    granularity makes the cumsum run over the tiny (source × ≤1e4
+    levels) aggregate instead: two map-side-combined groupBys, one
+    window over the level table, one broadcast join back to docs. The
+    realized-vs-budget error bound (one level) is the price, stated
+    not hidden.
+
+    ``budgets``: optional (source, budget_tokens) table; defaults to
+    ``floor(MIX_MULTS[hash60(source,'mix') % 4] × total_tokens)`` so
+    tests and oracles are self-contained.
+
+    Returns (doc_id, source, tokens, qlevel, budget_tokens, n_epochs).
+    """
+    base = docs.select(
+        "doc_id",
+        "source",
+        token_count_expr("text").cast("long").alias("tokens"),
+        F.round(quality_score_expr("text") * QLEVEL_SCALE, 0)
+        .cast("long")
+        .alias("qlevel"),
+    )
+    levels = base.groupBy("source", "qlevel").agg(F.sum("tokens").alias("ltok"))
+    totals = levels.groupBy("source").agg(F.sum("ltok").alias("ttok"))
+    if budgets is None:
+        mult = F.element_at(
+            F.array(*[F.lit(m) for m in MIX_MULTS]),
+            (hash60(F.col("source"), "mix") % 4).cast("int") + 1,
+        )
+        budgets = totals.select(
+            "source",
+            F.floor(mult * F.col("ttok")).cast("long").alias("budget_tokens"),
+        )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("qlevel"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rule = (
+        levels.join(totals, "source")
+        .join(budgets, "source")
+        .withColumn("cum_before", F.coalesce(F.sum("ltok").over(w), F.lit(0)))
+        .select(
+            "source",
+            "qlevel",
+            "budget_tokens",
+            F.expr("budget_tokens div ttok").alias("n_full"),
+            (
+                F.col("cum_before") < F.col("budget_tokens") % F.col("ttok")
+            ).alias("_extra"),
+        )
+    )
+    return base.join(F.broadcast(rule), ["source", "qlevel"]).select(
+        "doc_id",
+        "source",
+        "tokens",
+        "qlevel",
+        "budget_tokens",
+        (F.col("n_full") + F.col("_extra").cast("long")).alias("n_epochs"),
+    )
+
+
+def mixture_assign_sql(docs_rel: str = "documents") -> str:
+    """CTE-body twin of :func:`mixture_assign` (per-doc rows, default
+    derived budgets): a flat chain ending in ``mx_doc`` — caller
+    prepends ``WITH`` and selects from ``mx_doc``. DuckDB ``//`` is
+    the BIGINT twin of Spark's ``div``; integer SUMs are BIGINT-cast
+    per the oracle casting rule."""
+    toks = "CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)"
+    qlev = f"CAST(round(({quality_score_sql('text')}) * {QLEVEL_SCALE}, 0) AS BIGINT)"
+    mults = "[" + ", ".join(str(m) for m in MIX_MULTS) + "]"
+    return f"""
+mx_base AS (
+  SELECT doc_id, source, {toks} AS tokens, {qlev} AS qlevel
+  FROM {docs_rel}
+),
+mx_levels AS (
+  SELECT source, qlevel, CAST(sum(tokens) AS BIGINT) AS ltok
+  FROM mx_base GROUP BY source, qlevel
+),
+mx_tot AS (
+  SELECT source, CAST(sum(ltok) AS BIGINT) AS ttok FROM mx_levels GROUP BY source
+),
+mx_budget AS (
+  SELECT source,
+         CAST(floor(list_extract({mults},
+                CAST({hash60_sql('source', 'mix')} % 4 AS INT) + 1) * ttok)
+              AS BIGINT) AS budget_tokens
+  FROM mx_tot
+),
+mx_rule AS (
+  SELECT l.source, l.qlevel, b.budget_tokens,
+         b.budget_tokens // t.ttok AS n_full,
+         CASE WHEN COALESCE(SUM(l.ltok) OVER (
+                PARTITION BY l.source ORDER BY l.qlevel DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              < b.budget_tokens % t.ttok
+              THEN 1 ELSE 0 END AS extra
+  FROM mx_levels l
+  JOIN mx_tot t USING (source)
+  JOIN mx_budget b USING (source)
+),
+mx_doc AS (
+  SELECT d.doc_id, d.source, d.tokens, d.qlevel, r.budget_tokens,
+         CAST(r.n_full + r.extra AS BIGINT) AS n_epochs
+  FROM mx_base d JOIN mx_rule r ON d.source = r.source AND d.qlevel = r.qlevel
+)"""

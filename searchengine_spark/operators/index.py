@@ -799,6 +799,189 @@ def search_weighted_batch(
     return reduce(lambda a, b: a.unionByName(b), branches)
 
 
+def queries_table(spark, queries: dict[str, list[str]]) -> DataFrame:
+    """Request-log shape for :func:`search_batch_joined`: one row per
+    (query_id, q_pos, term). Enforces the within-query distinct-terms
+    contract driver-side (same rule as search_weighted_batch; the
+    joined form cannot cheaply detect it in-plan)."""
+    rows = []
+    for qid in sorted(queries):
+        terms = queries[qid]
+        if len(set(terms)) != len(terms):
+            raise ValueError("terms within one query must be distinct")
+        rows += [(qid, i, t) for i, t in enumerate(terms)]
+    return spark.createDataFrame(rows, "query_id string, q_pos int, term string")
+
+
+# Boundary-prefix key generation (posting side): a dict word w matches
+# query term t under DictWord::cmp's prefix+boundary rule
+# (SearchEngine.h:389-415) iff t == w, OR t is a prefix of w and the
+# char after t is outside [a-z]. Inverted: the ONLY query terms w can
+# match are w's own boundary prefixes — w[:i] for every i whose next
+# char is non-[a-z] (the empty next char at i = len(w) compares < 'a',
+# covering equality). Emitting those keys turns the per-term literal
+# scan into an equi-join. Expansion factor = 1 + (# non-[a-z] chars in
+# w): exactly 1 for a plain lowercase word, ~2-3 for '.'-folded terms.
+_BOUNDARY_PREFIXES = (
+    "transform("
+    " filter(sequence(1, length(term)),"
+    "  i -> substring(term, i + 1, 1) < 'a' or substring(term, i + 1, 1) > 'z'),"
+    " i -> substring(term, 1, i))"
+)
+
+
+def search_batch_joined(
+    postings: DataFrame,
+    queries_df: DataFrame,
+    docs_meta: DataFrame | None = None,
+    host_col: str = "host",
+    k: int = MAX_SHOW,
+    max_search: int = MAX_SEARCH,
+) -> DataFrame:
+    """Request-log-scale batched search: the queries are a TABLE
+    (query_id, q_pos, term) and the plan is FIXED-SIZE regardless of
+    batch size — the scale tier :func:`search_weighted_batch`'s
+    docstring promises (its per-query scoring branches grow the plan
+    linearly; fine at hundreds, not at 10^5+ queries/batch).
+
+    Shape (all JVM-side, no per-query anything):
+
+    1. each posting explodes into its boundary-prefix join keys
+       (``_BOUNDARY_PREFIXES`` above — the inverse of the main dict's
+       prefix+boundary compare, DictWord::cmp SearchEngine.h:389-415),
+    2. equi-join against the DISTINCT query-term table (broadcast: even
+       10^6 distinct terms is ~20 MB; drop the hint beyond that and it
+       degrades gracefully to a shuffle join),
+    3. PosRanks top-2 per (doc, term) — one bounded sort_array/slice
+       aggregate shared by every query using that term,
+    4. join back to the queries table and score per (query_id, doc_id)
+       with grouped aggregates: AND semantics = matched-term count
+       equals the query's term count; coRank = fold over the q_pos-
+       sorted position structs with the same min-posdiff/decay/clamp
+       arithmetic as :func:`_score_joined`,
+    5. per-query top-K + host dedup via query-partitioned windows.
+
+    Per-query results are EXACTLY search_weighted's main-dict path
+    (batch forms are main-dict-only, like search_weighted_batch) —
+    pinned by tests/test_operators.py::
+    test_search_batch_joined_matches_branch_form. Terms within one
+    query must be distinct (build the table with :func:`queries_table`
+    to get the driver-side check).
+
+    Returns (query_id, doc_id, score[, host, n_more_from_host]).
+    """
+    postings = _norm_postings(postings)
+    qd = queries_df.withColumn(
+        "n_terms", F.count("*").over(W.partitionBy("query_id"))
+    ).withColumnRenamed("term", "qterm")
+    qt = qd.select("qterm").distinct()
+    matched = postings.select(
+        "doc_id",
+        "term",
+        "pos",
+        "rank",
+        F.explode(F.expr(_BOUNDARY_PREFIXES)).alias("qterm"),
+    ).join(F.broadcast(qt), "qterm")
+    if max_search is not None and max_search < MAX_SEARCH:
+        # per-term read cap (PageSearcher.cpp:425), same deterministic
+        # order as _tagged_top2's capped path
+        w_cap = W.partitionBy("qterm").orderBy(F.desc("rank"), "term", "doc_id")
+        matched = (
+            matched.withColumn("_cr", F.row_number().over(w_cap))
+            .where(F.col("_cr") <= max_search)
+            .drop("_cr")
+        )
+    top2 = (
+        matched.groupBy("doc_id", "qterm")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("rank")).alias("nr"),
+                            F.col("term").alias("t"),
+                            F.col("pos").alias("p"),
+                        )
+                    )
+                ),
+                1,
+                2,
+            ).alias("_k")
+        )
+        .select(
+            "doc_id",
+            "qterm",
+            (
+                -F.element_at("_k", 1)["nr"]
+                + F.coalesce(-F.element_at("_k", 2)["nr"], F.lit(0.0))
+            ).alias("_trank"),
+            F.element_at("_k", 1)["p"].alias("_pa"),
+            F.element_at("_k", 2)["p"].alias("_pb"),
+        )
+    )
+    grouped = (
+        top2.join(F.broadcast(qd), "qterm")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").alias("_nt"),
+            F.max("n_terms").alias("_need"),
+            F.sum("_trank").alias("_sum"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("q_pos").alias("i"),
+                        F.col("_pa").alias("a"),
+                        F.col("_pb").alias("b"),
+                    )
+                )
+            ).alias("_ps"),
+        )
+    )
+    # coRank fold over adjacent q_pos-sorted terms: same four-way
+    # min-posdiff (PosRanks::positionDiff, PageSearcher.cpp:180-189)
+    # and per-pair greatest(decay^(d-1), 1e-6) clamp as _score_joined.
+    # sequence(1, 0) would count DOWN (step -1), so guard size < 2.
+    co = F.when(F.size("_ps") < 2, F.lit(1.0)).otherwise(
+        F.expr(
+            f"aggregate(sequence(1, size(_ps) - 1), cast(1.0 as double),"
+            f" (acc, i) -> acc * greatest(power({CORANK_DECAY},"
+            f"  least("
+            f"   abs(_ps[i-1].a - _ps[i].a),"
+            f"   coalesce(abs(_ps[i-1].a - _ps[i].b), 65535),"
+            f"   coalesce(abs(_ps[i-1].b - _ps[i].a), 65535),"
+            f"   coalesce(abs(_ps[i-1].b - _ps[i].b), 65535)"
+            f"  ) - 1), {CORANK_MIN}))"
+        )
+    )
+    scored = grouped.where(F.col("_nt") == F.col("_need")).select(
+        "query_id", "doc_id", F.round(F.col("_sum") * co, 6).alias("score")
+    )
+    w_top = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    topk = (
+        scored.withColumn("_rn", F.row_number().over(w_top))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    if docs_meta is None:
+        return topk
+    with_host = topk.join(
+        docs_meta.select(F.col("doc_id"), F.col(host_col).alias("host")), "doc_id"
+    )
+    w_h = W.partitionBy("query_id", "host").orderBy(F.desc("score"), "doc_id")
+    return (
+        with_host.withColumn("_rn", F.row_number().over(w_h))
+        .withColumn("_nh", F.count("*").over(W.partitionBy("query_id", "host")))
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            "host",
+            (F.col("_nh") - 1).alias("n_more_from_host"),
+        )
+    )
+
+
 def _score_joined(
     joined: DataFrame,
     n: int,

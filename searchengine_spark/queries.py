@@ -2339,6 +2339,26 @@ SQL_SEARCH_BATCH = _search_batch_sql(BATCH_SEARCH)
 QUERIES["search_batch"] = q_search_batch
 ORACLE_SQL["search_batch"] = SQL_SEARCH_BATCH
 
+
+def q_search_batch_joined(spark, sf_dir):
+    """Request-log-scale batch tier: the SAME four queries as
+    search_batch, but evaluated through IX.search_batch_joined — the
+    queries are a TABLE joined against boundary-prefix posting keys and
+    scored with grouped aggregates, so the plan is fixed-size at ANY
+    batch size (the per-branch form grows linearly and tops out at
+    hundreds of queries/batch). Same oracle as search_batch: the two
+    tiers are semantically identical by construction."""
+    docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
+    p = _wpostings_blocks(spark, sf_dir, sorted_output=False)
+    qdf = IX.queries_table(spark, BATCH_SEARCH)
+    return IX.search_batch_joined(p, qdf, docs_meta, k=50).orderBy(
+        "query_id", F.desc("score"), "doc_id"
+    )
+
+
+QUERIES["search_batch_joined"] = q_search_batch_joined
+ORACLE_SQL["search_batch_joined"] = SQL_SEARCH_BATCH
+
 QUERIES["weighted_postings"] = q_weighted_postings
 ORACLE_SQL["weighted_postings"] = SQL_WEIGHTED_POSTINGS
 QUERIES["search_phrase"] = q_search_phrase
@@ -2855,6 +2875,53 @@ SQL_PACK_STATS = CU.pack_stats_sql() + " ORDER BY source"
 
 QUERIES["pack_stats"] = q_pack_stats
 ORACLE_SQL["pack_stats"] = SQL_PACK_STATS
+
+
+def q_mixture_budget(spark, sf_dir):
+    """Token-budget mixture assembly: per-doc epoch counts filled in
+    quality-level order against per-source token budgets
+    (CU.mixture_assign — level-granular selection so the cumsum runs
+    over the tiny per-(source, level) aggregate, never a skewed
+    per-source window over all docs), summarized per source. The
+    derived budgets span downsampling (×0.25/×0.6), exact fit (×1.0)
+    and multi-epoch upsampling (×2.5)."""
+    per_doc = CU.mixture_assign(_docs(spark, sf_dir))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum(F.when(F.col("n_epochs") > 0, 1).otherwise(0)).alias(
+                "docs_kept"
+            ),
+            F.max("budget_tokens").alias("budget_tokens"),
+            F.sum(F.col("tokens") * F.col("n_epochs")).alias("tokens_realized"),
+            F.max("n_epochs").alias("max_epochs"),
+            F.min("n_epochs").alias("min_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_MIXTURE_BUDGET = (
+    "WITH "
+    + CU.mixture_assign_sql()
+    + """
+SELECT source,
+       count(*) AS total_docs,
+       CAST(sum(CASE WHEN n_epochs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS docs_kept,
+       max(budget_tokens) AS budget_tokens,
+       CAST(sum(tokens * n_epochs) AS BIGINT) AS tokens_realized,
+       max(n_epochs) AS max_epochs,
+       min(n_epochs) AS min_epochs
+FROM mx_doc
+GROUP BY source
+ORDER BY source
+"""
+)
+
+QUERIES["mixture_budget"] = q_mixture_budget
+ORACLE_SQL["mixture_budget"] = SQL_MIXTURE_BUDGET
 
 
 # ---------------------------------------------------------------------------

@@ -286,3 +286,136 @@ def test_decontaminate_plan_broadcasts_benchmark_side(spark):
     plan = CU.decontaminate(df, n=3)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---- token-budget mixture assembly ---------------------------------------
+
+def _mixture_py(rows, budgets):
+    """Independent python twin of the mixture rule over (source,
+    tokens, qlevel) rows: per-source level aggregation, cumsum in
+    qlevel-desc order, n_full + crossing-level extra epoch."""
+    from collections import defaultdict
+
+    ltok = defaultdict(int)
+    ttok = defaultdict(int)
+    for src, tok, ql in rows:
+        ltok[(src, ql)] += tok
+        ttok[src] += tok
+    out = {}
+    for src, budget in budgets.items():
+        if src not in ttok:
+            continue
+        n_full, rem = budget // ttok[src], budget % ttok[src]
+        cum = 0
+        for ql in sorted({q for s, q in ltok if s == src}, reverse=True):
+            extra = 1 if cum < rem else 0
+            out[(src, ql)] = n_full + extra
+            cum += ltok[(src, ql)]
+    return out
+
+
+def test_mixture_assign_explicit_budgets_hand_checked(spark):
+    """Three-source fixture against explicit budgets: downsample
+    (budget < total picks top quality levels only, crossing level
+    included), exact fit (mult 1.0 -> everyone exactly 1 epoch, no
+    extra), multi-epoch upsample (budget = 2.0x + remainder), and
+    budget 0 -> everything dropped."""
+    docs = spark.createDataFrame(
+        [
+            # sA: quality rises with length; totals hand-computable
+            (1, "sA", "one two"),                      # 2 tokens, low q
+            (2, "sA", " ".join(["w"] * 40)),           # 40 tokens
+            (3, "sA", " ".join(["the dog ran"] * 30)), # 90 tokens, high q
+            (4, "sB", " ".join(["x"] * 10)),
+            (5, "sB", " ".join(["y"] * 10)),
+            (6, "sC", " ".join(["z"] * 10)),
+        ],
+        "doc_id long, source string, text string",
+    )
+    base = docs.select(
+        "source",
+        F.size(F.split("text", r"\s+")).cast("long").alias("tokens"),
+        (F.round(CU.quality_score_expr("text") * CU.QLEVEL_SCALE, 0))
+        .cast("long")
+        .alias("qlevel"),
+    ).collect()
+    rows = [(r["source"], r["tokens"], r["qlevel"]) for r in base]
+    tot = {s: sum(t for src, t, _ in rows if src == s) for s in ("sA", "sB", "sC")}
+    budgets = {"sA": tot["sA"] // 2, "sB": 2 * tot["sB"] + 3, "sC": 0}
+    bdf = spark.createDataFrame(
+        list(budgets.items()), "source string, budget_tokens long"
+    )
+    got = {
+        (r["source"], r["qlevel"]): r["n_epochs"]
+        for r in CU.mixture_assign(docs, budgets=bdf).collect()
+    }
+    want = _mixture_py(rows, budgets)
+    assert got == want
+    per_doc = CU.mixture_assign(docs, budgets=bdf).collect()
+    # sC budget 0: dropped entirely; sB upsampled: every doc >= 2 epochs
+    assert all(r["n_epochs"] == 0 for r in per_doc if r["source"] == "sC")
+    assert all(r["n_epochs"] >= 2 for r in per_doc if r["source"] == "sB")
+    # realized >= budget, overshoot < the crossing level (sA downsample)
+    sa = [r for r in per_doc if r["source"] == "sA"]
+    realized = sum(r["tokens"] * r["n_epochs"] for r in sa)
+    assert realized >= budgets["sA"]
+    max_level = max(r["tokens"] for r in sa)
+    assert realized - budgets["sA"] < max_level
+    # quality monotone: higher qlevel never gets fewer epochs
+    for a in sa:
+        for b in sa:
+            if a["qlevel"] > b["qlevel"]:
+                assert a["n_epochs"] >= b["n_epochs"]
+
+
+def test_mixture_assign_default_budgets_match_python_twin(spark):
+    """Derived budgets (hash60(source,'mix') % 4 multiplier) over the
+    real documents table: Spark per-(source, qlevel) epochs equal the
+    independent python twin, and the realized-token bound holds for
+    every source."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    per_doc = CU.mixture_assign(docs).collect()
+    rows = [(r["source"], r["tokens"], r["qlevel"]) for r in per_doc]
+    mults = {
+        src: CU.MIX_MULTS[hash60_py(src, "mix") % 4]
+        for src in {r[0] for r in rows}
+    }
+    tot = {}
+    for src, tok, _ in rows:
+        tot[src] = tot.get(src, 0) + tok
+    import math
+
+    budgets = {src: math.floor(mults[src] * tot[src]) for src in tot}
+    want = _mixture_py(rows, budgets)
+    got = {(r["source"], r["qlevel"]): r["n_epochs"] for r in per_doc}
+    assert got == want
+    assert {r["source"]: r["budget_tokens"] for r in per_doc} == {
+        s: b for s, b in budgets.items()
+    }
+    for src in tot:
+        realized = sum(
+            r["tokens"] * r["n_epochs"] for r in per_doc if r["source"] == src
+        )
+        if budgets[src] == 0:
+            assert realized == 0
+        else:
+            assert realized >= budgets[src]
+
+
+def test_mixture_assign_matches_duckdb_twin(spark):
+    """Row-for-row Spark == DuckDB on the per-doc frame (the driver's
+    oracle aggregates it; this pins the granular form)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        CU.mixture_assign(docs)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    docs_pdf = docs.toPandas()
+    sql = "WITH " + CU.mixture_assign_sql() + " SELECT * FROM mx_doc ORDER BY doc_id"
+    want = _duck(docs_pdf, sql)
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype(got.dtypes.to_dict()).reset_index(drop=True),
+    )

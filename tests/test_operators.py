@@ -864,6 +864,85 @@ def test_search_weighted_batch_matches_single(spark):
         IX.search_weighted_batch(p, {"bad": ["alpha", "alpha"]})
 
 
+def test_search_batch_joined_matches_branch_form(spark):
+    """The request-log-scale tier (queries as a TABLE, fixed-size plan,
+    grouped-aggregate scoring) returns row-identical results to the
+    per-branch search_weighted_batch — including the main dict's
+    prefix+boundary expansion ('alpha' matches 'alpha.x' but never
+    'alphabet'), the per-term max_search cap, host dedup, and the
+    single-term coRank=1 guard (sequence(1,0) counts DOWN in Spark —
+    the size<2 branch must short-circuit it)."""
+    p = spark.createDataFrame(
+        [
+            ("alpha", "d1", 10, 0.5), ("beta", "d1", 12, 0.3),
+            ("alpha", "d2", 1, 0.4), ("beta", "d2", 9, 0.2),
+            ("gamma", "d2", 3, 0.6), ("alpha", "d3", 5, 0.7),
+            ("gamma", "d3", 6, 0.1), ("beta", "d4", 2, 0.9),
+            ("alpha.x", "d5", 4, 0.8), ("beta", "d5", 7, 0.1),
+            ("alphabet", "d6", 2, 0.9), ("beta", "d6", 3, 0.2),
+        ],
+        "term string, doc_id string, pos int, rank double",
+    )
+    meta = spark.createDataFrame(
+        [("d1", "h1"), ("d2", "h1"), ("d3", "h2"),
+         ("d4", "h3"), ("d5", "h4"), ("d6", "h4")],
+        "doc_id string, host string",
+    )
+    queries = {
+        "ab": ["alpha", "beta"],
+        "ag": ["alpha", "gamma"],
+        "b": ["beta"],
+        "abg": ["alpha", "beta", "gamma"],
+    }
+    qdf = IX.queries_table(spark, queries)
+
+    def keyed(df, cols):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(tuple(r[c] for c in cols))
+        return out
+
+    cols = ("doc_id", "score", "host", "n_more_from_host")
+    b = keyed(IX.search_weighted_batch(p, queries, meta, k=10), cols)
+    j = keyed(IX.search_batch_joined(p, qdf, meta, k=10), cols)
+    assert b == j
+    # boundary semantics rode through the join-key expansion
+    assert any(d == "d5" for d, *_ in j["ab"])
+    assert not any(d == "d6" for d, *_ in j["ab"])
+    # capped, no-meta: compare per-query against search_weighted
+    # (queries whose AND fails under the cap simply emit no rows)
+    jc = keyed(IX.search_batch_joined(p, qdf, None, k=10, max_search=2),
+               ("doc_id", "score"))
+    for qid, terms in queries.items():
+        single = {
+            (r["doc_id"], r["score"])
+            for r in IX.search_weighted(p, terms, None, k=10, max_search=2).collect()
+        }
+        assert jc.get(qid, set()) == single, qid
+    with pytest.raises(ValueError):
+        IX.queries_table(spark, {"bad": ["alpha", "alpha"]})
+
+
+def test_search_batch_joined_plan_is_batch_size_invariant(spark):
+    """The whole point of the joined tier: doubling the batch must not
+    grow the plan (the per-branch form adds a scoring subplan per
+    query). Pin exchange count equal across a 4-query and an 8-query
+    batch."""
+    p = spark.createDataFrame(
+        [("alpha", "d1", 1, 0.5), ("beta", "d2", 2, 0.4)],
+        "term string, doc_id string, pos int, rank double",
+    )
+    q4 = {f"q{i}": ["alpha", "beta"] for i in range(4)}
+    q8 = {f"q{i}": ["alpha", "beta"] for i in range(8)}
+
+    def n_exchanges(queries):
+        df = IX.search_batch_joined(p, IX.queries_table(spark, queries))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Exchange")
+
+    assert n_exchanges(q4) == n_exchanges(q8)
+
+
 def test_bigram_lm_hand_computed(spark):
     """Hand-computed add-one bigram NLL: counts, smoothing denominator,
     per-bigram e6 floor, integer sum and integer-division average all
