@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pack_stats",
     "mixture_budget",
     "lm_perplexity",
+    "lm_kn_perplexity",
     "text_stats",
     "events_window",
     "sessionize",

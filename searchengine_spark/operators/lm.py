@@ -127,3 +127,177 @@ def score_bigram_lm(
         (-F.sum("lp_e6")).alias("nll_e6"),
         F.expr("(-sum(lp_e6)) div count(*)").alias("avg_nll_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney (the production estimator ADVICE.md's add-one
+# note points at: same two-count-table plan shape, one more discount
+# join) + frequency-trimmed vocabulary.
+# ---------------------------------------------------------------------------
+
+# Fixed discount D = 3/4 kept as an integer ratio so every count term
+# stays BIGINT-exact: max(c_ab - D, 0) -> greatest(4·c_ab - 3, 0) over
+# a 4·-scaled denominator.
+KN_DISCOUNT_NUM = 3
+KN_DISCOUNT_DEN = 4
+UNK = "<unk>"  # reserved type; a corpus token spelled "<unk>" merges into it
+
+
+class KNBigramLM(NamedTuple):
+    """Fitted interpolated-KN model. All four stats tables derive from
+    the pair-count table (vocab-sized, not corpus-sized)."""
+
+    pair_counts: DataFrame  # (a, b, c_ab)
+    ctx: DataFrame  # (a, c_a, n1a)   c_a = Σ c_ab; n1a = N1+(a·)
+    cont: DataFrame  # (b, n1b)        n1b = N1+(·b)
+    totals: DataFrame  # (t_types, vsz) one row; t_types = N1+(··)
+    kept: DataFrame | None  # (w) trimmed vocab; None when min_count <= 1
+
+
+def _kept_vocab(docs: DataFrame, text_col: str, min_count: int) -> DataFrame:
+    words = docs.select(F.explode(_words(text_col)).alias("w"))
+    return (
+        words.groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("w")
+    )
+
+
+def _map_unk(bg: DataFrame, kept: DataFrame) -> DataFrame:
+    """Map both sides of the bigram stream through the kept-vocab
+    table (word -> word | '<unk>'). Two hash joins keyed on the word —
+    broadcastable when the trimmed vocabulary is small, which is the
+    point of trimming."""
+    ka = kept.select(F.col("w").alias("a"), F.lit(True).alias("_ka"))
+    kb = kept.select(F.col("w").alias("b"), F.lit(True).alias("_kb"))
+    return (
+        bg.join(ka, "a", "left")
+        .join(kb, "b", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_ka").isNotNull(), F.col("a"))
+            .otherwise(F.lit(UNK))
+            .alias("a"),
+            F.when(F.col("_kb").isNotNull(), F.col("b"))
+            .otherwise(F.lit(UNK))
+            .alias("b"),
+        )
+    )
+
+
+def fit_kn_bigram_lm(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> KNBigramLM:
+    """Interpolated Kneser-Ney bigram model with an optionally
+    frequency-trimmed vocabulary (words with corpus count < min_count
+    become '<unk>' on BOTH bigram sides before counting — the trim the
+    CCNet-style gate needs to keep the pair table broadcast-sized).
+
+    Estimator (seen context a):
+
+        p(b|a) = max(c_ab − D, 0)/c_a + D·N1+(a·)/c_a · p_cont(b)
+        p_cont(b) = (N1+(·b) + 1) / (N1+(··) + V)
+
+    D = 3/4. The continuation distribution carries a +1/+V uniform
+    floor so unseen continuation TYPES score finite (plain KN assigns
+    them zero); an unseen CONTEXT backs off to p_cont(b) directly.
+    V counts the kept vocabulary + 1 (the reserved '<unk>' type).
+
+    Everything derives from the pair table: c_a = Σ_b c_ab, N1+(a·)
+    and N1+(·b) are its per-side distinct counts, N1+(··) its row
+    count — three map-side-combinable aggregates over a vocab²-bounded
+    frame, nothing corpus-sized after the first groupBy.
+    """
+    bg = doc_bigrams(docs, doc_col, text_col)
+    kept = None
+    if min_count > 1:
+        kept = _kept_vocab(docs, text_col, min_count)
+        bg = _map_unk(bg, kept)
+        vocab_n = kept.agg(F.count("*").alias("_n"))
+    else:
+        vocab_n = docs.select(F.explode(_words(text_col)).alias("w")).agg(
+            F.countDistinct("w").alias("_n")
+        )
+    pair = bg.groupBy("a", "b").agg(F.count("*").alias("c_ab"))
+    ctx = pair.groupBy("a").agg(
+        F.sum("c_ab").alias("c_a"), F.count("*").alias("n1a")
+    )
+    cont = pair.groupBy("b").agg(F.count("*").alias("n1b"))
+    totals = (
+        pair.agg(F.count("*").alias("t_types"))
+        .crossJoin(vocab_n)
+        .select("t_types", (F.col("_n") + 1).alias("vsz"))
+    )
+    return KNBigramLM(pair, ctx, cont, totals, kept)
+
+
+def score_kn_bigram_lm(
+    docs: DataFrame,
+    model: KNBigramLM,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document NLL under an interpolated-KN model, same exact
+    BIGINT micro-nat contract and output schema as
+    :func:`score_bigram_lm` (n_bigrams, nll_e6, avg_nll_e6).
+
+    The per-bigram probability is ONE IEEE division of two BIGINT-
+    exact operands (numerator/denominator assembled with integer
+    arithmetic, D = 3/4 as a 4·-scaling), so both engines floor the
+    same double:
+
+        seen ctx:  num = max(4·c_ab−3, 0)·(T+V) + 3·n1a·(n1b+1)
+                   den = 4·c_a·(T+V)
+        unseen ctx: num = n1b+1, den = T+V    (pure continuation)
+
+    BIGINT bound: num < 4·c_ab·(T+V) must stay under 2^63 (and under
+    2^53 for the division to be exact-in-double) — at trimmed-vocab
+    production sizes (c_ab ≤ 10^9, T+V ≤ 10^7) the 2^63 bound holds;
+    beyond 2^53 the division is correctly-rounded rather than exact,
+    identically in both engines."""
+    bg = doc_bigrams(docs, doc_col, text_col)
+    if model.kept is not None:
+        bg = _map_unk(bg, model.kept)
+    tv = F.col("t_types") + F.col("vsz")
+    num_seen = (
+        F.greatest(
+            F.lit(KN_DISCOUNT_DEN) * F.coalesce(F.col("c_ab"), F.lit(0))
+            - F.lit(KN_DISCOUNT_NUM),
+            F.lit(0),
+        )
+        * tv
+        + F.lit(KN_DISCOUNT_NUM)
+        * F.col("n1a")
+        * (F.coalesce(F.col("n1b"), F.lit(0)) + 1)
+    )
+    den_seen = F.lit(KN_DISCOUNT_DEN) * F.col("c_a") * tv
+    num_unseen = F.coalesce(F.col("n1b"), F.lit(0)) + 1
+    joined = (
+        bg.join(model.pair_counts, ["a", "b"], "left")
+        .join(model.ctx, ["a"], "left")
+        .join(model.cont, ["b"], "left")
+        .crossJoin(F.broadcast(model.totals))
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    F.when(F.col("c_a").isNull(), num_unseen)
+                    .otherwise(num_seen)
+                    .cast("double")
+                    / F.when(F.col("c_a").isNull(), tv)
+                    .otherwise(den_seen)
+                    .cast("double")
+                )
+            ).alias("lp_e6"),
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (-F.sum("lp_e6")).alias("nll_e6"),
+        F.expr("(-sum(lp_e6)) div count(*)").alias("avg_nll_e6"),
+    )

@@ -1572,6 +1572,72 @@ FROM lm_scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def q_lm_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney quality scoring with a frequency-trimmed
+    vocabulary (min_count=2 so the '<unk>' mapping fires at test
+    scale): the production estimator upgrade over lm_perplexity's
+    add-one baseline — same fixed-point BIGINT micro-nat contract, the
+    per-bigram probability is one IEEE division of integer-assembled
+    operands (D = 3/4 as a 4x-scaling; see operators/lm.py)."""
+    d = _docs(spark, sf_dir)
+    model = LM.fit_kn_bigram_lm(d, min_count=2)
+    return LM.score_kn_bigram_lm(d, model).orderBy("doc_id")
+
+
+SQL_LM_KN_PERPLEXITY = """
+WITH kn_d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+  FROM documents
+),
+kn_bg0 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> {'a': ws[i], 'b': ws[i + 1]})) AS p
+  FROM kn_d WHERE len(ws) >= 2
+),
+kn_wc AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM kn_d) GROUP BY w
+),
+kn_kept AS (SELECT w FROM kn_wc WHERE c >= 2),
+kn_bge AS (
+  SELECT g.doc_id,
+         CASE WHEN ka.w IS NULL THEN '<unk>' ELSE g.p.a END AS a,
+         CASE WHEN kb.w IS NULL THEN '<unk>' ELSE g.p.b END AS b
+  FROM kn_bg0 g
+  LEFT JOIN kn_kept ka ON g.p.a = ka.w
+  LEFT JOIN kn_kept kb ON g.p.b = kb.w
+),
+kn_pair AS (SELECT a, b, count(*) AS c_ab FROM kn_bge GROUP BY a, b),
+kn_ctx AS (
+  SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_a, count(*) AS n1a
+  FROM kn_pair GROUP BY a
+),
+kn_cont AS (SELECT b, count(*) AS n1b FROM kn_pair GROUP BY b),
+kn_tot AS (
+  SELECT CAST((SELECT count(*) FROM kn_pair) AS BIGINT) AS t_types,
+         CAST((SELECT count(*) FROM kn_kept) + 1 AS BIGINT) AS vsz
+),
+kn_scored AS (
+  SELECT g.doc_id,
+         CAST(floor(1e6 * ln(
+           CAST(greatest(4 * p.c_ab - 3, 0) * (t.t_types + t.vsz)
+                + 3 * c.n1a * (o.n1b + 1) AS DOUBLE)
+           / CAST(4 * c.c_a * (t.t_types + t.vsz) AS DOUBLE)))
+              AS BIGINT) AS lp
+  FROM kn_bge g
+  JOIN kn_pair p USING (a, b)
+  JOIN kn_ctx c USING (a)
+  JOIN kn_cont o USING (b)
+  CROSS JOIN kn_tot t
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(-sum(lp) AS BIGINT) AS nll_e6,
+       CAST((-sum(lp)) // count(*) AS BIGINT) AS avg_nll_e6
+FROM kn_scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -1816,6 +1882,7 @@ QUERIES = {
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "lm_perplexity": q_lm_perplexity,
+    "lm_kn_perplexity": q_lm_kn_perplexity,
     "fingerprint": q_fingerprint,
     "events_window": q_events_window,
     "sessionize": q_sessionize,
@@ -1852,6 +1919,7 @@ ORACLE_SQL = {
     "text_stats": SQL_TEXT_STATS,
     "lang_id": SQL_LANG_ID,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "lm_kn_perplexity": SQL_LM_KN_PERPLEXITY,
     "fingerprint": SQL_FINGERPRINT,
     "events_window": SQL_EVENTS_WINDOW,
     "sessionize": SQL_SESSIONIZE,

@@ -974,3 +974,99 @@ def test_bigram_lm_hand_computed(spark):
     sc = {r["doc_id"]: r for r in LMO.score_bigram_lm(target, model).collect()}
     assert sc[3]["nll_e6"] == 693148  # -floor(1e6*ln(1/2))
     assert 4 not in sc  # single-token doc: no bigrams, absent by contract
+
+
+def test_kn_bigram_lm_hand_computed(spark):
+    """Interpolated-KN arithmetic against an independent python
+    computation on a corpus small enough to enumerate: pair/context/
+    continuation counts, the 4x-scaled discount, the +1/+V continuation
+    floor, and the exact per-bigram integer micro-nat floors."""
+    import math
+
+    from searchengine_spark.operators import lm as LM
+
+    docs = spark.createDataFrame(
+        [("d1", "x y x z"), ("d2", "x y")], "doc_id string, text string"
+    )
+    model = LM.fit_kn_bigram_lm(docs)  # min_count=1: no trimming
+    # bigrams: d1 -> (x,y),(y,x),(x,z); d2 -> (x,y)
+    pair = {(r["a"], r["b"]): r["c_ab"] for r in model.pair_counts.collect()}
+    assert pair == {("x", "y"): 2, ("y", "x"): 1, ("x", "z"): 1}
+    ctx = {r["a"]: (r["c_a"], r["n1a"]) for r in model.ctx.collect()}
+    assert ctx == {"x": (3, 2), "y": (1, 1)}
+    cont = {r["b"]: r["n1b"] for r in model.cont.collect()}
+    assert cont == {"y": 1, "x": 1, "z": 1}
+    tot = model.totals.collect()[0]
+    assert (tot["t_types"], tot["vsz"]) == (3, 3 + 1)  # 3 types; V=3+unk
+
+    def lp(c_ab, c_a, n1a, n1b, tv=3 + 4):
+        if c_a is None:
+            return math.floor(1e6 * math.log((n1b + 1) / tv))
+        num = max(4 * c_ab - 3, 0) * tv + 3 * n1a * (n1b + 1)
+        return math.floor(1e6 * math.log(num / (4 * c_a * tv)))
+
+    want = {
+        "d1": [lp(2, 3, 2, 1), lp(1, 1, 1, 1), lp(1, 3, 2, 1)],
+        "d2": [lp(2, 3, 2, 1)],
+    }
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_e6"], r["avg_nll_e6"])
+        for r in LM.score_kn_bigram_lm(docs, model).collect()
+    }
+    for d, lps in want.items():
+        nll = -sum(lps)
+        assert got[d] == (len(lps), nll, nll // len(lps)), d
+
+
+def test_kn_bigram_lm_unseen_and_trimmed(spark):
+    """Split train/score: an unseen CONTEXT takes the pure-continuation
+    path, an unseen pair under a seen context takes the discounted
+    back-off, and min_count=2 trims singletons to '<unk>' on both
+    bigram sides (train and score mapped through the SAME kept table)."""
+    import math
+
+    from searchengine_spark.operators import lm as LM
+
+    train = spark.createDataFrame(
+        [("t1", "a b a b c"), ("t2", "a b a")], "doc_id string, text string"
+    )
+    # word counts: a=5, b=4, c=1 -> min_count=2 keeps {a, b}; c -> <unk>
+    model = LM.fit_kn_bigram_lm(train, min_count=2)
+    assert {r["w"] for r in model.kept.collect()} == {"a", "b"}
+    pair = {(r["a"], r["b"]): r["c_ab"] for r in model.pair_counts.collect()}
+    # mapped bigrams: t1 (a,b),(b,a),(a,b),(b,<unk>); t2 (a,b),(b,a)
+    assert pair == {("a", "b"): 3, ("b", "a"): 2, ("b", "<unk>"): 1}
+    tot = model.totals.collect()[0]
+    tv = tot["t_types"] + tot["vsz"]  # 3 types + (2 kept + 1 unk)
+    assert tv == 6
+
+    score = spark.createDataFrame(
+        [("s1", "a b"), ("s2", "q a"), ("s3", "a a")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: r["nll_e6"]
+        for r in LM.score_kn_bigram_lm(score, model).collect()
+    }
+    # independent python fit over the mapped train bigrams:
+    # (a,b)x3, (b,a)x2, (b,<unk>)x1
+    tp = {("a", "b"): 3, ("b", "a"): 2, ("b", "<unk>"): 1}
+    c_a = {"a": 3, "b": 3}
+    n1a = {"a": 1, "b": 2}
+    n1b = {"b": 1, "a": 1, "<unk>": 1}
+
+    def lp(a, b):
+        if a not in c_a:  # unseen context -> pure continuation
+            return math.floor(1e6 * math.log((n1b.get(b, 0) + 1) / tv))
+        num = max(4 * tp.get((a, b), 0) - 3, 0) * tv + 3 * n1a[a] * (
+            n1b.get(b, 0) + 1
+        )
+        return math.floor(1e6 * math.log(num / (4 * c_a[a] * tv)))
+
+    # s1 (a,b): seen pair. s2 (q,a)->(<unk>,a): unseen context <unk>.
+    # s3 (a,a): seen context a, unseen pair (c_ab=0).
+    assert got == {
+        "s1": -lp("a", "b"),
+        "s2": -lp("<unk>", "a"),
+        "s3": -lp("a", "a"),
+    }
