@@ -27,6 +27,12 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--store", required=True, help="crawl state-store root")
     ap.add_argument("--query", help="query string (supports \"phrases\" and prefix*)")
+    ap.add_argument(
+        "--batch",
+        help="file of queries (one per line): request-log batch mode over "
+        "the fixed-size joined tier — word terms only, one action for "
+        "the whole file regardless of how many queries it holds",
+    )
     ap.add_argument("--get", help="dump one doc's spans by url_md5")
     ap.add_argument(
         "--get-index", type=int, default=None,
@@ -50,8 +56,13 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
-    if not args.query and not args.get and args.get_index is None:
-        print("error: need --query, --get or --get-index", file=sys.stderr)
+    if (
+        not args.query
+        and not args.get
+        and args.get_index is None
+        and not args.batch
+    ):
+        print("error: need --query, --batch, --get or --get-index", file=sys.stderr)
         return 2
 
     from searchengine_spark.plans.crawl import CrawlDriver
@@ -74,6 +85,41 @@ def main(argv=None) -> int:
         for r in doc.collect():
             print(json.dumps({"url_md5": r["url_md5"], "url": r["url"],
                               "n_spans": len(r["spans"])}))
+    elif args.batch:
+        try:
+            with open(args.batch) as f:
+                queries = {
+                    f"q{i:05d}": line.strip()
+                    for i, line in enumerate(f)
+                    if line.strip()
+                }
+        except OSError as e:
+            print(f"error: {e}", file=sys.stderr)
+            spark.stop()
+            return 2
+        if not queries:
+            print("error: batch file holds no queries", file=sys.stderr)
+            spark.stop()
+            return 2
+        try:
+            hits = svc.search_batch(
+                queries,
+                k=args.k,
+                merge_host=not args.unmerge,
+                max_search=args.max_search,
+            ).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            spark.stop()
+            return 2
+        for r in hits:
+            out = {
+                "query_id": r["query_id"], "doc_id": r["doc_id"],
+                "score": r["score"], "host": r["host"], "url": r["url"],
+            }
+            if not args.unmerge:
+                out["n_more_from_host"] = r["n_more_from_host"]
+            print(json.dumps(out))
     else:
         try:
             hits = svc.search(

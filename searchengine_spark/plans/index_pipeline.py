@@ -285,6 +285,65 @@ class SearchService:
             F.desc("score"), "doc_id"
         )
 
+    def search_batch(
+        self,
+        queries: dict[str, str],
+        k: int = 20,
+        merge_host: bool = True,
+        max_search: int | None = None,
+    ) -> DataFrame:
+        """Request-log batch search: MANY console queries answered in
+        one action over one dict evaluation through the fixed-size
+        joined tier (operators/index.py search_batch_joined) — the
+        amortization the serve-one-request reference cannot do
+        (PageSearcher.cpp:400-440 re-walks its dict per request).
+        Word terms only (phrases/prefix terms need per-query plan
+        branches — they stay on the single-query console); duplicate
+        words within a query collapse, main-dict routing (both batch
+        tiers are main-dict-only by contract).
+
+        Returns per-query hits (query_id, doc_id, score[, host,
+        n_more_from_host], url)."""
+        from searchengine_spark.operators.index import (
+            MAX_SEARCH,
+            parse_query,
+            queries_table,
+            search_batch_joined,
+        )
+
+        if self._postings is None:
+            if self.incremental:
+                self.refresh_incremental()
+            else:
+                self.refresh()
+        parsed: dict[str, list[str]] = {}
+        for qid, q in queries.items():
+            terms: list[str] = []
+            for t in parse_query(q):
+                if t["kind"] != "word":
+                    raise ValueError(
+                        f"batch search is word-terms-only (query {qid!r} "
+                        f"has a {t['kind']} term); phrases and prefix terms "
+                        f"use the single-query console"
+                    )
+                if t["term"] not in terms:
+                    terms.append(t["term"])
+            if not terms:
+                raise ValueError(f"empty query {qid!r}")
+            parsed[qid] = terms
+        qdf = queries_table(self._postings.sparkSession, parsed)
+        hits = search_batch_joined(
+            self._postings,
+            qdf,
+            self._meta.select("doc_id", "host") if merge_host else None,
+            k=k,
+            max_search=MAX_SEARCH if max_search is None else max_search,
+        )
+        meta_cols = ["doc_id", "url"] if merge_host else ["doc_id", "url", "host"]
+        return hits.join(self._meta.select(*meta_cols), "doc_id").orderBy(
+            "query_id", F.desc("score"), "doc_id"
+        )
+
     def get_doc(self, url_md5: str) -> DataFrame:
         """'#get' page dump (PageSearcher.cpp:111-150): fetch one doc's
         spans by key — a pruned snapshot scan."""

@@ -112,6 +112,44 @@ def test_console_parameter_surface(crawled):
     assert svc.get_doc_by_index(10 ** 6).count() == 0  # out of bound
 
 
+def test_search_service_batch_matches_single(crawled):
+    """The request-log batch console (SearchService.search_batch over
+    the fixed-size joined tier) returns, per query_id, exactly the
+    single-query console's results — including host-dedup columns and
+    the unmerged raw form — and rejects what the tier can't serve
+    (phrase/prefix terms, empty queries) with a clear error.
+
+    The comparison is exact here because these query words have no
+    boundary-sibling dict words (no 'page.x') in the crawled corpus,
+    so the single console's small-dict exact route and the batch
+    tier's main-dict boundary join agree; the tiers' general
+    main-dict-only contract is pinned at the operator level
+    (test_operators::test_search_batch_joined_matches_branch_form)."""
+    svc = SearchService(crawled.store)
+    svc.refresh()
+    queries = {"a": "page body", "b": "body", "c": "page sort"}
+
+    batch = svc.search_batch(queries, k=10).collect()
+    assert batch, "batch search returned nothing"
+    key = lambda r: (r["doc_id"], round(r["score"], 6), r["host"],
+                     r["n_more_from_host"], r["url"])
+    for qid, q in queries.items():
+        single = sorted(key(r) for r in svc.search(q, k=10).collect())
+        got = sorted(key(r) for r in batch if r["query_id"] == qid)
+        assert got == single, f"batch arm {qid!r} diverged from single"
+
+    raw = svc.search_batch(queries, k=10, merge_host=False).collect()
+    assert "n_more_from_host" not in raw[0].asDict()
+    assert len(raw) >= len(batch)
+
+    with pytest.raises(ValueError, match="phrase"):
+        svc.search_batch({"p": '"page body"'})
+    with pytest.raises(ValueError, match="prefix"):
+        svc.search_batch({"p": "pag*"})
+    with pytest.raises(ValueError, match="empty"):
+        svc.search_batch({"e": "   "})
+
+
 def test_search_service_phrase_adjacency(crawled):
     """Quoted phrases match only position-adjacent docs: every title is
     'page <canonical_url>', and only https docs keep their scheme, so
