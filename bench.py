@@ -79,6 +79,8 @@ BENCH_QUERIES = [
     "text_stats",
     "events_window",
     "sessionize",
+    "bm25_topk",
+    "hybrid_rrf",
 ]
 
 

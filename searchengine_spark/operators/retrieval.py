@@ -1,0 +1,192 @@
+"""Retrieval scoring beyond the reference's rank model: BM25 and
+reciprocal-rank fusion (hybrid lexical + vector retrieval).
+
+The reference ranks hits with its own positional weight model
+(PageSearcher.cpp:400-520 — per-term dict ranks, PosRanks top-2,
+coRank proximity decay); a training-data / RAG pipeline additionally
+wants the standard public baselines next to it:
+
+* **BM25** (Robertson et al., the Lucene ``k1``/``b`` form with the
+  always-positive ``ln(1 + …)`` idf) over a tokenized text column.
+* **Reciprocal-rank fusion** (Cormack et al. 2009): combine any number
+  of ranked retriever arms by ``sum 1/(k + rank)`` — the standard way
+  to merge lexical and embedding retrieval without score calibration.
+* **Hybrid top-k** = BM25 arm + brute-force cosine arm, RRF-fused.
+
+Cross-engine exactness contract (same discipline as operators/lm.py):
+every per-(doc, term) BM25 score is floored to BIGINT micro-points
+(``floor(1e6 · idf · tfnorm)``) BEFORE any sum, so both engines sum
+identical integers in any order; RRF contributions are pure integer
+floor divisions ``1000000 div (k + rank)``. The only IEEE surface is
+one ``ln``/one division per (doc, term) from identical integer
+operands — the lm.py-vetted class.
+
+100 TB shape: the exploded token stream is filtered to the query's
+terms BEFORE any shuffle (matched stream is postings-of-the-query
+sized, not corpus sized); corpus stats (N, Σdl) are one 1-row
+aggregate cross-joined in; per-term df is a ≤|terms|-row aggregate
+broadcast back. Top-k is orderBy+limit (TakeOrderedAndProject — a
+distributed partial top-k, no global window); rank numbers are
+assigned by a window only AFTER the limit, over ≤ pool rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window as W, functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60
+
+
+def bm25_term_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, term) BM25 partial scores for the given query terms.
+
+    Returns (doc_id, term, tf, score_e6) — score_e6 = floor(1e6 ·
+    idf(term) · tfnorm(doc, term)) as BIGINT, where
+
+      idf    = ln(1 + (N - df + 0.5) / (df + 0.5))
+      tfnorm = tf·(k1+1) / (tf + k1·(1 - b + b·dl·N/Σdl))
+
+    with k1=1.2, b=0.75 and dl = whitespace token count. A term absent
+    from the corpus simply contributes no rows (df=0 can't occur on a
+    produced row), which is BM25's OR semantics.
+    """
+    if len(set(terms)) != len(terms):
+        raise ValueError("query terms must be distinct")
+    if not terms:
+        raise ValueError("empty term list")
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    ).withColumn("dl", F.size("_w").cast("long"))
+    stats = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    matched = d.select(
+        "doc_id", "dl", F.explode("_w").alias("term")
+    ).where(F.col("term").isin(terms))
+    tf = matched.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf"), F.max("dl").alias("dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    scored = tf.join(F.broadcast(df_t), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    dlnorm = (F.col("dl").cast("double") * F.col("n_docs")) / F.col("sum_dl")
+    tfnorm = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * dlnorm)
+    )
+    return scored.select(
+        "doc_id",
+        "term",
+        "tf",
+        F.floor(F.lit(1000000.0) * (idf * tfnorm)).cast("long").alias(
+            "score_e6"
+        ),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k docs for one query (OR semantics over the terms).
+
+    Returns (doc_id, n_terms, bm25_e6, rank) — rank 1..k by
+    (bm25_e6 desc, doc_id). The top-k is a TakeOrderedAndProject;
+    the rank window runs over the ≤k surviving rows only.
+    """
+    per_doc = (
+        bm25_term_scores(docs, terms, id_col, text_col)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_terms"),
+            F.sum("score_e6").alias("bm25_e6"),
+        )
+    )
+    top = per_doc.orderBy(F.desc("bm25_e6"), "doc_id").limit(k)
+    w = W.orderBy(F.desc("bm25_e6"), "doc_id")  # bounded: ≤ k rows
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def rrf_fuse(
+    arms: dict[str, DataFrame],
+    k: int = 10,
+    k_rrf: int = RRF_K,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retriever arms.
+
+    Each arm is (id, rank); output is the fused top-k
+    (doc_id, <name>_rank …, rrf_e6, rank) where
+    rrf_e6 = Σ_arms 1000000 div (k_rrf + arm_rank), missing arms
+    contributing 0 — exact integer arithmetic in both engines. Arms
+    are ranked pools (≤ pool rows each), so the full-outer join chain
+    and the final rank window are bounded by Σ pool sizes.
+    """
+    if not arms:
+        raise ValueError("need at least one ranked arm")
+    fused = None
+    for name in sorted(arms):
+        side = arms[name].select(
+            F.col(id_col).alias("doc_id"),
+            F.col(rank_col).cast("int").alias(f"{name}_rank"),
+        )
+        fused = side if fused is None else fused.join(
+            side, "doc_id", "full_outer"
+        )
+    contrib = [
+        F.coalesce(
+            F.expr(f"CAST(1000000 DIV ({k_rrf} + {name}_rank) AS BIGINT)"),
+            F.lit(0).cast("long"),
+        )
+        for name in sorted(arms)
+    ]
+    fused = fused.withColumn("rrf_e6", reduce(lambda a, b: a + b, contrib))
+    top = fused.orderBy(F.desc("rrf_e6"), "doc_id").limit(k)
+    w = W.orderBy(F.desc("rrf_e6"), "doc_id")  # bounded: ≤ k rows
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    terms: list[str],
+    query_vec: DataFrame,
+    k: int = 10,
+    pool: int = 20,
+    k_rrf: int = RRF_K,
+) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical arm over ``docs`` + brute-force
+    cosine arm over ``embeddings`` (ids shared between the tables),
+    RRF-fused. ``query_vec`` is a 1-row (query_id, qvec) frame.
+
+    Returns (doc_id, bm25_rank, vec_rank, rrf_e6, rank). Each arm
+    retrieves a ``pool``-sized candidate list; fusion re-ranks the
+    union. At scale the cosine arm swaps for ann_topk/ivf_topk
+    (operators/similarity.py) unchanged — any (id, rank) frame fuses.
+    """
+    from searchengine_spark.operators.similarity import brute_force_topk
+
+    bm = bm25_topk(docs, terms, k=pool)
+    vec = brute_force_topk(embeddings, query_vec, k=pool).select(
+        F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse({"bm25": bm, "vec": vec}, k=k, k_rrf=k_rrf)

@@ -3504,6 +3504,156 @@ ORACLE_SQL["warc_roundtrip"] = SQL_WARC_ROUNDTRIP
 
 
 # ---------------------------------------------------------------------------
+# retrieval: BM25 + hybrid reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["sort", "merge", "window"]
+_HYBRID_TERMS = ["stream", "hash", "batch"]
+
+
+def _bm25_ctes(terms: list[str]) -> str:
+    """DuckDB twin of operators/retrieval.bm25_term_scores → per-doc
+    sums: CTEs ending in `bm(doc_id, n_terms, bm25_e6)`. Float grouping
+    mirrors the Spark expression tree token-for-token (the lm.py
+    contract: one ln + one division per (doc, term) from identical
+    integer operands, floored to BIGINT micro-points before any sum)."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) AS BIGINT) AS sum_dl
+  FROM d
+),
+matched AS (
+  SELECT doc_id, dl, term
+  FROM (SELECT doc_id, dl, unnest(w) AS term FROM d)
+  WHERE term IN ({in_list})
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf, max(dl) AS dl
+  FROM matched GROUP BY 1, 2
+),
+dft AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(1000000.0 * (
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * ((CAST(tf AS DOUBLE) * 2.2)
+              / (tf + 1.2 * (0.25 + 0.75
+                   * ((CAST(dl AS DOUBLE) * n_docs) / sum_dl))))
+         )) AS BIGINT) AS score_e6
+  FROM tf JOIN dft USING (term), stats
+),
+bm AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+         CAST(sum(score_e6) AS BIGINT) AS bm25_e6
+  FROM scored GROUP BY 1
+)"""
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Classic BM25 retrieval (Lucene k1/b form) over the documents
+    table — the public lexical baseline next to the reference's own
+    positional rank model (PageSearcher.cpp:400-520). Integer
+    micro-point scores; top-15 by (score, doc_id)."""
+    from searchengine_spark.operators import retrieval as RET
+
+    return RET.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=15).orderBy(
+        "rank"
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH {_bm25_ctes(_BM25_TERMS)},
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id) AS INT)
+         AS rank
+  FROM bm
+)
+SELECT doc_id, n_terms, bm25_e6, rank FROM ranked
+WHERE rank <= 15 ORDER BY rank
+"""
+
+QUERIES["bm25_topk"] = q_bm25_topk
+ORACLE_SQL["bm25_topk"] = SQL_BM25_TOPK
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical arm over documents + brute-force
+    cosine arm over embeddings (query = vector 7), fused by
+    reciprocal-rank (Cormack et al. 2009) with exact integer
+    contributions 1000000 div (60 + rank). The two tables share the
+    id space by construction (doc_id ≡ vec_id)."""
+    from searchengine_spark.operators import retrieval as RET
+
+    qv = _emb(spark, sf_dir).where(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return RET.hybrid_topk(
+        _docs(spark, sf_dir),
+        _emb(spark, sf_dir),
+        _HYBRID_TERMS,
+        qv,
+        k=10,
+        pool=20,
+    ).select("doc_id", "bm25_rank", "vec_rank", "rrf_e6", "rank").orderBy(
+        "rank"
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH {_bm25_ctes(_HYBRID_TERMS)},
+bmr AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id)
+         AS INT) AS brank
+  FROM bm
+),
+bmp AS (SELECT doc_id, brank FROM bmr WHERE brank <= 20),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qvec FROM e WHERE vec_id = 7),
+vsc AS (
+  SELECT e.vec_id,
+         round(list_dot_product(e.v, q.qvec)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qvec, q.qvec))), 4) AS cosine
+  FROM e, q WHERE e.vec_id <> 7
+),
+vr AS (
+  SELECT vec_id AS doc_id,
+         CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT)
+           AS vrank
+  FROM vsc
+),
+vp AS (SELECT doc_id, vrank FROM vr WHERE vrank <= 20),
+fused AS (
+  SELECT COALESCE(bmp.doc_id, vp.doc_id) AS doc_id,
+         bmp.brank AS bm25_rank, vp.vrank AS vec_rank,
+         CAST(COALESCE(1000000 // (60 + bmp.brank), 0)
+              + COALESCE(1000000 // (60 + vp.vrank), 0) AS BIGINT)
+           AS rrf_e6
+  FROM bmp FULL OUTER JOIN vp ON bmp.doc_id = vp.doc_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS INT)
+         AS rank
+  FROM fused
+)
+SELECT doc_id, bm25_rank, vec_rank, rrf_e6, rank FROM ranked
+WHERE rank <= 10 ORDER BY rank
+"""
+
+QUERIES["hybrid_rrf"] = q_hybrid_rrf
+ORACLE_SQL["hybrid_rrf"] = SQL_HYBRID_RRF
+
+
+# ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,128 @@
+"""BM25 + reciprocal-rank-fusion retrieval (operators/retrieval.py):
+hand-computed python twins for the integer micro-score contract, OR
+semantics, fusion arithmetic, and layout independence."""
+
+import math
+from collections import Counter
+
+import pytest
+
+from searchengine_spark.operators import retrieval as RET
+
+CORPUS = {
+    1: "a b a c",
+    2: "a d",
+    3: "e e e a b",
+    4: "b b c d e",
+}
+
+
+def _bm25_py(corpus: dict[int, str], terms: list[str]) -> dict:
+    """Pure-python twin mirroring the Spark expression tree's float
+    grouping exactly (same operand order, floor at micro-points)."""
+    n = len(corpus)
+    words = {d: t.split(" ") for d, t in corpus.items()}
+    dl = {d: len(w) for d, w in words.items()}
+    sum_dl = sum(dl.values())
+    tf = {
+        (d, term): words[d].count(term)
+        for d in corpus
+        for term in set(words[d]) & set(terms)
+    }
+    df = Counter(term for (_, term) in tf)
+    out = {}
+    for (d, term), f in tf.items():
+        idf = math.log(1.0 + (n - df[term] + 0.5) / (df[term] + 0.5))
+        dlnorm = (float(dl[d]) * n) / sum_dl
+        tfn = (float(f) * 2.2) / (f + 1.2 * (0.25 + 0.75 * dlnorm))
+        out[(d, term)] = math.floor(1000000.0 * (idf * tfn))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        sorted(CORPUS.items()), "doc_id long, text string"
+    )
+
+
+def test_bm25_term_scores_hand_computed(docs):
+    rows = RET.bm25_term_scores(docs, ["a", "b", "zz"]).collect()
+    got = {(r["doc_id"], r["term"]): r["score_e6"] for r in rows}
+    assert got == _bm25_py(CORPUS, ["a", "b"])
+    # absent term: no rows at all (OR semantics — contributes nothing)
+    assert not [r for r in rows if r["term"] == "zz"]
+    # tf carried correctly
+    tf = {(r["doc_id"], r["term"]): r["tf"] for r in rows}
+    assert tf[(1, "a")] == 2 and tf[(3, "a")] == 1
+    with pytest.raises(ValueError):
+        RET.bm25_term_scores(docs, ["a", "a"])
+    with pytest.raises(ValueError):
+        RET.bm25_term_scores(docs, [])
+
+
+def test_bm25_topk_ranks_and_sums(docs):
+    top = RET.bm25_topk(docs, ["a", "b"], k=3).collect()
+    per_term = _bm25_py(CORPUS, ["a", "b"])
+    sums: dict = {}
+    matched: dict = {}
+    for (d, _), s in per_term.items():
+        sums[d] = sums.get(d, 0) + s
+        matched[d] = matched.get(d, 0) + 1
+    expect = sorted(sums.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(r["doc_id"], r["bm25_e6"]) for r in
+            sorted(top, key=lambda r: r["rank"])] == expect
+    assert sorted(r["rank"] for r in top) == [1, 2, 3]
+    assert all(r["n_terms"] == matched[r["doc_id"]] for r in top)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    bm = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    vec = spark.createDataFrame([(2, 1), (3, 2)], "doc_id long, rank int")
+    fused = RET.rrf_fuse({"bm25": bm, "vec": vec}, k=10).collect()
+    rows = {r["doc_id"]: r for r in fused}
+    assert rows[2]["rrf_e6"] == 1000000 // 62 + 1000000 // 61
+    assert rows[1]["rrf_e6"] == 1000000 // 61 and rows[1]["vec_rank"] is None
+    assert rows[3]["rrf_e6"] == 1000000 // 62 and rows[3]["bm25_rank"] is None
+    assert [r["doc_id"] for r in sorted(fused, key=lambda r: r["rank"])] == [
+        2, 1, 3,
+    ]
+    # top-k truncation by fused score
+    assert RET.rrf_fuse({"bm25": bm, "vec": vec}, k=1).count() == 1
+    with pytest.raises(ValueError):
+        RET.rrf_fuse({})
+
+
+def test_hybrid_topk_wiring(spark, docs):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+            (7, [1.0, 0.1, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    qv = emb.where("vec_id = 7").selectExpr(
+        "vec_id as query_id", "embedding as qvec"
+    )
+    out = RET.hybrid_topk(docs, emb, ["a", "b"], qv, k=4, pool=3).collect()
+    assert set(out[0].asDict()) == {
+        "doc_id", "bm25_rank", "vec_rank", "rrf_e6", "rank",
+    }
+    by_id = {r["doc_id"]: r for r in out}
+    # vector arm: 2 ([.9,.1,0]) then 1 ([1,0,0]) are closest to the query
+    assert by_id[2]["vec_rank"] == 1 and by_id[1]["vec_rank"] == 2
+    # a doc present in both arms outranks one present in a single arm
+    both = [r for r in out if r["bm25_rank"] and r["vec_rank"]]
+    single = [r for r in out if (r["bm25_rank"] is None) != (r["vec_rank"] is None)]
+    assert both and single
+    assert max(r["rrf_e6"] for r in single) < max(r["rrf_e6"] for r in both)
+
+
+def test_bm25_layout_independence(docs):
+    a = RET.bm25_topk(docs, ["a", "b", "c"], k=4).collect()
+    b = RET.bm25_topk(docs.repartition(7), ["a", "b", "c"], k=4).collect()
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(a) == key(b)
