@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "sessionize",
     "bm25_topk",
     "hybrid_rrf",
+    "spell_suggest",
 ]
 
 

@@ -3654,6 +3654,85 @@ ORACLE_SQL["hybrid_rrf"] = SQL_HYBRID_RRF
 
 
 # ---------------------------------------------------------------------------
+# spell suggestion (SymSpell deletion-key join + exact verify)
+# ---------------------------------------------------------------------------
+
+_SPELL_QUERIES = ["sorrt", "mege", "windoww", "ag", "sotr", "quxx"]
+
+
+def q_spell_suggest(spark, sf_dir):
+    """Did-you-mean over the documents vocabulary: SymSpell
+    deletion-key equi-join (never a distance scan of the dict) +
+    built-in levenshtein verify ≤ 1, ranked by document frequency.
+    'sotr' (transposition = plain-Levenshtein 2) and 'quxx' (nothing
+    within distance 1) must yield no suggestions."""
+    from searchengine_spark.operators.spell import spell_suggest
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    dict_df = toks.groupBy("term").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    return spell_suggest(dict_df, _SPELL_QUERIES, max_suggestions=3).orderBy(
+        "query", "rank"
+    )
+
+
+_SPELL_VALUES = ", ".join(f"('{q}')" for q in _SPELL_QUERIES)
+
+SQL_SPELL_SUGGEST = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+  FROM documents
+),
+dict AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_docs FROM toks GROUP BY 1
+),
+dkeys AS (
+  SELECT DISTINCT suggestion, key FROM (
+    SELECT term AS suggestion,
+           unnest(list_prepend(term, list_transform(
+             range(1, length(term) + 1),
+             i -> substr(term, 1, i - 1) || substr(term, i + 1, length(term))
+           ))) AS key
+    FROM dict)
+),
+qs AS (SELECT * FROM (VALUES {_SPELL_VALUES}) AS q(query)),
+qkeys AS (
+  SELECT DISTINCT query, key FROM (
+    SELECT query,
+           unnest(list_prepend(query, list_transform(
+             range(1, length(query) + 1),
+             i -> substr(query, 1, i - 1) || substr(query, i + 1, length(query))
+           ))) AS key
+    FROM qs)
+),
+cand AS (
+  SELECT DISTINCT query, suggestion FROM qkeys JOIN dkeys USING (key)
+),
+ver AS (
+  SELECT query, suggestion,
+         CAST(levenshtein(query, suggestion) AS INT) AS distance
+  FROM cand WHERE levenshtein(query, suggestion) <= 1
+),
+ranked AS (
+  SELECT v.query, v.suggestion, v.distance, d.n_docs,
+         CAST(row_number() OVER (
+           PARTITION BY v.query ORDER BY d.n_docs DESC, v.suggestion
+         ) AS INT) AS rank
+  FROM ver v JOIN dict d ON v.suggestion = d.term
+)
+SELECT query, suggestion, distance, n_docs, rank FROM ranked
+WHERE rank <= 3 ORDER BY query, rank
+"""
+
+QUERIES["spell_suggest"] = q_spell_suggest
+ORACLE_SQL["spell_suggest"] = SQL_SPELL_SUGGEST
+
+
+# ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
 
