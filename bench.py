@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "bm25_topk",
     "hybrid_rrf",
     "spell_suggest",
+    "collocations",
 ]
 
 

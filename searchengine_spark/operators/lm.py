@@ -301,3 +301,65 @@ def score_kn_bigram_lm(
         (-F.sum("lp_e6")).alias("nll_e6"),
         F.expr("(-sum(lp_e6)) div count(*)").alias("avg_nll_e6"),
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k collocations (phrase mining) by pointwise mutual
+    information over the adjacent-bigram stream — the standard
+    vocabulary-construction signal for deciding which adjacent pairs
+    deserve a merged token (Church & Hanks 1990).
+
+    PMI(a,b) = ln( c_ab · T / (c_left(a) · c_right(b)) ) with
+    positional marginals — c_left = a's count as a LEFT element,
+    c_right = b's count as a RIGHT element, T = total bigrams — all
+    derived from ONE corpus-sized groupBy (the pair table); the
+    marginals are vocab-sized re-aggregations of it. ``min_count``
+    suppresses the low-frequency PMI explosion (a hapax pair has
+    near-maximal PMI) and is applied AFTER the marginals are counted.
+
+    Exact integer contract (lm.py discipline): pmi_e6 =
+    floor(1e6 · ln((c_ab·T)/(c_left·c_right))) computed as one double
+    expression from identical BIGINT operands in both engines.
+    Products stay in doubles (c_ab·T at 10^13-bigram scale overflows
+    BIGINT; doubles carry it exactly enough for the micro-nat floor).
+
+    Returns (a, b, c_ab, pmi_e6, rank), rank 1..k by
+    (pmi_e6 desc, a, b) — TakeOrderedAndProject, rank window only
+    over the ≤k survivors.
+    """
+    bg = doc_bigrams(docs, doc_col, text_col)
+    pair = bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("c_ab"))
+    left = pair.groupBy("a").agg(F.sum("c_ab").cast("long").alias("c_left"))
+    right = pair.groupBy("b").agg(F.sum("c_ab").cast("long").alias("c_right"))
+    tot = pair.agg(F.sum("c_ab").cast("long").alias("t_bigrams"))
+    scored = (
+        pair.where(F.col("c_ab") >= min_count)
+        .join(left, "a")
+        .join(right, "b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (F.col("c_ab").cast("double") * F.col("t_bigrams"))
+                    / (F.col("c_left").cast("double") * F.col("c_right"))
+                )
+            )
+            .cast("long")
+            .alias("pmi_e6"),
+        )
+    )
+    from pyspark.sql import Window as _W
+
+    top = scored.orderBy(F.desc("pmi_e6"), "a", "b").limit(k)
+    w = _W.orderBy(F.desc("pmi_e6"), "a", "b")  # bounded: ≤ k rows
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

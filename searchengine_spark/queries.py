@@ -3733,6 +3733,60 @@ ORACLE_SQL["spell_suggest"] = SQL_SPELL_SUGGEST
 
 
 # ---------------------------------------------------------------------------
+# PMI collocations (phrase mining over the bigram stream)
+# ---------------------------------------------------------------------------
+
+
+def q_collocations(spark, sf_dir):
+    """Top-20 collocations by PMI with min_count=5 over documents —
+    the vocabulary-construction signal for merged tokens; exact
+    integer micro-nat contract (operators/lm.pmi_collocations)."""
+    from searchengine_spark.operators.lm import pmi_collocations
+
+    return pmi_collocations(
+        _docs(spark, sf_dir), min_count=5, k=20
+    ).orderBy("rank")
+
+
+SQL_COLLOCATIONS = """
+WITH lm_d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+  FROM documents
+),
+lm_bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> {'a': ws[i], 'b': ws[i + 1]})) AS p
+  FROM lm_d WHERE len(ws) >= 2
+),
+lm_bge AS (SELECT doc_id, p.a AS a, p.b AS b FROM lm_bg),
+pair AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+         FROM lm_bge GROUP BY a, b),
+lft AS (SELECT a, CAST(sum(c_ab) AS BIGINT) AS c_left FROM pair GROUP BY a),
+rgt AS (SELECT b, CAST(sum(c_ab) AS BIGINT) AS c_right FROM pair GROUP BY b),
+tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS t_bigrams FROM pair),
+scored AS (
+  SELECT pair.a, pair.b, pair.c_ab,
+         CAST(floor(1000000.0 * ln(
+           (CAST(c_ab AS DOUBLE) * t_bigrams)
+           / (CAST(c_left AS DOUBLE) * c_right)
+         )) AS BIGINT) AS pmi_e6
+  FROM pair JOIN lft USING (a) JOIN rgt USING (b) CROSS JOIN tot
+  WHERE c_ab >= 5
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY pmi_e6 DESC, a, b) AS INT)
+         AS rank
+  FROM scored
+)
+SELECT a, b, c_ab, pmi_e6, rank FROM ranked WHERE rank <= 20 ORDER BY rank
+"""
+
+QUERIES["collocations"] = q_collocations
+ORACLE_SQL["collocations"] = SQL_COLLOCATIONS
+
+
+# ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
 

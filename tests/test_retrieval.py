@@ -126,3 +126,54 @@ def test_bm25_layout_independence(docs):
     b = RET.bm25_topk(docs.repartition(7), ["a", "b", "c"], k=4).collect()
     key = lambda rows: sorted(tuple(r) for r in rows)
     assert key(a) == key(b)
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI over the adjacent-bigram stream with positional marginals,
+    exact micro-nat floors; min_count suppresses hapax pairs; rank is
+    (pmi desc, a, b)."""
+    from searchengine_spark.operators.lm import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x y x y x y"),
+            (2, "x y z q"),
+            (3, "z q z q"),
+            (4, "w"),  # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = pmi_collocations(docs, min_count=2, k=10).collect()
+    # python twin
+    corpus = {1: "x y x y x y", 2: "x y z q", 3: "z q z q"}
+    pairs: dict = {}
+    for t in corpus.values():
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    t_big = sum(pairs.values())
+    left: dict = {}
+    right: dict = {}
+    for (a, b), c in pairs.items():
+        left[a] = left.get(a, 0) + c
+        right[b] = right.get(b, 0) + c
+    expect = {}
+    for (a, b), c in pairs.items():
+        if c >= 2:
+            expect[(a, b)] = math.floor(
+                1000000.0
+                * math.log((float(c) * t_big) / (float(left[a]) * right[b]))
+            )
+    got = {(r["a"], r["b"]): r["pmi_e6"] for r in out}
+    assert got == expect
+    # min_count: only pairs with c_ab >= 2 survive
+    assert all(pairs[(r["a"], r["b"])] >= 2 for r in out)
+    # rank is dense 1..n by (pmi desc, a, b)
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["rank"] for r in ranked] == list(range(1, len(out) + 1))
+    assert sorted(
+        ((-r["pmi_e6"], r["a"], r["b"]) for r in out)
+    ) == [(-r["pmi_e6"], r["a"], r["b"]) for r in ranked]
+    # layout independence
+    again = pmi_collocations(docs.repartition(7), min_count=2, k=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
