@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     "spell_suggest",
     "collocations",
+    "more_like_this",
 ]
 
 

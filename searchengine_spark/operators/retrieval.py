@@ -190,3 +190,102 @@ def hybrid_topk(
         F.col("vec_id").alias("doc_id"), "rank"
     )
     return rrf_fuse({"bm25": bm, "vec": vec}, k=k, k_rrf=k_rrf)
+
+
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-(doc, term) tf-idf weights in exact integer milli-points:
+    w_e3 = floor(1e3 · tf · ln(N/df)) as BIGINT. A term present in
+    every doc gets weight 0 (ln 1) — the classic common-word
+    vanishing. One corpus-sized groupBy (tf), a vocab-sized df
+    re-aggregation joined back, and a 1-row N cross join.
+    """
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    tf = d.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.lit(1000.0)
+                * (
+                    F.col("tf").cast("double")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                )
+            )
+            .cast("long")
+            .alias("w_e3"),
+        )
+    )
+
+
+def more_like_this(
+    docs: DataFrame,
+    doc_id,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Related-document retrieval: top-k docs by tf-idf cosine to the
+    given document ("more like this" — the reference's console has no
+    analogue; PageSearcher serves term queries only).
+
+    Scale shape: the query doc's weight vector is ONE doc's vocabulary
+    — broadcast it and equi-join on term, so the corpus-sized postings
+    table is scanned once and only rows sharing a term with the query
+    doc survive (sparse dot product; never a doc×doc self-join). Dot
+    products are exact BIGINT sums of w_e3 products; norms are exact
+    BIGINT sums of squares; the ONLY float step is the final
+    round(dot / (sqrt(nq)·sqrt(nd)), 6) from identical integers.
+    Zero-norm docs (every term corpus-universal) are excluded — a
+    0/0 cosine is undefined, not similar.
+
+    Returns (doc_id, cosine, rank), rank 1..k by (cosine desc, doc_id).
+    """
+    w = tfidf_weights(docs, id_col, text_col)
+    qv = w.where(F.col("doc_id") == doc_id).select(
+        "term", F.col("w_e3").alias("qw_e3")
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w_e3") * F.col("w_e3")).alias("norm2")
+    )
+    qnorm = norms.where(F.col("doc_id") == doc_id).select(
+        F.col("norm2").alias("qnorm2")
+    )
+    dots = (
+        w.where(F.col("doc_id") != doc_id)
+        .join(F.broadcast(qv), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w_e3") * F.col("qw_e3")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qnorm))
+        .where((F.col("norm2") > 0) & (F.col("qnorm2") > 0))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("qnorm2").cast("double"))
+                    * F.sqrt(F.col("norm2").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    top = scored.orderBy(F.desc("cosine"), "doc_id").limit(k)
+    w_rank = W.orderBy(F.desc("cosine"), "doc_id")  # bounded: ≤ k rows
+    return top.withColumn("rank", F.row_number().over(w_rank).cast("int"))

@@ -3787,6 +3787,67 @@ ORACLE_SQL["collocations"] = SQL_COLLOCATIONS
 
 
 # ---------------------------------------------------------------------------
+# more-like-this (tf-idf cosine related docs)
+# ---------------------------------------------------------------------------
+
+
+def q_more_like_this(spark, sf_dir):
+    """Related docs for doc 0 by tf-idf cosine: the query doc's weight
+    vector broadcasts into a sparse dot product against the postings
+    (never a doc×doc self-join); dots and norms are exact BIGINT sums
+    of milli-point products, cosine is one rounded division."""
+    from searchengine_spark.operators.retrieval import more_like_this
+
+    return more_like_this(_docs(spark, sf_dir), 0, k=10).orderBy("rank")
+
+
+SQL_MORE_LIKE_THIS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY 1, 2
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+w AS (
+  SELECT doc_id, term,
+         CAST(floor(1000.0 * (CAST(tf AS DOUBLE)
+              * ln(CAST(n_docs AS DOUBLE) / df))) AS BIGINT) AS w_e3
+  FROM tf JOIN dft USING (term) CROSS JOIN n
+),
+qv AS (SELECT term, w_e3 AS qw_e3 FROM w WHERE doc_id = 0),
+norms AS (
+  SELECT doc_id, CAST(sum(w_e3 * w_e3) AS BIGINT) AS norm2
+  FROM w GROUP BY 1
+),
+qnorm AS (SELECT norm2 AS qnorm2 FROM norms WHERE doc_id = 0),
+dots AS (
+  SELECT w.doc_id, CAST(sum(w.w_e3 * qv.qw_e3) AS BIGINT) AS dot
+  FROM w JOIN qv USING (term) WHERE w.doc_id <> 0 GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id,
+         round(CAST(dot AS DOUBLE)
+               / (sqrt(CAST(qnorm2 AS DOUBLE))
+                  * sqrt(CAST(norm2 AS DOUBLE))), 6) AS cosine
+  FROM dots d JOIN norms USING (doc_id) CROSS JOIN qnorm
+  WHERE norm2 > 0 AND qnorm2 > 0
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+         AS rank
+  FROM scored
+)
+SELECT doc_id, cosine, rank FROM ranked WHERE rank <= 10 ORDER BY rank
+"""
+
+QUERIES["more_like_this"] = q_more_like_this
+ORACLE_SQL["more_like_this"] = SQL_MORE_LIKE_THIS
+
+
+# ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
 

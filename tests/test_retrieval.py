@@ -177,3 +177,64 @@ def test_pmi_collocations_hand_computed(spark):
     # layout independence
     again = pmi_collocations(docs.repartition(7), min_count=2, k=10).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_more_like_this_hand_computed(spark):
+    """tf-idf cosine related docs: exact milli-point weights, BIGINT
+    dots/norms, excluded zero-norm docs and the query doc itself."""
+    corpus = {
+        1: "x y z",
+        2: "x y q",     # shares x,y with 1
+        3: "z z z w",   # shares z
+        4: "q w q w",   # shares no term with 1 -> no dot-product row
+        5: "c c",       # c appears only here
+        6: "x y z",     # identical to 1 -> cosine 1.0
+    }
+    docs = spark.createDataFrame(
+        sorted(corpus.items()), "doc_id long, text string"
+    )
+    out = RET.more_like_this(docs, 1, k=10).collect()
+    # python twin
+    n = len(corpus)
+    words = {d: t.split(" ") for d, t in corpus.items()}
+    from collections import Counter
+
+    df = Counter()
+    tfs = {d: Counter(w) for d, w in words.items()}
+    for d in corpus:
+        for t in set(words[d]):
+            df[t] += 1
+    w_e3 = {
+        (d, t): math.floor(1000.0 * (float(c) * math.log(float(n) / df[t])))
+        for d, tf in tfs.items()
+        for t, c in tf.items()
+    }
+    import itertools
+
+    def vec(d):
+        return {t: w for (dd, t), w in w_e3.items() if dd == d}
+
+    qv = vec(1)
+    expect = {}
+    for d in corpus:
+        if d == 1:
+            continue
+        v = vec(d)
+        dot = sum(w * qv[t] for t, w in v.items() if t in qv)
+        n2 = sum(w * w for w in v.values())
+        q2 = sum(w * w for w in qv.values())
+        if n2 > 0 and q2 > 0 and dot != 0:
+            expect[d] = round(dot / (math.sqrt(q2) * math.sqrt(n2)), 6)
+    got = {r["doc_id"]: r["cosine"] for r in out}
+    # docs sharing no weighted term have dot 0 rows only if the join hit;
+    # python twin keeps only docs the sparse join would produce
+    for d, c in got.items():
+        assert d in expect and abs(c - expect[d]) < 1e-9, (d, c, expect.get(d))
+    # identical doc 6 has cosine 1.0 and rank 1
+    best = min(out, key=lambda r: r["rank"])
+    assert best["doc_id"] == 6 and abs(best["cosine"] - 1.0) < 1e-9
+    # the query doc itself is never returned
+    assert 1 not in got
+    # layout independence
+    again = RET.more_like_this(docs.repartition(5), 1, k=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
