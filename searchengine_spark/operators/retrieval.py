@@ -237,6 +237,8 @@ def more_like_this(
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    weights: DataFrame | None = None,
+    n_parts: int = 32,
 ) -> DataFrame:
     """Related-document retrieval: top-k docs by tf-idf cosine to the
     given document ("more like this" — the reference's console has no
@@ -252,17 +254,42 @@ def more_like_this(
     Zero-norm docs (every term corpus-universal) are excluded — a
     0/0 cosine is undefined, not similar.
 
+    Evaluation sharing: pass ``weights`` (a persisted
+    (doc_id, term, w_e3) table from :func:`tfidf_weights`) for the
+    production path — consumers read it with scan pushdown, the right
+    trade for persisted state. Without it the ephemeral tf-idf
+    derivation is pinned behind a doc_id-keyed exchange with the
+    fold-proof ``element_at(shuffle([true]),1)`` barrier
+    (operators/index.shared_postings mechanics + its Spark-version
+    coupling, see CLAUDE.md): the 3-column consumers (query vector,
+    its norm, the dot join) share ONE evaluation; the norm aggregation
+    prunes to 2 columns and is the second — column pruning reaches
+    below the exchange, so distinct column sets cannot share (the
+    pruning half of the CLAUDE.md trap). Two evaluations is the
+    ephemeral minimum without materializing: dots and norms aggregate
+    over different column sets by nature.
+
     Returns (doc_id, cosine, rank), rank 1..k by (cosine desc, doc_id).
     """
-    w = tfidf_weights(docs, id_col, text_col)
+    if weights is not None:
+        w = weights
+    else:
+        barrier = F.element_at(F.shuffle(F.array(F.lit(True))), 1)
+        w = (
+            tfidf_weights(docs, id_col, text_col)
+            .repartition(n_parts, "doc_id")
+            .where(barrier)
+        )
     qv = w.where(F.col("doc_id") == doc_id).select(
         "term", F.col("w_e3").alias("qw_e3")
     )
+    # query norm from the (tiny) query vector — NOT from the all-docs
+    # norms aggregate: this keeps it on the 3-column shared subtree
+    qnorm = qv.agg(
+        F.sum(F.col("qw_e3") * F.col("qw_e3")).cast("long").alias("qnorm2")
+    )
     norms = w.groupBy("doc_id").agg(
         F.sum(F.col("w_e3") * F.col("w_e3")).alias("norm2")
-    )
-    qnorm = norms.where(F.col("doc_id") == doc_id).select(
-        F.col("norm2").alias("qnorm2")
     )
     dots = (
         w.where(F.col("doc_id") != doc_id)
