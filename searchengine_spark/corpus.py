@@ -148,21 +148,27 @@ def robots_state_sql(host: str) -> str:
 def parse_robots_txt(txt: str) -> str:
     """Minimal robots.txt -> engine robots_state string.
 
-    Understands `User-agent: *` sections with Disallow rules:
-    'Disallow: /' -> 'deny'; one or more prefixes ->
-    'disallow:<p1>|<p2>|...' (every rule enforced, not just the
-    first); otherwise 'allow'. (The reference has NO robots support —
-    this is the north-rule addition; the fetch adapter parses the
-    fetched robots body into the cached hosts.robots_state column.)
+    Understands `User-agent: *` sections with Disallow AND Allow
+    rules. Disallow-only bodies keep the legacy states: 'Disallow: /'
+    -> 'deny'; one or more prefixes -> 'disallow:<p1>|<p2>|...' (every
+    rule enforced, not just the first); no rules -> 'allow'. A body
+    with at least one Allow rule AND at least one Disallow rule
+    compiles to 'rules:<±p1>|<±p2>|...' ('+' = Allow, '-' = Disallow,
+    'Disallow: /' becomes '-/'), gated longest-match-wins with Allow
+    winning equal-length ties — the REP standard precedence (RFC 9309
+    §2.2.2, what Googlebot implements). Allow rules with no Disallow
+    to override are vacuous -> 'allow'. (The reference has NO robots
+    support — this is the north-rule addition; the fetch adapter
+    parses the fetched robots body into hosts.robots_state.)
 
-    Multi-prefix states are an HTTP-adapter-only surface: the
-    synthetic corpus grammar emits at most one prefix, so the
-    three-form (expr/SQL/py) twins stay row-equal on it. '|' is the
-    prefix separator and cannot appear inside a prefix — a robots rule
-    containing '|' (never valid in a URL path anyway) is dropped.
+    Multi-prefix and 'rules:' states are an HTTP-adapter-only surface:
+    the synthetic corpus grammar emits at most one Disallow prefix, so
+    the three-form (expr/SQL/py) twins stay row-equal on it. '|' is
+    the rule separator and cannot appear inside a prefix — a robots
+    rule containing '|' (never valid in a URL path anyway) is dropped.
     """
     in_star = False
-    prefixes: list[str] = []
+    rules: list[str] = []  # '±<prefix>' in file order, deduped
     for line in txt.splitlines():
         line = line.split("#", 1)[0].strip()
         if not line:
@@ -171,24 +177,63 @@ def parse_robots_txt(txt: str) -> str:
         k, v = k.strip().lower(), v.strip()
         if k == "user-agent":
             in_star = v == "*"
-        elif k == "disallow" and in_star:
-            if v == "/":
-                return "deny"
-            if v and "|" not in v and v not in prefixes:
-                prefixes.append(v)
-    if prefixes:
-        return "disallow:" + "|".join(prefixes)
-    return "allow"
+        elif in_star and k in ("disallow", "allow"):
+            if not v or "|" in v:
+                continue  # empty rule = no constraint; '|' invalid
+            tok = ("-" if k == "disallow" else "+") + v
+            if tok not in rules:
+                rules.append(tok)
+    disallows = [t[1:] for t in rules if t[0] == "-"]
+    if not disallows:
+        return "allow"
+    if not any(t[0] == "+" for t in rules):
+        if "/" in disallows:
+            return "deny"
+        return "disallow:" + "|".join(disallows)
+    return "rules:" + "|".join(rules)
+
+
+def robots_rules_blocked_py(state: str | None, path: str) -> bool:
+    """Pure-python twin of plans/crawl.robots_blocked_expr covering
+    EVERY state form (legacy + 'rules:'): True when the cached state
+    blocks the path. 'rules:' gating is longest-match-wins, Allow wins
+    equal-length ties (RFC 9309 §2.2.2); no matching rule = allowed."""
+    if not state or state == "allow":
+        return False
+    if state == "deny":
+        return True
+    if state.startswith("disallow:"):
+        return any(
+            path.startswith(p) for p in state[len("disallow:"):].split("|")
+        )
+    if state.startswith("rules:"):
+        matching = [
+            t
+            for t in state[len("rules:"):].split("|")
+            if path.startswith(t[1:])
+        ]
+        if not matching:
+            return False
+        best = max(len(t) for t in matching)
+        return not any(len(t) == best and t[0] == "+" for t in matching)
+    return False
 
 
 def robots_txt_of_state(state: str) -> str:
-    """Inverse fixture generator: state -> a robots.txt body."""
+    """Inverse fixture generator: state -> a robots.txt body
+    (parse_robots_txt(robots_txt_of_state(s)) == s for every form)."""
     if state == "deny":
         return "User-agent: *\nDisallow: /\n"
     if state.startswith("disallow:"):
         rules = "".join(
             f"Disallow: {p}\n"
             for p in state[len("disallow:"):].split("|")
+        )
+        return f"User-agent: *\n{rules}"
+    if state.startswith("rules:"):
+        rules = "".join(
+            ("Allow: " if t[0] == "+" else "Disallow: ") + t[1:] + "\n"
+            for t in state[len("rules:"):].split("|")
         )
         return f"User-agent: *\n{rules}"
     return "User-agent: *\nDisallow:\n"

@@ -117,17 +117,34 @@ def robots_blocked_expr(path, robots_state) -> F.Column:
     everything; 'disallow:<p1>|<p2>|...' blocks a match on ANY prefix
     (HTTP-learned states carry every `User-agent: *` Disallow rule;
     the synthetic grammar emits at most one, where this reduces to the
-    single startswith the ingest gate applies — operators/frontier.py).
-    NULL robots_state (host not yet contacted) blocks nothing."""
+    single startswith the ingest gate applies — operators/frontier.py);
+    'rules:<±p1>|<±p2>|...' (HTTP-learned bodies with Allow AND
+    Disallow rules) gates longest-match-wins with Allow winning
+    equal-length ties (RFC 9309 §2.2.2) — blocked iff some rule
+    matches and no longest match is an Allow. NULL robots_state (host
+    not yet contacted) blocks nothing. Pure-python twin:
+    corpus.robots_rules_blocked_py (pinned row-equal in
+    tests/test_crawl.py)."""
+    matching = F.filter(
+        F.split(F.substring(robots_state, 7, 8192), "\\|"),
+        lambda t: path.startswith(F.substring(t, 2, 8192)),
+    )
+    maxlen = F.array_max(F.transform(matching, lambda t: F.length(t)))
+    rules_blocked = (F.size(matching) > 0) & ~F.exists(
+        matching,
+        lambda t: (F.length(t) == maxlen) & t.startswith("+"),
+    )
     return F.coalesce(
-        (robots_state == "deny")
-        | (
-            robots_state.startswith("disallow:")
-            & F.exists(
+        F.when(robots_state == "deny", F.lit(True))
+        .when(
+            robots_state.startswith("disallow:"),
+            F.exists(
                 F.split(F.substring(robots_state, 10, 8192), "\\|"),
                 lambda p: path.startswith(p),
-            )
-        ),
+            ),
+        )
+        .when(robots_state.startswith("rules:"), rules_blocked)
+        .otherwise(F.lit(False)),
         F.lit(False),
     )
 

@@ -409,3 +409,35 @@ def test_robots_blocked_expr_multi_prefix(spark):
         ).collect()
     ]
     assert got == [want for _, _, want in rows]
+
+
+def test_robots_blocked_expr_rules_states(spark):
+    """The 'rules:' branch of the cached-state gate (Allow + Disallow,
+    longest-match-wins, Allow wins ties — RFC 9309 §2.2.2) is
+    row-equal to the pure-python twin corpus.robots_rules_blocked_py
+    over every state form, including the legacy ones."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.corpus import robots_rules_blocked_py
+    from searchengine_spark.plans.crawl import robots_blocked_expr
+
+    states = [
+        None, "allow", "deny",
+        "disallow:/x/", "disallow:/private|/tmp/",
+        "rules:-/|+/public/|+/pub",
+        "rules:-/a|+/a",                 # equal-length tie -> allow
+        "rules:-/x",                     # rules with no allow match
+        "rules:+/only",                  # degenerate allow-only rules
+    ]
+    paths = ["/", "/public/x", "/pubz", "/private/a", "/tmp/q", "/a/x",
+             "/x/1", "/y", "/only/z", ""]
+    rows = [(p, s) for s in states for p in paths]
+    df = spark.createDataFrame(rows, "path string, robots_state string")
+    got = [
+        r["b"]
+        for r in df.select(
+            robots_blocked_expr(F.col("path"), F.col("robots_state")).alias("b")
+        ).collect()
+    ]
+    want = [robots_rules_blocked_py(s, p) for p, s in rows]
+    assert got == want

@@ -156,6 +156,8 @@ PAGE_A = (
     '<a href="http://127.0.0.2:{p}/">two</a>'
     '<a href="http://127.0.0.3:{p}/">three</a>'
     '<a href="http://127.0.0.3:{p}/secret/x">hidden</a>'
+    '<a href="http://127.0.0.4:{p}/ok/page">allowed carve-out</a>'
+    '<a href="http://127.0.0.4:{p}/blocked">blanket-disallowed</a>'
     '<a href="http://127.0.0.5:{p}/">five</a>'
     '<a href="http://127.0.0.1:9/x">dead</a>'
     "</body></html>"
@@ -182,6 +184,10 @@ class _SiteHandler(BaseHTTPRequestHandler):
                 self._send(b"User-agent: *\nDisallow: /\n", "text/plain")
             elif name == "127.0.0.3":
                 self._send(b"User-agent: *\nDisallow: /secret\n", "text/plain")
+            elif name == "127.0.0.4":
+                self._send(
+                    b"User-agent: *\nDisallow: /\nAllow: /ok\n", "text/plain"
+                )
             else:
                 self.send_error(404)
         elif name == "127.0.0.5":
@@ -192,6 +198,8 @@ class _SiteHandler(BaseHTTPRequestHandler):
             self._send(SIMPLE.format(t="Page A").encode())
         elif name == "127.0.0.3" and not self.path.startswith("/secret"):
             self._send(SIMPLE.format(t="Three Home").encode())
+        elif name == "127.0.0.4" and self.path.startswith("/ok"):
+            self._send(SIMPLE.format(t="Carved Out").encode())
         else:
             self.send_error(404)
 
@@ -221,7 +229,7 @@ def test_http_crawl_loop_end_to_end(spark, site, tmp_path):
     from searchengine_spark.sources.http_fetch import HttpFetchAdapter
 
     port, reqs = site
-    h1, h2, h3 = (f"127.0.0.{i}:{port}" for i in (1, 2, 3))
+    h1, h2, h3, h4 = (f"127.0.0.{i}:{port}" for i in (1, 2, 3, 4))
     h5, dead = f"127.0.0.5:{port}", "127.0.0.1:9"
     drv = CrawlDriver(
         spark,
@@ -235,8 +243,9 @@ def test_http_crawl_loop_end_to_end(spark, site, tmp_path):
     docs = drv.store.read("docs").select("host", "url", "round").collect()
     fetched_urls = {r["url"] for r in docs}
     # indexable pages all crawled; deny-host, disallowed path, png and
-    # dead host produced no documents
-    assert fetched_urls == {h1, f"{h1}/a", h3}
+    # dead host produced no documents; h4's Allow carve-out under a
+    # blanket Disallow IS crawled (RFC 9309 longest-match precedence)
+    assert fetched_urls == {h1, f"{h1}/a", h3, f"{h4}/ok/page"}
     # politeness budget: never two fetches of one host in one round
     per_round = {}
     for r in docs:
@@ -248,6 +257,7 @@ def test_http_crawl_loop_end_to_end(spark, site, tmp_path):
     # robots fetched over HTTP and parsed into the cache
     assert hosts[h2]["robots_state"] == "deny"
     assert hosts[h3]["robots_state"] == "disallow:/secret"
+    assert hosts[h4]["robots_state"] == "rules:-/|+/ok"
     assert hosts[h1]["robots_state"] == "allow"  # 404 robots -> allow
     # DNS resolved through the adapter (port-in-host honored)
     assert hosts[h1]["ip"] == "127.0.0.1"
@@ -260,9 +270,13 @@ def test_http_crawl_loop_end_to_end(spark, site, tmp_path):
     assert hosts[h5]["fetch_count"] == 1
     assert hosts[h5]["fail_count"] == 0
 
-    # the server log agrees: /secret never requested, deny-host h2
-    # received ONLY its robots probe, robots fetched once per host
+    # the server log agrees: /secret and h4's blanket-disallowed path
+    # never requested, deny-host h2 received ONLY its robots probe,
+    # robots fetched once per host
     assert not any(p.startswith("/secret") for _, p in reqs)
+    assert not any(
+        n == "127.0.0.4" and p == "/blocked" for n, p in reqs
+    )
     assert [p for n, p in reqs if n == "127.0.0.2"] == ["/robots.txt"]
     robots_reqs = [(n, p) for n, p in reqs if p == "/robots.txt"]
     assert len(robots_reqs) == len(set(robots_reqs))

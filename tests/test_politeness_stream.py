@@ -92,3 +92,41 @@ def test_robots_multi_prefix_parse():
     st = parse_robots_txt(txt)
     assert st == "disallow:/private|/tmp/"
     assert parse_robots_txt(robots_txt_of_state(st)) == st
+
+
+def test_robots_allow_rules_parse_and_gate():
+    """RFC 9309 §2.2.2: a body mixing Allow and Disallow compiles to a
+    'rules:' state gated longest-match-wins, Allow winning equal-length
+    ties; Allow-only bodies are vacuous ('allow'); Disallow-only bodies
+    keep the legacy states byte-for-byte; the inverse generator
+    round-trips the new form."""
+    from searchengine_spark.corpus import robots_rules_blocked_py
+
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Allow: /public/\n"
+        "Allow: /pub\n"
+    )
+    st = parse_robots_txt(txt)
+    assert st == "rules:-/|+/public/|+/pub"
+    assert parse_robots_txt(robots_txt_of_state(st)) == st
+    # longest match wins: /public/x matches -/ (1), +/public/ (8), +/pub (4)
+    assert robots_rules_blocked_py(st, "/public/x") is False
+    assert robots_rules_blocked_py(st, "/pubz") is False       # +/pub beats -/
+    assert robots_rules_blocked_py(st, "/private") is True     # only -/ matches
+    # equal-length tie -> Allow wins
+    tie = "rules:-/a|+/a"
+    assert robots_rules_blocked_py(tie, "/a/x") is False
+    # no matching rule -> allowed
+    assert robots_rules_blocked_py("rules:-/x", "/y") is False
+    # Allow-only body: nothing to override
+    assert parse_robots_txt("User-agent: *\nAllow: /ok\n") == "allow"
+    # Disallow-only bodies keep legacy states exactly
+    assert parse_robots_txt("User-agent: *\nDisallow: /\n") == "deny"
+    assert parse_robots_txt("User-agent: *\nDisallow: /p\n") == "disallow:/p"
+    # legacy forms through the py twin
+    assert robots_rules_blocked_py("deny", "/anything") is True
+    assert robots_rules_blocked_py("allow", "/anything") is False
+    assert robots_rules_blocked_py(None, "/anything") is False
+    assert robots_rules_blocked_py("disallow:/a|/b", "/b/c") is True
