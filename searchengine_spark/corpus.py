@@ -193,6 +193,34 @@ def parse_robots_txt(txt: str) -> str:
     return "rules:" + "|".join(rules)
 
 
+def parse_crawl_delay(txt: str, cap: int = 16) -> int:
+    """`Crawl-delay: N` under `User-agent: *` -> politeness rounds.
+
+    The engine's politeness unit is the ROUND (one fetch per host per
+    politeness window); a second-denominated Crawl-delay maps
+    conservatively 1 s -> 1 round, capped (a hostile robots.txt must
+    not starve the frontier — Googlebot likewise ignores Crawl-delay
+    entirely; we honor it up to `cap`). Absent/garbage values -> 0
+    (the global cfg.politeness_rounds still applies). The LAST valid
+    value in the * section wins, like repeated robots rules."""
+    in_star = False
+    delay = 0
+    for line in txt.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line:
+            continue
+        k, _, v = line.partition(":")
+        k, v = k.strip().lower(), v.strip()
+        if k == "user-agent":
+            in_star = v == "*"
+        elif in_star and k == "crawl-delay":
+            try:
+                delay = max(0, min(int(float(v)), cap))
+            except ValueError:
+                pass
+    return delay
+
+
 def robots_rules_blocked_py(state: str | None, path: str) -> bool:
     """Pure-python twin of plans/crawl.robots_blocked_expr covering
     EVERY state form (legacy + 'rules:'): True when the cached state

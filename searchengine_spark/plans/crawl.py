@@ -57,7 +57,7 @@ COMPACT_CHAIN = 16
 HOSTS_SCHEMA = (
     "host string, next_allowed_round int, fail_count int, "
     "fetch_count int, url_count long, robots_state string, ip string, "
-    "robots_checked_round int"
+    "robots_checked_round int, crawl_delay int"
 )
 
 METRICS_SCHEMA = (
@@ -193,12 +193,14 @@ class SyntheticFetchAdapter:
         return _pseudo_ip_expr
 
     def resolve_hosts(self, new_hosts: DataFrame) -> DataFrame:
-        """(host) -> (host, robots_state, ip); unused when the expr
-        forms above are available — provided for interface parity."""
+        """(host) -> (host, robots_state, ip, crawl_delay); unused when
+        the expr forms above are available — provided for interface
+        parity. The synthetic grammar has no Crawl-delay."""
         return new_hosts.select(
             "host",
             robots_state_expr(F.col("host")).alias("robots_state"),
             _pseudo_ip_expr(F.col("host")).alias("ip"),
+            F.lit(0).alias("crawl_delay"),
         )
 
 
@@ -279,6 +281,7 @@ class CrawlDriver:
                 rs_expr(F.col("host")).alias("robots_state"),
                 ad.host_ip_expr()(F.col("host")).alias("ip"),
                 F.lit(0).alias("robots_checked_round"),
+                F.lit(0).alias("crawl_delay"),
             )
         else:
             hosts = hosts_base.join(
@@ -290,6 +293,9 @@ class CrawlDriver:
                 ),
                 F.coalesce(F.col("ip"), F.lit("0.0.0.0")).alias("ip"),
                 F.lit(0).alias("robots_checked_round"),
+                F.coalesce(F.col("crawl_delay"), F.lit(0)).alias(
+                    "crawl_delay"
+                ),
             )
         seen0 = frontier.select("url_md5", "shard")
         meta = {"round": -1}
@@ -376,6 +382,11 @@ class CrawlDriver:
             # column as checked-at-round-0, exactly what a fresh seed
             # writes — the next hosts commit persists the new schema
             hosts = hosts.withColumn("robots_checked_round", F.lit(0))
+        if "crawl_delay" not in hosts.columns:
+            # pre-Crawl-delay store: no per-host override (the global
+            # cfg.politeness_rounds still applies); same migration
+            # pattern as robots_checked_round above
+            hosts = hosts.withColumn("crawl_delay", F.lit(0))
         seen = self.store.read("seen", pinned["seen"])
 
         # bad-host gate (X11 de-randomized): fail_count >= MAXHOSTTRY hosts
@@ -541,7 +552,14 @@ class CrawlDriver:
                 "host",
                 F.when(
                     F.col("_failed").isNotNull(),
-                    F.lit(round_no + cfg.politeness_rounds),
+                    # per-host Crawl-delay override: the politeness
+                    # clock advances by the LARGER of the global window
+                    # and the host's robots-declared delay (rounds)
+                    F.lit(round_no)
+                    + F.greatest(
+                        F.lit(cfg.politeness_rounds),
+                        F.coalesce(F.col("crawl_delay"), F.lit(0)),
+                    ),
                 )
                 .otherwise(F.coalesce(F.col("next_allowed_round"), F.lit(0)))
                 .alias("next_allowed_round"),
@@ -560,6 +578,7 @@ class CrawlDriver:
                 "robots_state",
                 "ip",
                 "robots_checked_round",
+                "crawl_delay",
             )
         )
         # first-contact resolution for hosts new this round: inline
@@ -576,6 +595,9 @@ class CrawlDriver:
                 F.coalesce(F.col("ip"), ad.host_ip_expr()(F.col("host"))).alias("ip"),
                 F.coalesce(F.col("robots_checked_round"), F.lit(round_no))
                 .alias("robots_checked_round"),
+                F.coalesce(F.col("crawl_delay"), F.lit(0)).alias(
+                    "crawl_delay"
+                ),
             )
         else:
             hosts2_base = hosts2_base.cache()
@@ -597,6 +619,7 @@ class CrawlDriver:
                 "host",
                 F.col("robots_state").alias("_rs"),
                 F.col("ip").alias("_ip"),
+                F.col("crawl_delay").alias("_cd"),
             )
             # a freshly resolved state WINS over the cached one (TTL
             # refresh); hosts outside the stale set keep their cache
@@ -611,6 +634,9 @@ class CrawlDriver:
                     F.coalesce(F.col("robots_checked_round"), F.lit(round_no))
                 )
                 .alias("robots_checked_round"),
+                F.when(F.col("_rs").isNotNull(), F.coalesce(F.col("_cd"), F.lit(0)))
+                .otherwise(F.coalesce(F.col("crawl_delay"), F.lit(0)))
+                .alias("crawl_delay"),
             )
 
         seen2 = seen.unionByName(new_rows.select("url_md5", "shard"))

@@ -208,6 +208,7 @@ ROBOTS_RESULT_TYPE = StructType(
     [
         StructField("robots_state", StringType()),
         StructField("ip", StringType()),
+        StructField("crawl_delay", IntegerType()),
     ]
 )
 
@@ -216,25 +217,29 @@ def resolve_host(
     host: str,
     timeout_s: float = DEFAULT_TIMEOUT_S,
     max_bytes: int = DEFAULT_MAX_BYTES,
-) -> tuple[str, str]:
+) -> tuple[str, str, int]:
     """First-contact host resolution: GET /robots.txt through the same
     transport as page fetches + one DNS lookup. Missing/unreachable
     robots.txt degrades to 'allow' (the conventional crawler default);
     a resolvable 2xx body parses through corpus.parse_robots_txt into
-    the engine's robots_state string. The port-in-host quirk (P2) is
-    honored: DNS resolves the name left of the ':'."""
+    the engine's robots_state string and through parse_crawl_delay
+    into a per-host politeness override (rounds, capped). The
+    port-in-host quirk (P2) is honored: DNS resolves the name left of
+    the ':'."""
     import socket
 
-    from searchengine_spark.corpus import parse_robots_txt
+    from searchengine_spark.corpus import parse_crawl_delay, parse_robots_txt
 
     st, _, body = fetch_one(f"http://{host}/robots.txt", timeout_s, max_bytes)
-    robots = parse_robots_txt(body) if 200 <= st < 300 else "allow"
+    ok = 200 <= st < 300
+    robots = parse_robots_txt(body) if ok else "allow"
+    delay = parse_crawl_delay(body) if ok else 0
     name = host.rsplit(":", 1)[0] if ":" in host else host
     try:
         ip = socket.gethostbyname(name)
     except OSError:
         ip = "0.0.0.0"
-    return robots, ip
+    return robots, ip, delay
 
 
 def make_resolve_hosts_udf(
@@ -243,16 +248,17 @@ def make_resolve_hosts_udf(
     pool_size: int = DEFAULT_POOL,
 ):
     """Arrow-batched host resolver: host column -> struct(robots_state,
-    ip), thread-pooled like the page fetch (latency-bound)."""
+    ip, crawl_delay), thread-pooled like the page fetch
+    (latency-bound)."""
 
     def _resolve(hosts: pd.Series) -> pd.DataFrame:
         hs = hosts.fillna("").tolist()
         if not hs:
-            return pd.DataFrame(columns=["robots_state", "ip"])
+            return pd.DataFrame(columns=["robots_state", "ip", "crawl_delay"])
         n = min(pool_size, max(1, len(hs)))
         with _fut.ThreadPoolExecutor(max_workers=n) as ex:
             rows = list(ex.map(lambda h: resolve_host(h, timeout_s, max_bytes), hs))
-        return pd.DataFrame(rows, columns=["robots_state", "ip"])
+        return pd.DataFrame(rows, columns=["robots_state", "ip", "crawl_delay"])
 
     return (
         F.pandas_udf(_resolve, returnType=ROBOTS_RESULT_TYPE)
@@ -312,4 +318,5 @@ class HttpFetchAdapter:
             "host",
             F.col("_r.robots_state").alias("robots_state"),
             F.col("_r.ip").alias("ip"),
+            F.col("_r.crawl_delay").alias("crawl_delay"),
         )

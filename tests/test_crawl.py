@@ -441,3 +441,28 @@ def test_robots_blocked_expr_rules_states(spark):
     ]
     want = [robots_rules_blocked_py(s, p) for p, s in rows]
     assert got == want
+
+
+def test_resume_backfills_pre_crawl_delay_hosts_schema(spark, tmp_path_factory):
+    """A store persisted before Crawl-delay support lacks
+    hosts.crawl_delay; resuming must backfill it as 0 (global
+    politeness only — what a fresh seed writes) and the next hosts
+    commit persists the migrated schema. Same migration pattern as
+    robots_checked_round."""
+    root = str(tmp_path_factory.mktemp("predelayhosts"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed(SEEDS[:8])
+    m = d.store.read_manifest()
+    old = d.store.read("hosts", m["versions"]["hosts"]).drop("crawl_delay")
+    versions = dict(m["versions"])
+    versions["hosts"] = d.store.commit("hosts", old, meta={"round": -1})
+    d.store.commit_manifest(m["round"], versions)
+
+    d2 = CrawlDriver(spark, root, CFG)
+    stats = d2.run(1, resume=True)
+    assert stats[0].scheduled > 0
+    migrated = d2.store.read(
+        "hosts", d2.store.read_manifest()["versions"]["hosts"]
+    )
+    assert "crawl_delay" in migrated.columns
+    assert all(r["crawl_delay"] == 0 for r in migrated.collect())

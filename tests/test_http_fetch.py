@@ -571,3 +571,76 @@ def test_cli_resume_adopts_pinned_http_adapter(spark, tmp_path, capsys):
         assert "pinned 'http' fetch adapter" in err
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Crawl-delay: per-host politeness override from robots.txt
+# ---------------------------------------------------------------------------
+
+
+class _DelayHandler(BaseHTTPRequestHandler):
+    requests: list
+
+    def _send(self, body: bytes, ctype: str = "text/html; charset=utf-8"):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        port = self.server.server_address[1]
+        self.requests.append(self.path)
+        if self.path == "/robots.txt":
+            self._send(b"User-agent: *\nCrawl-delay: 2\n", "text/plain")
+        elif self.path in ("/", ""):
+            self._send(
+                (
+                    "<html><head><title>Root</title></head><body>"
+                    f'<a href="http://127.0.0.1:{port}/a">a</a>'
+                    f'<a href="http://127.0.0.1:{port}/b">b</a>'
+                    "</body></html>"
+                ).encode()
+            )
+        else:
+            self._send(SIMPLE.format(t="Leaf").encode())
+
+    def log_message(self, *a):
+        pass
+
+
+def test_crawl_delay_enforced(spark, tmp_path):
+    """A robots `Crawl-delay: 2` stretches the host's politeness clock
+    beyond the global window (politeness_rounds=1): successive fetches
+    of the host land >= 2 rounds apart, and the parsed delay is cached
+    in hosts.crawl_delay."""
+    from searchengine_spark.config import CrawlConfig
+    from searchengine_spark.plans.crawl import CrawlDriver
+    from searchengine_spark.sources.http_fetch import HttpFetchAdapter
+
+    reqs: list = []
+    handler = type("_H", (_DelayHandler,), {"requests": reqs})
+    srv = ThreadingHTTPServer(("", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        host = f"127.0.0.1:{port}"
+        drv = CrawlDriver(
+            spark,
+            str(tmp_path / "store"),
+            CrawlConfig(n_shards=4, politeness_rounds=1),
+            adapter=HttpFetchAdapter(timeout_s=3.0, pool_size=4),
+        )
+        drv.seed([f"http://{host}/"])
+        drv.run(6)
+        docs = drv.store.read("docs").select("url", "round").collect()
+        rounds = sorted(r["round"] for r in docs)
+        # three pages (/ -> /a, /b), each fetch >= 2 rounds after the
+        # previous: 0, 2, 4 exactly under the delay-2 clock
+        assert len(docs) == 3
+        assert rounds == [0, 2, 4]
+        hosts = {r["host"]: r for r in drv.store.read("hosts").collect()}
+        assert hosts[host]["crawl_delay"] == 2
+    finally:
+        srv.shutdown()

@@ -130,3 +130,20 @@ def test_robots_allow_rules_parse_and_gate():
     assert robots_rules_blocked_py("allow", "/anything") is False
     assert robots_rules_blocked_py(None, "/anything") is False
     assert robots_rules_blocked_py("disallow:/a|/b", "/b/c") is True
+
+
+def test_parse_crawl_delay():
+    from searchengine_spark.corpus import parse_crawl_delay
+
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 3\n") == 3
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 2.7\n") == 2
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x\n") == 0
+    # cap: hostile robots cannot starve the frontier
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 9999\n") == 16
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: 40\n", cap=8) == 8
+    # other agents' delay does not apply; last * value wins; junk -> kept
+    assert parse_crawl_delay(
+        "User-agent: bot\nCrawl-delay: 9\nUser-agent: *\n"
+        "Crawl-delay: 1\nCrawl-delay: junk\nCrawl-delay: 4\n"
+    ) == 4
+    assert parse_crawl_delay("") == 0
