@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "spell_suggest",
     "collocations",
     "more_like_this",
+    "textrank_keywords",
 ]
 
 

@@ -150,3 +150,87 @@ def rank_stats(ranks: DataFrame) -> DataFrame:
         F.round(F.avg("rank"), 6).alias("avg_rank"),
         F.count("*").alias("n_nodes"),
     )
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    base: float = 0.15,
+) -> DataFrame:
+    """PageRank over a WEIGHTED graph: fixed synchronous iterations of
+    r(v) = base + damping · Σ_{u→v} (w_uv / wdeg_u) · r(u), init 1.0 —
+    the same fixed-iteration contract as :func:`pagerank` (which this
+    generalizes: weight 1 edges reduce to 1/out_degree), oracle-
+    expressible as chained CTEs like the pagerank3 twin. Nodes = every
+    src ∪ dst; a node with no inbound weight settles at `base`.
+
+    edges: (src, dst, weight). Returns (node, rank) rounded to 6 dp —
+    the float SUM inside each sweep is the pagerank3-vetted class
+    (well-conditioned, rounding absorbs association order).
+    """
+    wdeg = edges.groupBy("src").agg(F.sum("weight").alias("wdeg"))
+    e = edges.join(wdeg, "src").select("src", "dst", "weight", "wdeg")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.col("rank") * F.col("weight") / F.col("wdeg")
+                ).alias("s")
+            )
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    k: int = 20,
+    iters: int = 3,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus keyword extraction à la TextRank (Mihalcea & Tarau 2004):
+    PageRank over the word co-occurrence graph — undirected edges
+    between ADJACENT words (the bigram stream, window 2), weight =
+    corpus co-occurrence count, self-loops dropped. One corpus-sized
+    groupBy builds the pair table; everything after is vocab-sized.
+
+    Returns the top-k (term, rank, pos) by (rank desc, term) —
+    TakeOrderedAndProject, pos window over the ≤k survivors.
+    """
+    from pyspark.sql import Window as _W
+
+    from searchengine_spark.operators.lm import doc_bigrams
+
+    bg = doc_bigrams(docs, doc_col, text_col).where(F.col("a") != F.col("b"))
+    pair = bg.groupBy("a", "b").agg(F.count("*").cast("long").alias("w"))
+    edges = pair.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), F.col("w").alias("weight")
+    ).unionByName(
+        pair.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"),
+            F.col("w").alias("weight"),
+        )
+    ).groupBy("src", "dst").agg(F.sum("weight").alias("weight"))
+    ranks = weighted_pagerank(edges, iters=iters)
+    top = ranks.select(F.col("node").alias("term"), "rank").orderBy(
+        F.desc("rank"), "term"
+    ).limit(k)
+    w_pos = _W.orderBy(F.desc("rank"), "term")  # bounded: ≤ k rows
+    return top.withColumn("pos", F.row_number().over(w_pos).cast("int"))

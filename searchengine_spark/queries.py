@@ -3848,6 +3848,86 @@ ORACLE_SQL["more_like_this"] = SQL_MORE_LIKE_THIS
 
 
 # ---------------------------------------------------------------------------
+# TextRank keywords (weighted PageRank over word co-occurrence)
+# ---------------------------------------------------------------------------
+
+
+def q_textrank_keywords(spark, sf_dir):
+    """Corpus keywords à la TextRank: 3 fixed weighted-PageRank sweeps
+    over the adjacent-word co-occurrence graph (undirected, weight =
+    corpus bigram count, self-loops dropped); top-20 by rank."""
+    from searchengine_spark.operators.pagerank import textrank_keywords
+
+    return textrank_keywords(_docs(spark, sf_dir), k=20, iters=3).orderBy(
+        "pos"
+    )
+
+
+def _wpr_iter_sql(prev: str, out: str) -> str:
+    return f""",
+  {out}_c AS (
+    SELECT e.dst AS node, SUM(r.rank * e.weight / e.wdeg) AS s
+    FROM wedges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+  ),
+  {out} AS (
+    SELECT n.node, 0.15 + 0.85 * COALESCE(c.s, 0.0) AS rank
+    FROM wnodes n LEFT JOIN {out}_c c ON n.node = c.node
+  )"""
+
+
+SQL_TEXTRANK_KEYWORDS = (
+    """
+WITH lm_d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> length(w) > 0) AS ws
+  FROM documents
+),
+lm_bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws)),
+                               i -> {'a': ws[i], 'b': ws[i + 1]})) AS p
+  FROM lm_d WHERE len(ws) >= 2
+),
+lm_bge AS (SELECT doc_id, p.a AS a, p.b AS b FROM lm_bg),
+wpair AS (
+  SELECT a, b, CAST(count(*) AS BIGINT) AS w
+  FROM lm_bge WHERE a <> b GROUP BY 1, 2
+),
+wedges0 AS (
+  SELECT a AS src, b AS dst, w FROM wpair
+  UNION ALL
+  SELECT b AS src, a AS dst, w FROM wpair
+),
+wedges_g AS (
+  SELECT src, dst, CAST(sum(w) AS BIGINT) AS weight
+  FROM wedges0 GROUP BY 1, 2
+),
+wdeg AS (SELECT src, CAST(sum(weight) AS BIGINT) AS wdeg
+         FROM wedges_g GROUP BY 1),
+wedges AS (
+  SELECT g.src, g.dst, g.weight, d.wdeg FROM wedges_g g JOIN wdeg d USING (src)
+),
+wnodes AS (
+  SELECT src AS node FROM wedges_g UNION SELECT dst AS node FROM wedges_g
+),
+r0 AS (SELECT node, 1.0 AS rank FROM wnodes)"""
+    + _wpr_iter_sql("r0", "r1")
+    + _wpr_iter_sql("r1", "r2")
+    + _wpr_iter_sql("r2", "r3")
+    + """,
+ranked AS (SELECT node AS term, round(rank, 6) AS rank FROM r3),
+topk AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY rank DESC, term) AS INT) AS pos
+  FROM ranked
+)
+SELECT term, rank, pos FROM topk WHERE pos <= 20 ORDER BY pos
+"""
+)
+
+QUERIES["textrank_keywords"] = q_textrank_keywords
+ORACLE_SQL["textrank_keywords"] = SQL_TEXTRANK_KEYWORDS
+
+
+# ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
 
