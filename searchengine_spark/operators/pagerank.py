@@ -198,6 +198,70 @@ def weighted_pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Hubs & authorities (Kleinberg 1999, JACM 46(5)) over a directed
+    graph — the link-analysis complement of :func:`pagerank` (which
+    follows the reference, SearchEngine.cpp:1210-1264; HITS is the
+    standard companion the reference does not ship).
+
+    Fixed synchronous sweeps from h₀ ≡ 1:
+        a(v) = Σ_{u→v} h(u)        then        h(u) = Σ_{u→v} a(v)
+    run UNNORMALIZED — with integer init the scores are exact path
+    counts, so every sweep stays in BIGINT (no float sums at all).
+    Normalization happens ONCE at the end, by the global MAX of each
+    score (max is association-order-independent, unlike a float Σ, so
+    the result is bit-deterministic across partition layouts); a
+    lone-max division is the only float step. Overflow bound: scores
+    grow as ≲ (d_max)^(2·iters)·|V| paths — far inside int64 for
+    web-ish degrees at the default 3 sweeps; raise `iters` only with
+    that bound in mind (documented, not silently clamped).
+
+    edges: (src, dst), pre-deduped. Returns (node, authority, hub)
+    rounded to 6 dp; a graph with no edges yields empty.
+    """
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    h = nodes.select("node", F.lit(1).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        a = (
+            e.join(h, e["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").cast("long").alias("a"))
+            .select(F.col("dst").alias("node"), "a")
+        )
+        a = nodes.join(a, "node", "left").select(
+            "node", F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("a")
+        )
+        h = (
+            e.join(a, e["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").cast("long").alias("h"))
+            .select(F.col("src").alias("node"), "h")
+        )
+        h = nodes.join(h, "node", "left").select(
+            "node", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")
+        )
+    scores = nodes.join(a, "node", "left").join(h, "node", "left")
+    mx = scores.agg(
+        F.max("a").cast("long").alias("_amax"),
+        F.max("h").cast("long").alias("_hmax"),
+    )
+    return scores.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.round(
+            F.col("a") / F.nullif(F.col("_amax"), F.lit(0)), 6
+        ).alias("authority"),
+        F.round(
+            F.col("h") / F.nullif(F.col("_hmax"), F.lit(0)), 6
+        ).alias("hub"),
+    )
+
+
 def textrank_keywords(
     docs: DataFrame,
     k: int = 20,

@@ -586,6 +586,58 @@ GROUP BY out_degree ORDER BY out_degree
 )
 
 
+def q_hits3(spark, sf_dir):
+    """Hubs & authorities over the synthetic link graph: 3 exact
+    BIGINT path-count sweeps, one final max-normalization (the only
+    float step — see operators/pagerank.hits)."""
+    edges = _synth_edges(spark, sf_dir).select("src", "dst")
+    return PR.hits(edges, iters=3).orderBy("node")
+
+
+def _hits_iter_sql(prev_h: str, a_out: str, h_out: str) -> str:
+    return f""",
+  {a_out}_c AS (
+    SELECT e.dst AS node, CAST(SUM(p.h) AS BIGINT) AS a
+    FROM edges0 e JOIN {prev_h} p ON e.src = p.node GROUP BY e.dst
+  ),
+  {a_out} AS (
+    SELECT n.node, CAST(COALESCE(c.a, 0) AS BIGINT) AS a
+    FROM hnodes n LEFT JOIN {a_out}_c c ON n.node = c.node
+  ),
+  {h_out}_c AS (
+    SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS h
+    FROM edges0 e JOIN {a_out} a ON e.dst = a.node GROUP BY e.src
+  ),
+  {h_out} AS (
+    SELECT n.node, CAST(COALESCE(c.h, 0) AS BIGINT) AS h
+    FROM hnodes n LEFT JOIN {h_out}_c c ON n.node = c.node
+  )"""
+
+
+SQL_HITS3 = (
+    "WITH "
+    + _EDGE_CTES
+    + """,
+  hnodes AS (SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0),
+  h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM hnodes)"""
+    + _hits_iter_sql("h0", "a1", "h1")
+    + _hits_iter_sql("h1", "a2", "h2")
+    + _hits_iter_sql("h2", "a3", "h3")
+    + """,
+  hscores AS (
+    SELECT n.node, a.a, h.h
+    FROM hnodes n JOIN a3 a ON n.node = a.node JOIN h3 h ON n.node = h.node
+  ),
+  hmx AS (SELECT CAST(max(a) AS BIGINT) AS amax,
+                 CAST(max(h) AS BIGINT) AS hmax FROM hscores)
+SELECT node,
+       round(a * 1.0 / nullif(amax, 0), 6) AS authority,
+       round(h * 1.0 / nullif(hmax, 0), 6) AS hub
+FROM hscores, hmx ORDER BY node
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # postings / search
 # ---------------------------------------------------------------------------
@@ -1866,6 +1918,7 @@ QUERIES = {
     "top_hosts": q_top_hosts,
     "robots_gate": q_robots_gate,
     "pagerank3": q_pagerank3,
+    "hits3": q_hits3,
     "link_graph_stats": q_link_graph_stats,
     "term_stats": q_term_stats,
     "search_2term": q_search_2term,
@@ -1903,6 +1956,7 @@ ORACLE_SQL = {
     "top_hosts": SQL_TOP_HOSTS,
     "robots_gate": SQL_ROBOTS_GATE,
     "pagerank3": SQL_PAGERANK3,
+    "hits3": SQL_HITS3,
     "link_graph_stats": SQL_LINK_GRAPH_STATS,
     "term_stats": SQL_TERM_STATS,
     "search_2term": SQL_SEARCH_2TERM,

@@ -230,6 +230,35 @@ def test_pagerank_tol_early_stop(spark):
     assert one_tol == one_fixed
 
 
+def test_hits_hand_computed(spark):
+    """HITS: exact BIGINT path-count sweeps, single final
+    max-normalization; python twin computes the identical recurrence.
+    Graph: hub a points at b and c; b points at c — c is the
+    authority, a the hub."""
+    edges_rows = [("a", "b"), ("a", "c"), ("b", "c")]
+    edges = spark.createDataFrame(edges_rows, "src string, dst string")
+    out = {r["node"]: (r["authority"], r["hub"]) for r in PR.hits(edges, iters=3).collect()}
+
+    nodes = sorted({n for e in edges_rows for n in e})
+    h = {n: 1 for n in nodes}
+    for _ in range(3):
+        a = {n: 0 for n in nodes}
+        for s, d in edges_rows:
+            a[d] += h[s]
+        h = {n: 0 for n in nodes}
+        for s, d in edges_rows:
+            h[s] += a[d]
+    amax, hmax = max(a.values()), max(h.values())
+    expect = {
+        n: (round(a[n] / amax, 6), round(h[n] / hmax, 6)) for n in nodes
+    }
+    assert out == expect
+    # c is the top authority, a the top hub; both normalized to 1.0
+    assert out["c"][0] == 1.0 and out["a"][1] == 1.0
+    assert out["a"][0] == 0.0  # nothing links to a
+    assert out["c"][1] == 0.0  # c links nowhere
+
+
 def test_edges_from_docs_semi_join(spark):
     from searchengine_spark.functions.urls import url_md5_py
 

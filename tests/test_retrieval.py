@@ -273,3 +273,51 @@ def test_more_like_this_shared_evaluation_and_weights_path(spark, tmp_path):
     assert "shuffle(" not in (
         out2._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_textrank_keywords_hand_computed(spark):
+    """Weighted PageRank over the adjacent-word graph: 3 synchronous
+    sweeps from init 1.0, undirected count-weighted edges, no
+    self-loops; python twin computes the identical recurrence."""
+    from searchengine_spark.operators.pagerank import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y"), (2, "y z"), (3, "w w q")],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(docs, k=10, iters=3).collect()
+    # python twin: bigrams (x,y)(y,x)(x,y) doc1; (y,z) doc2; (w,w)->drop,
+    # (w,q) doc3
+    pair: dict = {}
+    for t in ["x y x y", "y z", "w w q"]:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    edges: dict = {}
+    for (a, b), w in pair.items():
+        edges[(a, b)] = edges.get((a, b), 0) + w
+        edges[(b, a)] = edges.get((b, a), 0) + w
+    wdeg: dict = {}
+    for (s, _), w in edges.items():
+        wdeg[s] = wdeg.get(s, 0) + w
+    nodes = sorted({n for e in edges for n in e})
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        contrib = {n: 0.0 for n in nodes}
+        for (s, d), w in edges.items():
+            contrib[d] += rank[s] * w / wdeg[s]
+        rank = {n: 0.15 + 0.85 * contrib[n] for n in nodes}
+    expect = {n: round(r, 6) for n, r in rank.items()}
+    got = {r["term"]: r["rank"] for r in out}
+    assert set(got) == set(expect)
+    for n in got:
+        assert abs(got[n] - expect[n]) < 2e-6, (n, got[n], expect[n])
+    # pos is dense 1..n by (rank desc, term)
+    by_pos = sorted(out, key=lambda r: r["pos"])
+    assert [r["pos"] for r in by_pos] == list(range(1, len(out) + 1))
+    assert sorted(got.items(), key=lambda kv: (-kv[1], kv[0])) == [
+        (r["term"], r["rank"]) for r in by_pos
+    ]
+    # the doubly-linked hub y outranks the leaf q
+    assert got["y"] > got["q"]
