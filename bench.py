@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "collocations",
     "more_like_this",
     "textrank_keywords",
+    "quality_classifier",
 ]
 
 

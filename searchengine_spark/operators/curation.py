@@ -619,3 +619,160 @@ mx_doc AS (
          CAST(r.n_full + r.extra AS BIGINT) AS n_epochs
   FROM mx_base d JOIN mx_rule r ON d.source = r.source AND d.qlevel = r.qlevel
 )"""
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (fastText-style hashed bag-of-words)
+# ---------------------------------------------------------------------------
+
+# feature-hashing width.  1024 keeps the weight table broadcast-trivial
+# (8 KB of BIGINTs) while giving the ~20-word synthetic vocabulary
+# collision-free buckets; a production fastText-style filter uses
+# 2^20-2^21 buckets — still a ~16 MB broadcast, nowhere near a shuffle.
+CLS_BUCKETS = 1024
+
+
+def hashed_bow_buckets(
+    docs: DataFrame,
+    n_buckets: int = CLS_BUCKETS,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc, bucket, c): hashed bag-of-words term counts — the feature
+    extraction half of fastText-style classification (Joulin et al.
+    2017, "Bag of Tricks"; feature hashing per Weinberger et al. 2009).
+    bucket = hash60(term) % n_buckets, so the feature map is identical
+    in all three engines. One corpus-sized partial-aggregated groupBy;
+    cardinality ≤ tokens, typically ≪ (distinct terms are far fewer)."""
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(text_col, " "), lambda w: F.length(w) > 0)
+        ).alias("term"),
+    )
+    return (
+        toks.select("doc_id", (hash60(F.col("term")) % n_buckets).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = CLS_BUCKETS,
+    bias_e6: int = 0,
+    thr_e6: int = 0,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear text-classifier INFERENCE: the quality
+    gate of a CCNet-style curation pipeline (a trained quality model
+    scores every document; low scores are dropped or down-sampled).
+
+    weights: (bucket, w_e6) — integer micro-unit weights, broadcast
+    (bucket tables are KBs-to-MBs at any production width). Per doc:
+
+        dot_e6  = Σ_buckets c(doc,b) · w_e6(b)          (exact BIGINT)
+        label   = dot_e6 + n_tokens·bias_e6 >= n_tokens·thr_e6
+                                                (exact integer compare)
+        score   = sigmoid(dot_e6/(1e6·n_tokens) + bias)  (float, 6 dp)
+
+    The keep/drop LABEL is decided entirely in integers — the
+    length-averaged threshold comparison is cross-multiplied so no
+    division happens before the decision; the sigmoid score is
+    reporting convenience (same documented ulp-risk class as the LM
+    micro-nat floors, operators/lm.py:26-31). Empty docs score at the
+    bias alone. Scale shape: one corpus-sized groupBy (the bucket
+    counts), one broadcast join, one per-doc re-aggregation; no
+    corpus×corpus anything.
+    """
+    cnt = hashed_bow_buckets(docs, n_buckets, doc_col, text_col)
+    dot = (
+        cnt.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("w_e6")).cast("long").alias("dot_e6"))
+    )
+    base = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.size(
+            F.filter(F.split(text_col, " "), lambda w: F.length(w) > 0)
+        ).cast("long").alias("n_tokens"),
+    )
+    j = base.join(dot, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("dot_e6"), F.lit(0)).cast("long").alias("dot_e6"),
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    raw = F.col("dot_e6") / (F.lit(1e6) * nt) + F.lit(bias_e6 / 1e6)
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "dot_e6",
+        (
+            F.col("dot_e6") + nt * F.lit(bias_e6) >= nt * F.lit(thr_e6)
+        ).alias("keep"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-raw)), 6).alias("score"),
+    )
+
+
+def synthetic_weights(spark, n_buckets: int = CLS_BUCKETS) -> DataFrame:
+    """Deterministic stand-in for a trained weight vector: w_e6(b) =
+    hash60('w|b') % 2001 - 1000 (micro-units in [-1000, 1000], i.e.
+    weights in [-0.001, 0.001]) — reproducible in SQL so the oracle
+    needs no external model file. A real deployment loads its trained
+    vector into the same (bucket, w_e6) shape."""
+    return spark.range(n_buckets).select(
+        F.col("id").cast("long").alias("bucket"),
+        (hash60(F.concat(F.lit("w|"), F.col("id").cast("string"))) % 2001 - 1000)
+        .cast("long")
+        .alias("w_e6"),
+    )
+
+
+def linear_classifier_sql(
+    docs_rel: str = "documents",
+    n_buckets: int = CLS_BUCKETS,
+    bias_e6: int = 0,
+    thr_e6: int = 0,
+) -> str:
+    """DuckDB CTE-chain twin of synthetic_weights + linear_classifier_score
+    (ending in CTE ``cls_out``)."""
+    w = hash60_sql("'w|' || CAST(range AS VARCHAR)")
+    t = hash60_sql("term")
+    return f"""
+cls_w AS (
+  SELECT CAST(range AS BIGINT) AS bucket,
+         CAST(({w} % 2001) - 1000 AS BIGINT) AS w_e6
+  FROM range({n_buckets})
+),
+cls_t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), w -> length(w) > 0)) AS term
+  FROM {docs_rel}
+),
+cls_c AS (
+  SELECT doc_id, {t} % {n_buckets} AS bucket, CAST(count(*) AS BIGINT) AS c
+  FROM cls_t GROUP BY 1, 2
+),
+cls_dot AS (
+  SELECT doc_id, CAST(SUM(c * w_e6) AS BIGINT) AS dot_e6
+  FROM cls_c JOIN cls_w USING (bucket) GROUP BY 1
+),
+cls_n AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), w -> length(w) > 0))
+              AS BIGINT) AS n_tokens
+  FROM {docs_rel}
+),
+cls_out AS (
+  SELECT n.doc_id, n.n_tokens,
+         CAST(COALESCE(d.dot_e6, 0) AS BIGINT) AS dot_e6,
+         COALESCE(d.dot_e6, 0) + greatest(n.n_tokens, 1) * {bias_e6}
+           >= greatest(n.n_tokens, 1) * {thr_e6} AS keep,
+         round(1.0 / (1.0 + exp(-(
+           COALESCE(d.dot_e6, 0) / (1e6 * greatest(n.n_tokens, 1))
+           + {bias_e6} / 1e6))), 6) AS score
+  FROM cls_n n LEFT JOIN cls_dot d USING (doc_id)
+)"""

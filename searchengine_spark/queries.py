@@ -2549,6 +2549,34 @@ QUERIES["corpus_clean"] = q_corpus_clean
 ORACLE_SQL["corpus_clean"] = SQL_CORPUS_CLEAN
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality-classifier inference over the
+    corpus: hashed bag-of-words features, broadcast weight table,
+    exact BIGINT dot product, integer keep/drop decision, sigmoid
+    score for reporting (operators/curation.linear_classifier_score).
+    Weights are the deterministic synthetic vector so the oracle
+    needs no model file."""
+    from searchengine_spark.operators import curation as CU
+
+    docs = _docs(spark, sf_dir)
+    w = CU.synthetic_weights(spark)
+    return CU.linear_classifier_score(docs, w).orderBy("doc_id")
+
+
+from searchengine_spark.operators.curation import linear_classifier_sql
+
+SQL_QUALITY_CLASSIFIER = (
+    "WITH "
+    + linear_classifier_sql()
+    + """
+SELECT doc_id, n_tokens, dot_e6, keep, score FROM cls_out ORDER BY doc_id
+"""
+)
+
+QUERIES["quality_classifier"] = q_quality_classifier
+ORACLE_SQL["quality_classifier"] = SQL_QUALITY_CLASSIFIER
+
+
 def _ann_lsh_sql() -> str:
     """Full SQL twin of the multi-table hyperplane-LSH ANN: the
     deterministic planes are embedded as literals; per-table bucket,

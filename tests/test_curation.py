@@ -419,3 +419,63 @@ def test_mixture_assign_matches_duckdb_twin(spark):
         got.reset_index(drop=True),
         want.astype(got.dtypes.to_dict()).reset_index(drop=True),
     )
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (fastText-style hashed bag-of-words)
+# ---------------------------------------------------------------------------
+
+
+def test_linear_classifier_hand_computed(spark):
+    """Exact-integer inference: python twin recomputes the hashed-BoW
+    dot product, the cross-multiplied keep decision and the sigmoid;
+    a tiny bucket count forces hash collisions so the collision path
+    is exercised, and an empty doc scores at the bias alone."""
+    import math
+
+    from searchengine_spark.functions.hashes import hash60_py
+    from searchengine_spark.operators import curation as CU
+
+    n_buckets, bias_e6, thr_e6 = 4, 50_000, 10_000
+    rows = [(1, "alpha beta alpha"), (2, "gamma"), (3, ""), (4, "beta beta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = CU.synthetic_weights(spark, n_buckets)
+    wmap = {r["bucket"]: r["w_e6"] for r in w.collect()}
+    assert wmap == {
+        b: hash60_py(f"w|{b}") % 2001 - 1000 for b in range(n_buckets)
+    }
+
+    out = {
+        r["doc_id"]: r
+        for r in CU.linear_classifier_score(
+            docs, w, n_buckets, bias_e6=bias_e6, thr_e6=thr_e6
+        ).collect()
+    }
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        dot = sum(wmap[hash60_py(t) % n_buckets] for t in toks)
+        nt = max(len(toks), 1)
+        keep = dot + nt * bias_e6 >= nt * thr_e6
+        score = round(
+            1.0 / (1.0 + math.exp(-(dot / (1e6 * nt) + bias_e6 / 1e6))), 6
+        )
+        got = out[doc_id]
+        assert got["n_tokens"] == len(toks)
+        assert got["dot_e6"] == dot
+        assert got["keep"] == keep
+        assert abs(got["score"] - score) < 2e-6, (doc_id, got["score"], score)
+    # empty doc: dot 0, decision/score at the bias alone
+    assert out[3]["dot_e6"] == 0 and out[3]["keep"] is True
+
+
+def test_linear_classifier_weights_broadcast_plan(spark):
+    """The weight join must broadcast (bucket tables are KB-MB at any
+    width) — a shuffled weight join would be a 100 TB regression."""
+    from searchengine_spark.operators import curation as CU
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "c")], "doc_id long, text string"
+    )
+    out = CU.linear_classifier_score(docs, CU.synthetic_weights(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
