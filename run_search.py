@@ -48,6 +48,11 @@ def main(argv=None) -> int:
         help="#unmerge: raw top-K, no host-dedup of results",
     )
     ap.add_argument(
+        "--snippets", action="store_true",
+        help="add a keyword-in-context snippet per hit (first query-term "
+        "occurrence in the indexed token stream, ±5 tokens)",
+    )
+    ap.add_argument(
         "--incremental", action="store_true",
         help="maintain the index incrementally: re-tokenize only crawl "
         "rounds newer than the last indexed round (persisted "
@@ -127,6 +132,7 @@ def main(argv=None) -> int:
                 k=args.k,
                 merge_host=not args.unmerge,
                 max_search=args.max_search,
+                snippets=args.snippets,
             ).collect()
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
@@ -139,6 +145,8 @@ def main(argv=None) -> int:
             }
             if not args.unmerge:
                 out["n_more_from_host"] = r["n_more_from_host"]
+            if args.snippets:
+                out["snippet"] = r["snippet"]
             print(json.dumps(out))
     spark.stop()
     return 0

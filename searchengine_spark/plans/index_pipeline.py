@@ -259,12 +259,17 @@ class SearchService:
         k: int = 20,
         merge_host: bool = True,
         max_search: int | None = None,
+        snippets: bool = False,
+        snippet_window: int = 5,
     ) -> DataFrame:
         """Console search with the '#' parameter surface
         (PageSearcher.cpp:111-150): k = #maxShow, merge_host =
         #merge/#unmerge (host-dedup of results on/off), max_search =
-        #maxSearch (per-term postings read cap)."""
-        from searchengine_spark.operators.index import MAX_SEARCH
+        #maxSearch (per-term postings read cap). `snippets` adds a
+        keyword-in-context column from the token stream
+        (snippets_for_hits); hits whose truncated stream lost every
+        term keep a NULL snippet."""
+        from searchengine_spark.operators.index import MAX_SEARCH, parse_query
 
         if self._postings is None:
             if self.incremental:
@@ -281,9 +286,13 @@ class SearchService:
             max_search=MAX_SEARCH if max_search is None else max_search,
         )
         meta_cols = ["doc_id", "url"] if merge_host else ["doc_id", "url", "host"]
-        return hits.join(self._meta.select(*meta_cols), "doc_id").orderBy(
-            F.desc("score"), "doc_id"
-        )
+        out = hits.join(self._meta.select(*meta_cols), "doc_id")
+        if snippets:
+            snips = snippets_for_hits(
+                out, self._tokens, parse_query(q), window=snippet_window
+            )
+            out = out.join(snips, "doc_id", "left")
+        return out.orderBy(F.desc("score"), "doc_id")
 
     def search_batch(
         self,
@@ -359,3 +368,78 @@ class SearchService:
             .offset(index)
             .limit(1)
         )
+
+
+def snippets_for_hits(
+    hits: DataFrame,
+    tokens: DataFrame,
+    terms: list[dict],
+    window: int = 5,
+) -> DataFrame:
+    """Keyword-in-context snippets for a k-row hit set: each hit doc's
+    FIRST query-term occurrence in the indexed token stream
+    (build_token_index's document-order word sequence — the same
+    stream phrase adjacency matches against), ± `window` tokens,
+    space-joined, '…' at cut edges. The reference prints result pages
+    by a keyed content read (PageSearcher.cpp:111-150 '#get'); the
+    snippet is the search-page abbreviation of that read.
+
+    Scale shape: the hit set is k-bounded, so everything after the
+    left-semi prune is k·(2·window+1)-sized; the token scan itself
+    prunes to (doc_id, word, position) columns. Deterministic:
+    positions are unique per doc, array_sort fixes collect_list order.
+
+    terms: parse_query output — word terms match exactly, phrase
+    terms anchor on their first word, prefix terms on startswith.
+    Returns (doc_id, snippet); docs whose stream lost every query term
+    (weight-cap truncation) get no row — callers left-join.
+    """
+    anchors = []
+    for t in terms:
+        if t["kind"] == "word":
+            anchors.append(F.col("word") == F.lit(t["term"].lower()))
+        elif t["kind"] == "phrase":
+            first = t["term"].split(" ")[0].lower()
+            anchors.append(F.col("word") == F.lit(first))
+        else:  # prefix
+            anchors.append(F.col("word").startswith(F.lit(t["term"].lower())))
+    if not anchors:
+        raise ValueError("snippets need at least one query term")
+    is_match = anchors[0]
+    for a in anchors[1:]:
+        is_match = is_match | a
+
+    t = tokens.join(F.broadcast(hits.select("doc_id")), "doc_id", "left_semi")
+    match_pos = (
+        t.where(is_match).groupBy("doc_id").agg(F.min("position").alias("_m"))
+    )
+    bounds = t.groupBy("doc_id").agg(
+        F.min("position").alias("_lo"), F.max("position").alias("_hi")
+    )
+    span = (
+        t.join(F.broadcast(match_pos), "doc_id")
+        .where(
+            (F.col("position") >= F.col("_m") - window)
+            & (F.col("position") <= F.col("_m") + window)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("position", "word"))),
+                    lambda s: s["word"],
+                ),
+                " ",
+            ).alias("_body"),
+            F.min("position").alias("_s"),
+            F.max("position").alias("_e"),
+        )
+    )
+    return span.join(F.broadcast(bounds), "doc_id").select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("_s") > F.col("_lo"), F.lit("… ")).otherwise(F.lit("")),
+            F.col("_body"),
+            F.when(F.col("_e") < F.col("_hi"), F.lit(" …")).otherwise(F.lit("")),
+        ).alias("snippet"),
+    )

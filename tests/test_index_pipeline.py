@@ -267,3 +267,75 @@ def test_incremental_refresh_equals_full_rebuild(inc_store):
     hcols = ["doc_id", "score", "url"]
     for q in ("page body", '"page https"', "highlight1"):
         assert rows(svc.search(q, k=10), hcols) == rows(full.search(q, k=10), hcols)
+
+
+def test_snippets_hand_computed(spark):
+    """snippets_for_hits over a hand-built token stream: window
+    clipping, '…' only at true cut edges, earliest-occurrence anchor,
+    phrase first-word and prefix anchors, and the no-match doc
+    dropped (callers left-join to a NULL snippet)."""
+    from searchengine_spark.plans.index_pipeline import snippets_for_hits
+
+    words = "w0 w1 w2 target w4 w5 w6 w7 w8 w9".split()
+    tokens = spark.createDataFrame(
+        [("d1", w, i) for i, w in enumerate(words)]
+        + [("d2", "target", 0), ("d2", "tail", 1)]
+        + [("d3", "nothing", 0)],
+        "doc_id string, word string, position int",
+    )
+    hits = spark.createDataFrame([("d1",), ("d2",), ("d3",)], "doc_id string")
+
+    out = {
+        r["doc_id"]: r["snippet"]
+        for r in snippets_for_hits(
+            hits, tokens, [{"term": "target", "kind": "word"}], window=2
+        ).collect()
+    }
+    # d1: match at 3, window 2 -> tokens 1..5, cut on both sides
+    assert out["d1"] == "… w1 w2 target w4 w5 …"
+    # d2: match at 0 -> no leading ellipsis, stream ends inside window
+    assert out["d2"] == "target tail"
+    # d3 never matched -> no row
+    assert "d3" not in out
+
+    # phrase anchors on its FIRST word; prefix on startswith
+    ph = {
+        r["doc_id"]: r["snippet"]
+        for r in snippets_for_hits(
+            hits, tokens, [{"term": "target w4", "kind": "phrase"}], window=1
+        ).collect()
+    }
+    assert ph["d1"] == "… w2 target w4 …"
+    pr = {
+        r["doc_id"]: r["snippet"]
+        for r in snippets_for_hits(
+            hits, tokens, [{"term": "tar", "kind": "prefix"}], window=1
+        ).collect()
+    }
+    assert pr["d2"] == "target tail"
+    # earliest occurrence among ALL terms wins
+    multi = {
+        r["doc_id"]: r["snippet"]
+        for r in snippets_for_hits(
+            hits,
+            tokens,
+            [{"term": "w8", "kind": "word"}, {"term": "w1", "kind": "word"}],
+            window=1,
+        ).collect()
+    }
+    assert multi["d1"] == "w0 w1 w2 …"
+
+
+def test_search_snippets_end_to_end(crawled):
+    """Console search with snippets=True: every hit carries the term
+    in context from its own indexed token stream."""
+    svc = SearchService(crawled.store)
+    svc.refresh()
+    hits = svc.search("body", k=5, snippets=True).collect()
+    assert hits
+    assert "snippet" in hits[0].asDict()
+    for h in hits:
+        assert h["snippet"] is not None and "body" in h["snippet"]
+    # snippet join preserves score ordering
+    scores = [h["score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
