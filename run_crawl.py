@@ -34,6 +34,12 @@ def main(argv=None, spark=None) -> int:
     ap.add_argument("--politeness-rounds", type=int, default=1)
     ap.add_argument("--max-doc", type=int, default=500)
     ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument(
+        "--priority", choices=["fifo", "depth"], default="fifo",
+        help="frontier pick order: fifo = reference-parity "
+        "(discovered_round, url_md5); depth = shallow-first priority "
+        "queue (path depth prepends the pick order)",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument(
         "--http",
@@ -78,6 +84,7 @@ def main(argv=None, spark=None) -> int:
         max_doc=args.max_doc,
         use_bloom=not args.no_bloom,
         robots_ttl_rounds=args.robots_ttl,
+        priority=args.priority,
     )
     use_http = args.http
     if args.resume and not args.http:
@@ -117,12 +124,13 @@ def main(argv=None, spark=None) -> int:
             return 2
         # shard/bloom geometry is baked into the persisted state: a
         # resume must run the config the store was seeded with, not the
-        # CLI defaults (use_bloom stays CLI-controlled — it's derived
-        # data and safe to toggle)
+        # CLI defaults (use_bloom and priority stay CLI-controlled —
+        # derived data / a pick-order knob, both safe to change)
         stored = driver.store.read_config()
         if stored is not None:
             stored.pop("adapter", None)  # tag, not a CrawlConfig field
             stored["use_bloom"] = cfg.use_bloom
+            stored["priority"] = cfg.priority
             resumed = CrawlConfig(**stored)
             if resumed != cfg:
                 print(

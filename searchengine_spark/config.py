@@ -26,3 +26,10 @@ class CrawlConfig:
     # reference's behavior — robots is fetched once per host). No-op
     # for expr-derived robots (synthetic adapter).
     robots_ttl_rounds: int = 0
+    # frontier pick order (north-star "priority frontier queue"):
+    # "fifo" = reference-parity (discovered_round, url_md5) — what the
+    # byte-equality suite pins; "depth" = shallow-first (path depth
+    # prepends the pick order at every level). A scheduling-order
+    # knob only — no state table is keyed by it, so check_config
+    # exempts it (like use_bloom) and it may change across resumes.
+    priority: str = "fifo"

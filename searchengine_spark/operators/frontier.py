@@ -220,6 +220,16 @@ def apply_host_caps(candidates: DataFrame, hosts: DataFrame, cfg: CrawlConfig) -
     )
 
 
+def priority_depth_expr(url) -> "F.Column":
+    """Shallow-first frontier priority: path depth of the canonical
+    URL ('host/a/b' -> 2, a bare host -> 0) — the classic breadth
+    heuristic (shallow pages are hubs; crawl them first). Lower =
+    sooner. Engine-portable: `len(string_split(url,'/'))-1` in DuckDB,
+    `url.count('/')` in python."""
+    c = F.col(url) if isinstance(url, str) else url
+    return (F.size(F.split(c, "/")) - 1).cast("int")
+
+
 def schedule_round(
     frontier: DataFrame,
     hosts: DataFrame,
@@ -227,12 +237,22 @@ def schedule_round(
     cfg: CrawlConfig,
     cache_handles: list | None = None,
     small_hosts: bool = False,
+    priority=None,
 ) -> DataFrame:
     """One scheduling round: politeness-eligible -> 1 URL/host ->
     per-shard quota -> deterministic seq_in_round.
 
     Ordering contract (replaces the reference's randomness): pick by
     (discovered_round, url_md5) at both the host and shard level.
+
+    `priority` (optional Column over the frontier's columns, lower =
+    sooner) turns the FIFO frontier into the north-star PRIORITY
+    queue: it prepends the pick order at every level — per-host pick,
+    per-shard quota, global seq — while keeping every scale property
+    (the pick stays a min-struct map-side-combinable aggregate, never
+    a global sort; seq bucketing still keys on url_md5, the last
+    order column). None (default) is the reference-parity FIFO the
+    byte-equality suite pins.
     """
     # broadcast policy is size-based, decided by the CALLER (who knows
     # the shape): `small_hosts=True` hints broadcast for a DERIVED
@@ -244,6 +264,11 @@ def schedule_round(
     # collect+build millions of rows per round, a serial term that
     # capped N->4N scaling efficiency. At production scale both state
     # tables live bucketed by host (co-located join, no exchange).
+    out_cols = list(frontier.columns)
+    order_cols = ["discovered_round", "url_md5"]
+    if priority is not None:
+        frontier = frontier.withColumn("_prio", priority)
+        order_cols = ["_prio", *order_cols]
     h = hosts.select("host", "next_allowed_round")
     if small_hosts:
         h = F.broadcast(h)
@@ -251,10 +276,10 @@ def schedule_round(
         F.coalesce(F.col("next_allowed_round"), F.lit(0)) <= F.lit(round_no)
     )
 
-    # per-host pick = min(struct(discovered_round, url_md5, ...)):
+    # per-host pick = min(struct([priority,] discovered_round, ...)):
     # map-side-combinable aggregate, not a sort window — at 10^10 rows
     # the frontier never gets globally sorted, only reduced per host
-    pick_cols = ["discovered_round", "url_md5", "url", "shard"]
+    pick_cols = [*order_cols, "url", "shard"]
     picked = (
         eligible.groupBy("host")
         .agg(F.min(F.struct(*pick_cols)).alias("_m"))
@@ -262,7 +287,7 @@ def schedule_round(
     )
 
     # per-shard quota: rank over <= n_hosts rows (already reduced)
-    w_shard = W.partitionBy("shard").orderBy("discovered_round", "url_md5")
+    w_shard = W.partitionBy("shard").orderBy(*order_cols)
     scheduled = (
         picked.withColumn("_srn", F.row_number().over(w_shard))
         .where(F.col("_srn") <= cfg.per_shard_quota)
@@ -270,14 +295,18 @@ def schedule_round(
         .select(*frontier.columns)
     )
 
-    return with_global_seq(
-        scheduled,
-        ["discovered_round", "url_md5"],
-        "seq_in_round",
-        cache_handles,
-        bound=cfg.n_shards * cfg.per_shard_quota,
-        bucket=F.conv(F.substring("url_md5", 1, 2), 16, 10).cast("int"),
-    ).withColumn("round", F.lit(round_no))
+    return (
+        with_global_seq(
+            scheduled,
+            order_cols,
+            "seq_in_round",
+            cache_handles,
+            bound=cfg.n_shards * cfg.per_shard_quota,
+            bucket=F.conv(F.substring("url_md5", 1, 2), 16, 10).cast("int"),
+        )
+        .withColumn("round", F.lit(round_no))
+        .select(*out_cols, "seq_in_round", "round")
+    )
 
 
 SEQ_LOCAL_SORT_MAX = 65536  # rows a single task can sort without spilling

@@ -43,6 +43,7 @@ from searchengine_spark.operators.frontier import (
     dedup_batch,
     dedup_seen,
     normalize_candidates,
+    priority_depth_expr,
     schedule_round,
 )
 from searchengine_spark.operators.seen import build_bloom_blocks, dedup_seen_with_bloom
@@ -410,7 +411,16 @@ class CrawlDriver:
 
         seq_caches: list = []
         scheduled = schedule_round(
-            frontier, gated_hosts, round_no, cfg, cache_handles=seq_caches
+            frontier,
+            gated_hosts,
+            round_no,
+            cfg,
+            cache_handles=seq_caches,
+            priority=(
+                priority_depth_expr(F.col("url"))
+                if cfg.priority == "depth"
+                else None
+            ),
         ).cache()
         seq_caches.append(scheduled)
 
@@ -789,9 +799,14 @@ class CrawlDriver:
         if stored is not None:
             # use_bloom is exempt: the bloom is DERIVED data and a
             # no-bloom round drops its version from the manifest, so
-            # toggling it cannot desync state
-            stored = {k: v for k, v in stored.items() if k != "use_bloom"}
-            given = {k: v for k, v in given.items() if k != "use_bloom"}
+            # toggling it cannot desync state. priority is exempt for
+            # the same shape of reason: it orders future picks only —
+            # no state table is keyed by it — and exempting it keeps
+            # pre-priority stores resumable (their pinned config lacks
+            # the field)
+            exempt = ("use_bloom", "priority")
+            stored = {k: v for k, v in stored.items() if k not in exempt}
+            given = {k: v for k, v in given.items() if k not in exempt}
         if stored is not None and stored != given:
             diff = {
                 k: (stored.get(k), v)

@@ -183,6 +183,72 @@ def q_schedule_round(spark, sf_dir):
     )
 
 
+def q_schedule_priority(spark, sf_dir):
+    """The north-star PRIORITY frontier queue: schedule_round with a
+    priority column prepending the pick order at every level (per-host
+    min-struct, per-shard quota, global seq). Priority here =
+    shortest-URL-first (the synthetic grammar's canonical URLs all
+    share path depth 2, so length is the observable classic heuristic;
+    depth priority is pinned by the hand-built frontier pytest)."""
+    cand = FR.dedup_batch(
+        _candidates_df(spark, sf_dir).withColumn(
+            "discovered_round", (F.col("doc_id") % 4).cast("int")
+        )
+    ).select("url", "url_md5", "host", "shard", "discovered_round")
+    hosts = cand.select("host").distinct().select(
+        "host",
+        F.pmod(hash60(F.col("host"), "na"), F.lit(3)).cast("int").alias(
+            "next_allowed_round"
+        ),
+    )
+    return FR.schedule_round(
+        cand,
+        hosts,
+        1,
+        QCFG,
+        small_hosts=True,
+        priority=F.length("url").cast("int"),
+    ).select(
+        "url", "url_md5", "host", "shard", "discovered_round", "seq_in_round"
+    )
+
+
+SQL_SCHEDULE_PRIORITY = f"""
+WITH {CAND_CTES},
+  front AS (
+    SELECT * FROM (
+      SELECT url, url_md5, host, shard, (doc_id % 4) AS discovered_round,
+             CAST(length(url) AS INT) AS prio,
+             ROW_NUMBER() OVER (PARTITION BY url_md5 ORDER BY url) rn
+      FROM cand) WHERE rn = 1
+  ),
+  hosts AS (
+    SELECT host, ({hash60_sql('host', 'na')} % 3) AS next_allowed_round
+    FROM (SELECT DISTINCT host FROM front)
+  ),
+  eligible AS (
+    SELECT f.* FROM front f JOIN hosts h USING (host)
+    WHERE h.next_allowed_round <= 1
+  ),
+  picked AS (
+    SELECT * FROM (
+      SELECT e.*, ROW_NUMBER() OVER (
+        PARTITION BY host ORDER BY prio, discovered_round, url_md5) hrn
+      FROM eligible e) WHERE hrn = 1
+  ),
+  quota AS (
+    SELECT * FROM (
+      SELECT p.*, ROW_NUMBER() OVER (
+        PARTITION BY shard ORDER BY prio, discovered_round, url_md5) srn
+      FROM picked p) WHERE srn <= {QCFG.per_shard_quota}
+  )
+SELECT url, url_md5, host, shard, discovered_round,
+       CAST(ROW_NUMBER() OVER (ORDER BY prio, discovered_round, url_md5) AS INT)
+         AS seq_in_round
+FROM quota
+"""
+
+
 SQL_SCHEDULE_ROUND = f"""
 WITH {CAND_CTES},
   front AS (
@@ -1913,6 +1979,7 @@ QUERIES = {
     "host_shards": q_host_shards,
     "frontier_dedup": q_frontier_dedup,
     "schedule_round": q_schedule_round,
+    "schedule_priority": q_schedule_priority,
     "crawl_fetch_log": q_crawl_fetch_log,
     "crawl_round_digest": q_crawl_round_digest,
     "top_hosts": q_top_hosts,
@@ -1951,6 +2018,7 @@ ORACLE_SQL = {
     "host_shards": SQL_HOST_SHARDS,
     "frontier_dedup": SQL_FRONTIER_DEDUP,
     "schedule_round": SQL_SCHEDULE_ROUND,
+    "schedule_priority": SQL_SCHEDULE_PRIORITY,
     "crawl_fetch_log": SQL_CRAWL_FETCH_LOG,
     "crawl_round_digest": SQL_CRAWL_ROUND_DIGEST,
     "top_hosts": SQL_TOP_HOSTS,

@@ -466,3 +466,81 @@ def test_resume_backfills_pre_crawl_delay_hosts_schema(spark, tmp_path_factory):
     )
     assert "crawl_delay" in migrated.columns
     assert all(r["crawl_delay"] == 0 for r in migrated.collect())
+
+
+def test_schedule_priority_depth_first(spark):
+    """The priority frontier (north-star 'priority frontier queue'):
+    a depth priority OVERRIDES discovery order at the per-host pick,
+    the per-shard quota and the global seq, while priority=None stays
+    byte-identical to the FIFO contract."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.functions.hashes import hash60_py, md5_py
+    from searchengine_spark.operators.frontier import (
+        priority_depth_expr,
+        schedule_round,
+    )
+
+    urls = [
+        # host, url, discovered_round
+        ("h1.com", "h1.com/a/b/c", 0),   # deep, discovered first
+        ("h1.com", "h1.com/a", 1),       # shallow, discovered later
+        ("h2.com", "h2.com/x/y", 0),
+        ("h2.com", "h2.com/z", 0),
+    ]
+    rows = [
+        (u, md5_py(u), h, int(hash60_py(u) % 4), r) for h, u, r in urls
+    ]
+    frontier = spark.createDataFrame(
+        rows,
+        "url string, url_md5 string, host string, shard int, "
+        "discovered_round int",
+    )
+    hosts = spark.createDataFrame(
+        [("h1.com", 0), ("h2.com", 0)], "host string, next_allowed_round int"
+    )
+    cfg = CrawlConfig(n_shards=4, per_shard_quota=8)
+
+    fifo = schedule_round(frontier, hosts, 0, cfg).collect()
+    assert {r["url"] for r in fifo} == {"h1.com/a/b/c", "h2.com/z"} or {
+        r["url"] for r in fifo
+    } == {"h1.com/a/b/c", "h2.com/x/y"}  # md5 tiebreak within round 0
+
+    prio = schedule_round(
+        frontier, hosts, 0, cfg, priority=priority_depth_expr(F.col("url"))
+    ).collect()
+    by_url = {r["url"]: r for r in prio}
+    # h1: the shallow later-discovered URL wins under depth priority
+    assert "h1.com/a" in by_url and "h1.com/a/b/c" not in by_url
+    # h2: depth 1 beats depth 2
+    assert "h2.com/z" in by_url and "h2.com/x/y" not in by_url
+    # global seq orders by (priority, discovered_round, url_md5) and
+    # the helper column does not leak into the output
+    ordered = sorted(prio, key=lambda r: r["seq_in_round"])
+    keys = [
+        (r["url"].count("/"), r["discovered_round"], r["url_md5"])
+        for r in ordered
+    ]
+    assert keys == sorted(keys)
+    assert "_prio" not in prio[0].asDict()
+    # schema identical to the fifo form
+    assert [f for f in by_url[next(iter(by_url))].asDict()] == [
+        f for f in fifo[0].asDict()
+    ]
+
+
+def test_crawl_depth_priority_end_to_end(spark, tmp_path_factory):
+    """cfg.priority='depth' runs a full crawl (same admission, seen
+    and politeness machinery) and stays resumable; the pick-order knob
+    is config-exempt so a fifo-seeded store resumes under depth."""
+    root = str(tmp_path_factory.mktemp("prio"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed(SEEDS[:16])
+    d.run(1)
+    d2 = CrawlDriver(
+        spark, root, CrawlConfig(**{**CFG.__dict__, "priority": "depth"})
+    )
+    # politeness_rounds=2 blocks round-0 hosts through round 1; by
+    # round 2 the depth-priority scheduler must be picking again
+    stats = d2.run(2, resume=True)
+    assert sum(s.scheduled for s in stats) > 0
