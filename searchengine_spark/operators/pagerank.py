@@ -198,6 +198,54 @@ def weighted_pagerank(
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 3,
+    damping: float = DAMPING,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart to a SEED set —
+    Haveliwala 2002's topic-sensitive form with a 0/1 restart vector):
+
+        r_{i+1}(v) = (1-damping)·s(v) + damping·Σ_{(u,v)∈E} r_i(u)/out(u)
+
+    with s = seed-membership indicator and r_0 = s — the same
+    fixed-iteration sweep/oracle contract as :func:`pagerank` (whose
+    s ≡ 1 it generalizes; same float-sum class, rounding absorbs
+    association order). Rank mass concentrates around the seeds, so
+    the top non-seed nodes are the 'related pages' of the seed set.
+
+    edges: (src, dst, out_degree); seeds: (node). Returns
+    (node, rank, is_seed) rounded to 6 dp.
+    """
+    s = nodes.join(
+        seeds.select("node").distinct().withColumn("_s", F.lit(1)),
+        "node",
+        "left",
+    ).select("node", F.coalesce(F.col("_s"), F.lit(0)).alias("is_seed"))
+    ranks = s.select("node", "is_seed", F.col("is_seed").cast("double").alias("rank"))
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node, "inner")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = s.join(contribs, "node", "left").select(
+            "node",
+            "is_seed",
+            (
+                F.lit(1.0 - damping) * F.col("is_seed")
+                + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"), "is_seed")
+
+
 def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Hubs & authorities (Kleinberg 1999, JACM 46(5)) over a directed
     graph — the link-analysis complement of :func:`pagerank` (which

@@ -652,6 +652,50 @@ GROUP BY out_degree ORDER BY out_degree
 )
 
 
+def q_ppr3(spark, sf_dir):
+    """Personalized PageRank from a deterministic seed set (doc_id %
+    50 == 0): 3 restart sweeps; related-pages rank concentrated
+    around the seeds."""
+    edges = _synth_edges(spark, sf_dir)
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    seeds = nodes.where(F.col("node") % 50 == 0)
+    return PR.personalized_pagerank(edges, nodes, seeds, n_iter=3).orderBy(
+        "node"
+    )
+
+
+def _ppr_iter_sql(prev: str, out: str) -> str:
+    return f""",
+  {out}_c AS (
+    SELECT e.dst AS node, SUM(r.rank / e.out_degree) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+  ),
+  {out} AS (
+    SELECT n.node, n.is_seed,
+           0.15 * n.is_seed + 0.85 * COALESCE(c.s, 0.0) AS rank
+    FROM pnodes n LEFT JOIN {out}_c c ON n.node = c.node
+  )"""
+
+
+SQL_PPR3 = (
+    "WITH "
+    + _EDGE_CTES
+    + """,
+  pnodes AS (
+    SELECT node, CASE WHEN node % 50 = 0 THEN 1 ELSE 0 END AS is_seed
+    FROM nodes
+  ),
+  p0 AS (SELECT node, is_seed, CAST(is_seed AS DOUBLE) AS rank FROM pnodes)"""
+    + _ppr_iter_sql("p0", "p1")
+    + _ppr_iter_sql("p1", "p2")
+    + _ppr_iter_sql("p2", "p3")
+    + """
+SELECT node, round(rank, 6) AS rank, CAST(is_seed AS INT) AS is_seed
+FROM p3 ORDER BY node
+"""
+)
+
+
 def q_hits3(spark, sf_dir):
     """Hubs & authorities over the synthetic link graph: 3 exact
     BIGINT path-count sweeps, one final max-normalization (the only
@@ -1986,6 +2030,7 @@ QUERIES = {
     "robots_gate": q_robots_gate,
     "pagerank3": q_pagerank3,
     "hits3": q_hits3,
+    "ppr3": q_ppr3,
     "link_graph_stats": q_link_graph_stats,
     "term_stats": q_term_stats,
     "search_2term": q_search_2term,
@@ -2025,6 +2070,7 @@ ORACLE_SQL = {
     "robots_gate": SQL_ROBOTS_GATE,
     "pagerank3": SQL_PAGERANK3,
     "hits3": SQL_HITS3,
+    "ppr3": SQL_PPR3,
     "link_graph_stats": SQL_LINK_GRAPH_STATS,
     "term_stats": SQL_TERM_STATS,
     "search_2term": SQL_SEARCH_2TERM,

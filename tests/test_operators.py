@@ -1099,3 +1099,40 @@ def test_kn_bigram_lm_unseen_and_trimmed(spark):
         "s2": -lp("<unk>", "a"),
         "s3": -lp("a", "a"),
     }
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """PPR with a 0/1 restart vector: python twin recomputes the
+    recurrence; rank mass stays in the seed's neighborhood (a node
+    unreachable from the seed holds rank 0)."""
+    edge_rows = [("a", "b"), ("b", "a"), ("b", "c"), ("x", "y")]
+    out_deg: dict = {}
+    for s, _ in edge_rows:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    edges = spark.createDataFrame(
+        [(s, d, out_deg[s]) for s, d in edge_rows],
+        "src string, dst string, out_degree int",
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in "abcxy"], "node string"
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: (r["rank"], r["is_seed"])
+        for r in PR.personalized_pagerank(edges, nodes, seeds, n_iter=4).collect()
+    }
+    rank = {n: (1.0 if n == "a" else 0.0) for n in "abcxy"}
+    for _ in range(4):
+        contrib = {n: 0.0 for n in "abcxy"}
+        for s, d in edge_rows:
+            contrib[d] += rank[s] / out_deg[s]
+        rank = {
+            n: 0.15 * (1 if n == "a" else 0) + 0.85 * contrib[n]
+            for n in "abcxy"
+        }
+    for n in "abcxy":
+        assert abs(got[n][0] - round(rank[n], 6)) < 2e-6, (n, got[n], rank[n])
+    assert got["a"][1] == 1 and got["b"][1] == 0
+    # disconnected component holds zero rank; seed neighborhood does not
+    assert got["x"][0] == 0.0 and got["y"][0] == 0.0
+    assert got["b"][0] > 0 and got["c"][0] > 0
