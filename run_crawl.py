@@ -35,6 +35,12 @@ def main(argv=None, spark=None) -> int:
     ap.add_argument("--max-doc", type=int, default=500)
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument(
+        "--ingest-sitemaps", action="store_true",
+        help="before the rounds, fetch every known host's robots-declared "
+        "sitemaps and admit their page URLs into the frontier "
+        "(HTTP adapter only)",
+    )
+    ap.add_argument(
         "--priority", choices=["fifo", "depth"], default="fifo",
         help="frontier pick order: fifo = reference-parity "
         "(discovered_round, url_md5); depth = shallow-first priority "
@@ -150,6 +156,14 @@ def main(argv=None, spark=None) -> int:
     if not args.resume:
         seeds = args.seed_url or [raw_url_py(i) for i in range(args.seeds)]
         driver.seed(seeds)
+    if args.ingest_sitemaps:
+        try:
+            print(json.dumps({"sitemap_ingest": driver.ingest_sitemaps()}))
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            if own_session:
+                spark.stop()
+            return 2
     for st in driver.run(args.rounds, resume=args.resume):
         print(
             json.dumps(

@@ -193,6 +193,25 @@ def parse_robots_txt(txt: str) -> str:
     return "rules:" + "|".join(rules)
 
 
+def parse_sitemap_decls(txt: str) -> list[str]:
+    """`Sitemap:` directives (sitemaps.org protocol; RFC 9309 §2.3) —
+    agent-INDEPENDENT: valid anywhere in robots.txt, outside any
+    User-agent section, so this scans every line. The protocol
+    requires absolute URLs; relative values are kept as-is and fail
+    naturally at fetch time. Order preserved, duplicates dropped."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for line in txt.splitlines():
+        line = line.split("#", 1)[0].strip()
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "sitemap":
+            v = v.strip()
+            if v and v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
+
+
 def parse_crawl_delay(txt: str, cap: int = 16) -> int:
     """`Crawl-delay: N` under `User-agent: *` -> politeness rounds.
 

@@ -362,6 +362,125 @@ class CrawlDriver:
             )
         return m["versions"]
 
+    # -- sitemap discovery -------------------------------------------------------
+
+    def ingest_sitemaps(self) -> dict:
+        """Sitemap discovery pass (sitemaps.org protocol via the
+        robots.txt `Sitemap:` directive, RFC 9309 §2.3): for every
+        known host, fetch its DECLARED sitemaps through the adapter's
+        transport, parse page <loc> URLs, and admit them into the
+        frontier as candidates for the next round — through the same
+        normalize -> cached-robots gate -> host-cap admission -> batch
+        dedup -> seen anti-join path a fetch round's outlinks take.
+        This reaches pages link-following cannot (unlinked content);
+        the reference has no sitemap support (discovery is purely
+        pushPending over hrefs, SearchEngine.cpp:43-100) — a
+        production-crawler extension, like the robots TTL.
+
+        Runs BETWEEN rounds as its own manifest commit (same
+        cross-table atomicity as a round; the round number does not
+        advance). Requires an adapter with a sitemap surface (HTTP);
+        raises ValueError for adapters without one. Returns counters.
+        """
+        cfg, ad = self.cfg, self.adapter
+        udf_factory = getattr(ad, "sitemap_urls_udf", None)
+        if udf_factory is None:
+            raise ValueError(
+                f"the '{getattr(ad, 'tag', 'custom')}' fetch adapter has no "
+                "sitemap surface (sitemap_urls_udf) — sitemap ingestion "
+                "needs an HTTP-style adapter"
+            )
+        pinned = self._pinned_versions()
+        frontier = self.store.read("frontier", pinned["frontier"]).drop(
+            "storage_bucket"
+        )
+        hosts = self.store.read("hosts", pinned["hosts"])
+        if "crawl_delay" not in hosts.columns:
+            hosts = hosts.withColumn("crawl_delay", F.lit(0))
+        seen = self.store.read("seen", pinned["seen"])
+        next_round = self.last_round + 1
+
+        locs = (
+            hosts.select("host", udf_factory()(F.col("host")).alias("_sm"))
+            .select(F.explode("_sm").alias("raw_url"))
+            .cache()
+        )
+        cand = normalize_candidates(locs, cfg, robots_filter=ad.ingest_robots)
+        if not ad.ingest_robots:
+            cand = (
+                cand.join(hosts.select("host", "robots_state"), "host", "left")
+                .where(
+                    ~robots_blocked_expr(
+                        url_path_expr(F.col("url")), F.col("robots_state")
+                    )
+                )
+                .drop("robots_state")
+            )
+        cand = cand.cache()
+        remaining = hosts.select(
+            "host",
+            (F.lit(cfg.max_urls_per_host) - F.col("url_count")).alias("_rem"),
+        )
+        n_cand = cand.count()
+        admitted = admit_host_caps(
+            cand,
+            F.broadcast(remaining),
+            cfg.max_urls_per_host,
+            n_candidates=n_cand,
+        )
+        new_rows = dedup_seen(dedup_batch(admitted), seen).select(
+            "url", "url_md5", "host", "shard",
+            F.lit(next_round).alias("discovered_round"),
+        ).cache()
+
+        # state merges: frontier/seen grow; url_count counts ATTEMPTED
+        # candidates per host (the reference's pre-dedup m_hostsCount
+        # quirk, same as a round's hosts merge)
+        frontier2 = frontier.unionByName(new_rows)
+        seen2 = seen.unionByName(new_rows.select("url_md5", "shard"))
+        cand_counts = cand.groupBy("host").agg(F.count("*").alias("_n"))
+        hosts2 = hosts.join(cand_counts, "host", "left").select(
+            *[c for c in hosts.columns if c != "url_count"],
+            (F.col("url_count") + F.coalesce(F.col("_n"), F.lit(0))).alias(
+                "url_count"
+            ),
+        ).select(*hosts.columns)
+
+        from searchengine_spark.operators.frontier import with_storage_bucket
+
+        meta = {"round": self.last_round, "sitemap_ingest": True}
+        versions = dict(pinned)
+        versions["frontier"] = self.store.commit(
+            "frontier",
+            with_storage_bucket(frontier2),
+            partition_by=["storage_bucket"],
+            meta=meta,
+        )
+        versions["hosts"] = self.store.commit("hosts", hosts2, meta=meta)
+        versions["seen"] = self.store.commit("seen", seen2, meta=meta)
+        if cfg.use_bloom:
+            from searchengine_spark.operators.seen import merge_bloom_blocks
+
+            if "bloom" in pinned:
+                blocks = self.store.read("bloom", pinned["bloom"])
+            else:
+                blocks = build_bloom_blocks(seen, cfg)
+            delta = build_bloom_blocks(new_rows.select("url_md5", "shard"), cfg)
+            versions["bloom"] = self.store.commit(
+                "bloom", merge_bloom_blocks(blocks, delta, cfg), meta=meta
+            )
+        out = {
+            "hosts_probed": hosts.count(),
+            "sitemap_urls": locs.count(),
+            "candidates": n_cand,
+            "new_urls": new_rows.count(),
+        }
+        self.store.commit_manifest(self.last_round, versions)
+        locs.unpersist()
+        cand.unpersist()
+        new_rows.unpersist()
+        return out
+
     # -- one round ---------------------------------------------------------------
 
     def run_round(self, round_no: int) -> RoundStats:

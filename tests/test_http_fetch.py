@@ -644,3 +644,136 @@ def test_crawl_delay_enforced(spark, tmp_path):
         assert hosts[host]["crawl_delay"] == 2
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# sitemap discovery (robots 'Sitemap:' -> <loc> -> frontier ingestion)
+# ---------------------------------------------------------------------------
+
+
+class _SitemapHandler(BaseHTTPRequestHandler):
+    requests: list
+
+    def _send(self, body: bytes, ctype: str = "text/html; charset=utf-8"):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        port = self.server.server_address[1]
+        self.requests.append(self.path)
+        if self.path == "/robots.txt":
+            self._send(
+                (
+                    "User-agent: *\nDisallow: /private\n"
+                    f"Sitemap: http://127.0.0.1:{port}/sm-index.xml\n"
+                ).encode(),
+                "text/plain",
+            )
+        elif self.path == "/sm-index.xml":
+            self._send(
+                (
+                    '<?xml version="1.0"?><sitemapindex>'
+                    f"<sitemap><loc>http://127.0.0.1:{port}/sm-1.xml</loc>"
+                    "</sitemap></sitemapindex>"
+                ).encode(),
+                "application/xml",
+            )
+        elif self.path == "/sm-1.xml":
+            self._send(
+                (
+                    '<?xml version="1.0"?><urlset>'
+                    f"<loc> http://127.0.0.1:{port}/unlinked-a </loc>"
+                    f"<loc>http://127.0.0.1:{port}/unlinked-b&amp;x</loc>"
+                    f"<loc>http://127.0.0.1:{port}/private/x</loc>"
+                    "</urlset>"
+                ).encode(),
+                "application/xml",
+            )
+        elif self.path in ("/", ""):
+            # the root page links NOWHERE: sitemap ingestion is the only
+            # way the unlinked pages can be discovered
+            self._send(b"<html><head><title>Root</title></head><body>r</body></html>")
+        else:
+            self._send(SIMPLE.format(t="Leaf").encode())
+
+    def log_message(self, *a):
+        pass
+
+
+def test_parse_sitemap_decls_and_parse_sitemap():
+    from searchengine_spark.corpus import parse_sitemap_decls
+
+    txt = (
+        "User-agent: *\nDisallow: /x\n"
+        "Sitemap: http://h/s1.xml\n"
+        "sitemap: http://h/s2.xml # comment\n"
+        "Sitemap: http://h/s1.xml\n"  # dup dropped
+    )
+    assert parse_sitemap_decls(txt) == ["http://h/s1.xml", "http://h/s2.xml"]
+    assert parse_sitemap_decls("User-agent: *\nDisallow: /\n") == []
+
+    kind, locs = HF.parse_sitemap(
+        "<urlset><loc> http://h/a </loc><loc>http://h/b&amp;c</loc></urlset>"
+    )
+    assert kind == "urlset"
+    assert locs == ["http://h/a", "http://h/b&c"]
+    kind, locs = HF.parse_sitemap(
+        "<sitemapindex><sitemap><loc>http://h/s.xml</loc></sitemap></sitemapindex>"
+    )
+    assert kind == "index"
+    assert locs == ["http://h/s.xml"]
+
+
+def test_sitemap_ingest_end_to_end(spark, tmp_path):
+    """The full discovery path: robots declares a sitemapindex, the
+    index points at a urlset, its pages are UNLINKED (link-following
+    can never reach them); ingest_sitemaps admits the allowed ones
+    into the frontier (robots gate drops /private/x), later rounds
+    fetch them, and a re-ingest is a seen-dedup no-op."""
+    from searchengine_spark.plans.crawl import CrawlDriver
+    from searchengine_spark.sources.http_fetch import HttpFetchAdapter
+
+    reqs: list = []
+    handler = type("_H", (_SitemapHandler,), {"requests": reqs})
+    srv = ThreadingHTTPServer(("", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        host = f"127.0.0.1:{port}"
+        drv = CrawlDriver(
+            spark,
+            str(tmp_path / "store"),
+            CrawlConfig(n_shards=4, politeness_rounds=1),
+            adapter=HttpFetchAdapter(timeout_s=3.0, pool_size=4),
+        )
+        drv.seed([f"http://{host}/"])
+        drv.run(1)  # fetches the linkless root; frontier drains
+        out = drv.ingest_sitemaps()
+        assert out["sitemap_urls"] == 3
+        assert out["candidates"] == 2  # /private/x robots-gated
+        assert out["new_urls"] == 2
+
+        drv.run(3, resume=True)  # politeness: one fetch/round
+        urls = {r["url"] for r in drv.store.read("docs").select("url").collect()}
+        assert f"{host}/unlinked-a" in urls
+        assert any(u.startswith(f"{host}/unlinked-b") for u in urls)
+        assert not any("/private" in u for u in urls)
+        assert not any("/private" in p for p in reqs)
+
+        again = drv.ingest_sitemaps()
+        assert again["new_urls"] == 0  # seen-dedup: ingest is idempotent
+    finally:
+        srv.shutdown()
+
+
+def test_sitemap_ingest_refused_without_surface(spark, tmp_path):
+    from searchengine_spark.plans.crawl import CrawlDriver
+
+    d = CrawlDriver(spark, str(tmp_path / "s"), CrawlConfig(n_shards=4))
+    d.seed(["http://host0.com/p/0/"])
+    with pytest.raises(ValueError, match="sitemap surface"):
+        d.ingest_sitemaps()
