@@ -40,7 +40,10 @@ BENCH_QUERIES = [
     "schedule_round",
     "frontier_dedup",
     "top_hosts",
+    "trap_hosts",
+    "recrawl_schedule",
     "pagerank3",
+    "host_pagerank",
     "term_stats",
     "search_2term",
     "dedup_minhash",

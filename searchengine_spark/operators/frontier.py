@@ -409,3 +409,71 @@ def top_hosts(frontier_or_docs: DataFrame, k: int = 100) -> DataFrame:
         .orderBy(F.desc("n_urls"), "host")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl-trap detection (URL-template explosion)
+# ---------------------------------------------------------------------------
+
+TRAP_MIN_URLS = 20  # ignore hosts below this frontier share
+TRAP_AMP_E6 = 20_000_000  # >= 20 distinct URLs per path template
+
+
+def url_path_expr() -> F.Column:
+    """Path component of a canonical URL (needs `url` + `host` cols).
+
+    Canonical form: https URLs keep the scheme, http URLs start at the
+    host (functions/urls.canonicalize) — same CASE the oracle CTEs use.
+    """
+    return F.expr(
+        "CASE WHEN url LIKE 'https://%' THEN substring(url, 9 + length(host)) "
+        "ELSE substring(url, 1 + length(host)) END"
+    )
+
+
+def trap_host_stats(
+    candidates: DataFrame,
+    min_urls: int = TRAP_MIN_URLS,
+    amp_e6: int = TRAP_AMP_E6,
+) -> DataFrame:
+    """Crawl-trap detector: per-host URL-template amplification.
+
+    The reference protects itself from hostile/degenerate hosts only
+    with static budgets (per-host pending cap, SearchEngine.h:800-836;
+    bad-host retry counter :526). A production frontier at 10^10 URLs
+    also needs a *data-driven* trap signal: calendar scripts, session
+    ids and faceted search generate unbounded distinct URLs from a tiny
+    set of path shapes. Classic heuristic (IRLbot, Lee et al. 2009):
+    collapse digit runs in the path to a template and compare distinct
+    URLs vs distinct templates per host.
+
+    amplification_e6 = distinct_urls * 1e6 div distinct_templates —
+    exact integer micro-units (BIGINT both engines; CLAUDE.md float
+    rule). `is_trap` flags hosts with >= min_urls distinct URLs whose
+    amplification clears `amp_e6`.
+
+    Scale shape: one hash-partitioned groupBy(host) with two partial
+    count-distincts — no window, no sort; skew-safe because the
+    per-host row is produced by map-side partial aggregation. Feeds the
+    admission stage: a scheduler can join `is_trap` hosts back as a
+    deny-list (same broadcast shape as the robots gate).
+    """
+    tpl = F.regexp_replace(url_path_expr(), "[0-9]+", "N")
+    stats = (
+        candidates.select("host", "url_md5", tpl.alias("_tpl"))
+        .groupBy("host")
+        .agg(
+            F.countDistinct("url_md5").cast("long").alias("n_urls"),
+            F.countDistinct("_tpl").cast("long").alias("n_templates"),
+        )
+        .withColumn(
+            "amp_e6", F.expr("(n_urls * 1000000L) div n_templates").cast("long")
+        )
+    )
+    return stats.withColumn(
+        "is_trap",
+        (
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (F.col("amp_e6") >= F.lit(amp_e6))
+        ).cast("int"),
+    )

@@ -4124,6 +4124,132 @@ ORACLE_SQL["textrank_keywords"] = SQL_TEXTRANK_KEYWORDS
 
 
 # ---------------------------------------------------------------------------
+# crawl-trap detection (URL-template amplification per host)
+# ---------------------------------------------------------------------------
+
+def q_trap_hosts(spark, sf_dir):
+    """Crawl-trap detector over the candidate frontier: collapse digit
+    runs in each canonical path to a template and measure per-host
+    distinct-URL / distinct-template amplification (IRLbot-style trap
+    signal; the hot host's single /y/N template lights up). Exact
+    integer micro-units; one partial-agg groupBy(host) — no window."""
+    return FR.trap_host_stats(_candidates_df(spark, sf_dir)).orderBy("host")
+
+
+SQL_TRAP_HOSTS = f"""
+WITH {CAND_CTES},
+  tpl AS (
+    SELECT host, url_md5,
+           regexp_replace(_path, '[0-9]+', 'N', 'g') AS t
+    FROM cand
+  ),
+  hstats AS (
+    SELECT host,
+           CAST(count(DISTINCT url_md5) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT t) AS BIGINT) AS n_templates
+    FROM tpl GROUP BY host
+  )
+SELECT host, n_urls, n_templates,
+       CAST((n_urls * 1000000) // n_templates AS BIGINT) AS amp_e6,
+       CAST(n_urls >= {FR.TRAP_MIN_URLS}
+            AND (n_urls * 1000000) // n_templates >= {FR.TRAP_AMP_E6}
+            AS INT) AS is_trap
+FROM hstats ORDER BY host
+"""
+
+QUERIES["trap_hosts"] = q_trap_hosts
+ORACLE_SQL["trap_hosts"] = SQL_TRAP_HOSTS
+
+
+# ---------------------------------------------------------------------------
+# host-level PageRank (graph projection onto the hosts dimension)
+# ---------------------------------------------------------------------------
+
+def q_host_pagerank(spark, sf_dir):
+    """Site-authority rank: project the page graph onto hosts
+    (operators/pagerank.project_graph — intra-host edges collapse to
+    self-loops and drop, out-degree recounted) and run the reference
+    PageRank update for 3 sweeps over the 3-4 orders smaller host
+    graph."""
+    cand = (
+        _candidates_df(spark, sf_dir)
+        .select(F.col("doc_id").alias("node"), F.col("host").alias("part"))
+        .distinct()
+    )
+    edges = _synth_edges(spark, sf_dir)
+    hedges = PR.project_graph(edges, cand)
+    nodes = cand.select(F.col("part").alias("node")).distinct()
+    return PR.pagerank(hedges, nodes, n_iter=3).orderBy("node")
+
+
+SQL_HOST_PAGERANK = (
+    f"""
+WITH {CAND_CTES},
+  mapping AS (SELECT DISTINCT doc_id, host FROM cand),
+  nn AS (SELECT count(*) AS n FROM documents),
+  raw_edges AS (
+    SELECT doc_id AS src, (doc_id*7+1) % (SELECT n FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*13+2) % (SELECT n FROM nn) FROM documents
+  ),
+  de AS (SELECT DISTINCT src, dst FROM raw_edges WHERE src <> dst),
+  proj AS (
+    SELECT DISTINCT ms.host AS src, md.host AS dst
+    FROM de JOIN mapping ms ON de.src = ms.doc_id
+            JOIN mapping md ON de.dst = md.doc_id
+    WHERE ms.host <> md.host
+  ),
+  deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_degree
+          FROM proj GROUP BY src),
+  edges AS (SELECT p.src, p.dst, d.out_degree FROM proj p JOIN deg d USING (src)),
+  nodes AS (SELECT DISTINCT host AS node FROM mapping),
+  r0 AS (SELECT node, 1.0 AS rank FROM nodes)"""
+    + _pr_iter_sql("r0", "r1")
+    + _pr_iter_sql("r1", "r2")
+    + _pr_iter_sql("r2", "r3")
+    + """
+SELECT node, round(least(rank, 100.0), 6) AS rank FROM r3 ORDER BY node
+"""
+)
+
+QUERIES["host_pagerank"] = q_host_pagerank
+ORACLE_SQL["host_pagerank"] = SQL_HOST_PAGERANK
+
+
+# ---------------------------------------------------------------------------
+# adaptive recrawl scheduling (freshness backoff)
+# ---------------------------------------------------------------------------
+
+from searchengine_spark.operators import recrawl as RC
+
+
+def q_recrawl_schedule(spark, sf_dir):
+    """Freshness scheduler: exponential-backoff revisit intervals from
+    a change-observation log (operators/recrawl.py closed form — one
+    partial-agg groupBy, no recurrence). The log is the deterministic
+    synthetic change stream both engines regenerate from url_md5."""
+    urls = _candidates_df(spark, sf_dir).select("url_md5").distinct()
+    return RC.recrawl_schedule(RC.synthetic_changes(urls)).orderBy("url_md5")
+
+
+SQL_RECRAWL_SCHEDULE = (
+    f"""
+WITH {CAND_CTES},
+  uurls AS (SELECT DISTINCT url_md5 FROM cand),"""
+    + RC.synthetic_changes_sql("uurls")
+    + ","
+    + RC.recrawl_schedule_sql()
+    + """
+SELECT url_md5, n_changes, last_change, revisit_interval, next_fetch_round
+FROM sched ORDER BY url_md5
+"""
+)
+
+QUERIES["recrawl_schedule"] = q_recrawl_schedule
+ORACLE_SQL["recrawl_schedule"] = SQL_RECRAWL_SCHEDULE
+
+
+# ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
 

@@ -1136,3 +1136,87 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     # disconnected component holds zero rank; seed neighborhood does not
     assert got["x"][0] == 0.0 and got["y"][0] == 0.0
     assert got["b"][0] > 0 and got["c"][0] > 0
+
+
+def test_trap_host_stats_flags_template_explosion(spark):
+    """A host with many distinct URLs collapsing to one digit-template
+    is a trap; a host with one URL per template is not; a small host is
+    never flagged regardless of amplification."""
+    from searchengine_spark.operators import frontier as FR_
+
+    rows = (
+        # trap.com: 25 urls, all /cal/N -> amp 25e6 over min_urls
+        [(f"trap.com/cal/{i}", f"m{i:03d}t", "trap.com") for i in range(25)]
+        # ok.com: 25 urls, 25 distinct templates -> amp 1e6
+        + [(f"ok.com/{'ab'*(i+1)}/{i}", f"m{i:03d}o", "ok.com") for i in range(25)]
+        # tiny.com: 3 urls one template -> amp 3e6 but below min_urls
+        + [(f"tiny.com/x/{i}", f"m{i}y", "tiny.com") for i in range(3)]
+    )
+    cand = spark.createDataFrame(rows, ["url", "url_md5", "host"])
+    out = {
+        r["host"]: r
+        for r in FR_.trap_host_stats(cand, min_urls=20, amp_e6=20_000_000).collect()
+    }
+    assert out["trap.com"]["is_trap"] == 1
+    assert out["trap.com"]["amp_e6"] == 25_000_000
+    assert out["ok.com"]["is_trap"] == 0
+    assert out["ok.com"]["n_templates"] == 25
+    assert out["tiny.com"]["is_trap"] == 0
+
+
+def test_recrawl_closed_form_equals_doubling_simulation():
+    """The one-agg closed form IS the exponential-backoff recurrence:
+    exhaustive over all 2^6 change patterns."""
+    import itertools
+
+    from searchengine_spark.operators import recrawl as RC_
+
+    for pattern in itertools.product([0, 1], repeat=RC_.N_ROUNDS):
+        n, lc, iv, nxt = RC_.recrawl_schedule_py(list(pattern))
+        interval = 1
+        for c in pattern:
+            interval = 1 if c else min(interval * 2, RC_.MAX_INTERVAL)
+        assert iv == interval, pattern
+        assert n == sum(pattern)
+        assert nxt == RC_.N_ROUNDS + interval
+
+
+def test_recrawl_spark_matches_pure_twin(spark):
+    from searchengine_spark.functions.hashes import hash60_py
+    from searchengine_spark.operators import recrawl as RC_
+
+    keys = [f"{i:032x}" for i in range(40)]
+    urls = spark.createDataFrame([(k,) for k in keys], ["url_md5"])
+    got = {
+        r["url_md5"]: r
+        for r in RC_.recrawl_schedule(RC_.synthetic_changes(urls)).collect()
+    }
+    for k in keys:
+        changes = [
+            int(hash60_py(f"chg{r}|{k}") % 100 < RC_.change_rate_py(k))
+            for r in range(1, RC_.N_ROUNDS + 1)
+        ]
+        n, lc, iv, nxt = RC_.recrawl_schedule_py(changes)
+        row = got[k]
+        assert (row["n_changes"], row["last_change"]) == (n, lc), k
+        assert (row["revisit_interval"], row["next_fetch_round"]) == (iv, nxt), k
+
+
+def test_project_graph_host_projection(spark):
+    """Hand graph: intra-part edges vanish, parallel projected edges
+    dedup, out-degree recounted over surviving projected edges,
+    unmapped endpoints dropped."""
+    edges = spark.createDataFrame(
+        [(1, 2, 9), (2, 1, 9), (1, 3, 9), (2, 3, 9), (3, 4, 9), (3, 99, 9)],
+        ["src", "dst", "out_degree"],
+    )
+    mapping = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], ["node", "part"]
+    )
+    got = {
+        (r["src"], r["dst"]): r["out_degree"]
+        for r in PR.project_graph(edges, mapping).collect()
+    }
+    # 1->2,2->1 intra-a dropped; 1->3,2->3 both project to a->b (dedup);
+    # 3->4 -> b->c; 3->99 dropped (99 unmapped)
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
