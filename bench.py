@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "recrawl_schedule",
     "pagerank3",
     "host_pagerank",
+    "graph_reach",
+    "boilerplate",
     "term_stats",
     "search_2term",
     "dedup_minhash",

@@ -776,3 +776,173 @@ cls_out AS (
            + {bias_e6} / 1e6))), 6) AS score
   FROM cls_n n LEFT JOIN cls_dot d USING (doc_id)
 )"""
+
+
+# ---------------------------------------------------------------------------
+# per-site boilerplate detection (template/footer stripping)
+# ---------------------------------------------------------------------------
+
+BP_WINDOW = 6  # tokens per fingerprint window (= dedup.SPAN_WINDOW class)
+BP_MIN_DOCS = 3  # a window must recur in >= this many docs of the site
+BP_FRAC_PCT = 30  # ... and in >= this % of the site's docs
+
+
+def boilerplate_stats(
+    docs: DataFrame,
+    window: int = BP_WINDOW,
+    min_docs: int = BP_MIN_DOCS,
+    frac_pct: int = BP_FRAC_PCT,
+    text_col: str = "text",
+    site_col: str = "source",
+) -> DataFrame:
+    """Per-site boilerplate measurement: token windows recurring across
+    a large fraction of one site's documents (nav bars, footers, cookie
+    banners) are template text, not content — the classic crawl->corpus
+    cleaning step (CommonCrawl/CCNet pipelines strip them before LLM
+    training; the reference indexes pages whole and has no analogue).
+
+    A window is boilerplate for site s iff it appears in >= min_docs
+    distinct docs of s AND in >= frac_pct% of s's docs (integer
+    arithmetic: nd*100 >= frac_pct*site_docs — no float thresholds).
+    Coverage merges overlapping flagged windows per doc (fixed-width
+    windows: positions p1<p2 overlap-or-touch iff p2-p1 <= window).
+
+    Output per doc: n_tokens, n_boiler_tokens, boiler_e6 (micro-
+    fraction, BIGINT) — the keep/strip decision and the cleaned-size
+    accounting a mixture planner needs.
+
+    Scale shape mirrors operators/dedup.repeated_spans: in-row window
+    fingerprints (split -> sequence -> slice -> hash60, nothing per-row
+    Python), ONE big shuffle keyed (site, whash) with map-side partial
+    aggs, candidates-only join back, and a per-doc lag merge over the
+    small flagged subset. Site cardinality never concentrates a
+    reducer: the key includes the 60-bit window hash.
+    """
+    toks = F.split(F.col(text_col), " ")
+    npos = F.size(toks) - window + 1
+    whashes = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(npos, F.lit(1))),
+            lambda i: hash60(F.array_join(F.slice(toks, i, window), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = docs.select(
+        "doc_id",
+        F.col(site_col).alias("_site"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        whashes.alias("_wh"),
+    )
+    wins = base.select(
+        "doc_id", "_site", F.posexplode("_wh").alias("p0", "whash")
+    ).select("doc_id", "_site", (F.col("p0") + 1).cast("long").alias("pos"), "whash")
+    site_docs = base.groupBy("_site").agg(
+        F.countDistinct("doc_id").alias("_sd")
+    )
+    bp = (
+        wins.groupBy("_site", "whash")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .join(site_docs, "_site")
+        .where(
+            (F.col("_nd") >= min_docs)
+            & (F.col("_nd") * 100 >= F.lit(frac_pct) * F.col("_sd"))
+        )
+        .select("_site", "whash")
+    )
+    bwin = wins.join(bp, ["_site", "whash"]).select("doc_id", "pos")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        bwin.withColumn(
+            "_b",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w_doc) <= window, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .withColumn("_g", F.sum("_b").over(w_doc))
+        .groupBy("doc_id", "_g")
+        .agg(
+            (F.max("pos") + window - F.min("pos")).cast("long").alias("_cov")
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("_cov").cast("long").alias("n_boiler_tokens"))
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_boiler_tokens", F.lit(0)).cast("long").alias(
+                "n_boiler_tokens"
+            ),
+            F.expr(
+                "cast((coalesce(n_boiler_tokens, 0) * 1000000L) div n_tokens as bigint)"
+            ).alias("boiler_e6"),
+        )
+    )
+
+
+def boilerplate_stats_sql(
+    window: int = BP_WINDOW,
+    min_docs: int = BP_MIN_DOCS,
+    frac_pct: int = BP_FRAC_PCT,
+    docs_cte: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`boilerplate_stats` as CTE text ending in
+    `bpstats(doc_id, n_tokens, n_boiler_tokens, boiler_e6)`; expects
+    `{docs_cte}(doc_id, source, text)`."""
+    return f"""
+  bp_base AS (
+    SELECT doc_id, source AS _site,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           string_split(text, ' ') AS _toks
+    FROM {docs_cte}
+  ),
+  bp_wins AS (
+    SELECT doc_id, _site,
+      unnest(range(1, greatest(len(_toks) - {window} + 1, 0) + 1)) AS pos,
+      unnest(list_transform(
+        range(1, greatest(len(_toks) - {window} + 1, 0) + 1),
+        i -> ('0x' || substr(md5(array_to_string(
+               list_slice(_toks, i, i + {window} - 1), ' ')), 1, 15))::BIGINT
+      )) AS whash
+    FROM bp_base
+  ),
+  bp_site AS (SELECT _site, count(DISTINCT doc_id) AS _sd
+              FROM bp_base GROUP BY _site),
+  bp_hash AS (
+    SELECT w._site, w.whash
+    FROM bp_wins w
+    GROUP BY w._site, w.whash
+    HAVING count(DISTINCT w.doc_id) >= {min_docs}
+       AND count(DISTINCT w.doc_id) * 100 >=
+           {frac_pct} * (SELECT _sd FROM bp_site s WHERE s._site = w._site)
+  ),
+  bp_flag AS (
+    SELECT w.doc_id, w.pos
+    FROM bp_wins w JOIN bp_hash h ON w._site = h._site AND w.whash = h.whash
+  ),
+  bp_brk AS (
+    SELECT doc_id, pos,
+      CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                <= {window} THEN 0 ELSE 1 END AS b
+    FROM bp_flag
+  ),
+  bp_grp AS (
+    SELECT doc_id, pos,
+      CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS g
+    FROM bp_brk
+  ),
+  bp_cov AS (
+    SELECT doc_id, CAST(sum(cov) AS BIGINT) AS n_boiler_tokens FROM (
+      SELECT doc_id, g, max(pos) + {window} - min(pos) AS cov
+      FROM bp_grp GROUP BY doc_id, g
+    ) GROUP BY doc_id
+  ),
+  bpstats AS (
+    SELECT b.doc_id, b.n_tokens,
+           CAST(COALESCE(c.n_boiler_tokens, 0) AS BIGINT) AS n_boiler_tokens,
+           CAST((COALESCE(c.n_boiler_tokens, 0) * 1000000) // b.n_tokens
+                AS BIGINT) AS boiler_e6
+    FROM bp_base b LEFT JOIN bp_cov c ON b.doc_id = c.doc_id
+  )"""

@@ -377,3 +377,56 @@ def project_graph(edges: DataFrame, mapping: DataFrame) -> DataFrame:
     )
     deg = proj.groupBy("src").agg(F.count("*").cast("long").alias("out_degree"))
     return proj.join(deg, "src").select("src", "dst", "out_degree")
+
+
+def neighborhood_function(
+    edges: DataFrame, nodes: DataFrame, radius: int = 4, k: int = 16
+) -> DataFrame:
+    """ANF / HyperBall-style neighborhood function: per-node estimate
+    of |{u : dist(v,u) <= radius}| via mergeable bottom-k (KMV)
+    sketches (Palmer et al. KDD'02 "ANF"; Boldi & Vigna "HyperBall" —
+    same sweep with HLL counters; we use KMV because its state is plain
+    array<bigint> over the shared hash60, so the DuckDB oracle
+    reproduces it bit-for-bit).
+
+    Sweep r: S_r(v) = bottomk(S_{r-1}(v) ∪ ⋃_{(v,u)∈E} S_{r-1}(u)),
+    S_0(v) = {hash60(v)}. Bottom-k truncation is exactly mergeable, so
+    the final sketch equals the bottom-k of the true reachable set; a
+    final sketch shorter than k IS the exact distinct count (nothing
+    was ever dropped — a drop implies >= k smaller survivors).
+    Estimate: exact size below k, else floor((k-1)·2^60 / kth) — the
+    KMV estimator in operators/sketches.py, floor for portability.
+
+    Scale shape: radius shuffles keyed on node, each carrying <= k
+    longs per row — the ONLY way to get r-hop neighborhood sizes on a
+    10^10-node graph (exact per-node BFS is quadratic blowup; this is
+    O(radius · |E| · k) with partial map-side merges). Per-node reach
+    at small radius is the standard centrality/spam feature
+    (link-farm neighborhoods balloon at r=2-3).
+    """
+    from ..functions.hashes import hash60
+
+    h0 = hash60(F.col("node").cast("string"))
+    sk = nodes.select("node", F.array(h0).alias("kmv"))
+    bottomk = lambda c: F.slice(F.array_distinct(F.array_sort(c)), 1, k)
+    for _ in range(radius):
+        nbr = (
+            edges.select("src", "dst")
+            .join(sk.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "kmv")
+        )
+        sk = (
+            sk.unionByName(nbr)
+            .groupBy("node")
+            .agg(bottomk(F.flatten(F.collect_list("kmv"))).alias("kmv"))
+        )
+    below = F.size("kmv") < k
+    kth = F.element_at("kmv", k)
+    est = F.floor(
+        F.lit(float(k - 1)) * F.lit(float(1 << 60)) / kth.cast("double")
+    ).cast("long")
+    return sk.select(
+        "node",
+        F.when(below, F.size("kmv").cast("long")).otherwise(est).alias("reach_est"),
+        F.when(below, F.lit(None).cast("long")).otherwise(kth).alias("kth_min"),
+    )

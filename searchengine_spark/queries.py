@@ -4250,6 +4250,124 @@ ORACLE_SQL["recrawl_schedule"] = SQL_RECRAWL_SCHEDULE
 
 
 # ---------------------------------------------------------------------------
+# ANF / HyperBall neighborhood function (per-node r-hop reach)
+# ---------------------------------------------------------------------------
+
+_ANF_RADIUS = 4
+_ANF_K = 8
+
+
+def q_graph_reach(spark, sf_dir):
+    """Per-node 4-hop neighborhood-size estimate via mergeable KMV
+    sketches (operators/pagerank.neighborhood_function) — exact below
+    k=8, KMV-estimated above (k kept small so the synthetic graph's
+    reach-15 neighborhoods exercise the estimator path); the oracle
+    regenerates the identical bottom-k from the exact reachable
+    sets."""
+    edges = _synth_edges(spark, sf_dir)
+    nodes = _docs(spark, sf_dir).select(F.col("doc_id").alias("node"))
+    return PR.neighborhood_function(
+        edges, nodes, radius=_ANF_RADIUS, k=_ANF_K
+    ).orderBy("node")
+
+
+def _anf_step_sql(prev: str, out: str) -> str:
+    return f""",
+  {out} AS (
+    SELECT DISTINCT node, rn FROM (
+      SELECT node, rn FROM {prev}
+      UNION ALL
+      SELECT e.src AS node, p.rn FROM edges0 e JOIN {prev} p ON p.node = e.dst
+    )
+  )"""
+
+
+SQL_GRAPH_REACH = (
+    "WITH "
+    + _EDGE_CTES
+    + ", nb0 AS (SELECT node, node AS rn FROM nodes)"
+    + "".join(
+        _anf_step_sql(f"nb{r}", f"nb{r + 1}") for r in range(_ANF_RADIUS)
+    )
+    + f""",
+  rh AS (
+    SELECT DISTINCT node, {hash60_sql("CAST(rn AS VARCHAR)")} AS h
+    FROM nb{_ANF_RADIUS}
+  ),
+  rk AS (
+    SELECT node, h, row_number() OVER (PARTITION BY node ORDER BY h) AS i
+    FROM rh
+  ),
+  ragg AS (
+    SELECT node,
+           CAST(count(*) AS BIGINT) AS n_k,
+           CAST(max(CASE WHEN i = {_ANF_K} THEN h END) AS BIGINT) AS kth
+    FROM rk WHERE i <= {_ANF_K} GROUP BY node
+  )
+SELECT node,
+       CASE WHEN n_k < {_ANF_K} THEN n_k
+            ELSE CAST(floor({_ANF_K - 1} * 1152921504606846976.0 / kth) AS BIGINT)
+       END AS reach_est,
+       CASE WHEN n_k < {_ANF_K} THEN NULL ELSE kth END AS kth_min
+FROM ragg ORDER BY node
+"""
+)
+
+QUERIES["graph_reach"] = q_graph_reach
+ORACLE_SQL["graph_reach"] = SQL_GRAPH_REACH
+
+
+# ---------------------------------------------------------------------------
+# per-site boilerplate detection (template/footer stripping)
+# ---------------------------------------------------------------------------
+
+_BP_FOOTER_TAIL = " all rights reserved contact terms privacy"
+
+
+def q_boilerplate(spark, sf_dir):
+    """Per-site boilerplate measurement (curation.boilerplate_stats):
+    token windows recurring in >=30% (and >=3) of one source's docs are
+    template text; output per-doc boiler coverage in exact micro-units.
+    The corpus is word soup, so the query injects the classic per-site
+    footer into 90% of each source's docs (deterministic doc_id % 10
+    augmentation, twinned in SQL) — the operator must find exactly it."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "text")
+    aug = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 != 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" copyright "),
+                F.col("source"),
+                F.lit(_BP_FOOTER_TAIL),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return CU.boilerplate_stats(aug).orderBy("doc_id")
+
+
+SQL_BOILERPLATE = (
+    f"""
+WITH bp_aug AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 10 <> 0
+                THEN text || ' copyright ' || source || '{_BP_FOOTER_TAIL}'
+                ELSE text END AS text
+    FROM documents
+  ),"""
+    + CU.boilerplate_stats_sql(docs_cte="bp_aug")
+    + """
+SELECT doc_id, n_tokens, n_boiler_tokens, boiler_e6
+FROM bpstats ORDER BY doc_id
+"""
+)
+
+QUERIES["boilerplate"] = q_boilerplate
+ORACLE_SQL["boilerplate"] = SQL_BOILERPLATE
+
+
+# ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
 

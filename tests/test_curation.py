@@ -479,3 +479,28 @@ def test_linear_classifier_weights_broadcast_plan(spark):
     out = CU.linear_classifier_score(docs, CU.synthetic_weights(spark))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_stats_flags_shared_footer(spark):
+    """Site A: 4/5 docs share a 7-token footer -> flagged (>=3 docs,
+    >=30%); the odd doc and site B (2/5 sharing, below min_docs) stay
+    clean. Coverage is the merged footer span, not window count."""
+    from searchengine_spark.operators.curation import boilerplate_stats
+
+    footer = "one two three four five six seven"
+    rows = []
+    for i in range(5):
+        body = f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}"
+        rows.append((i, "A", body + (" " + footer if i < 4 else "")))
+    for i in range(5, 10):
+        body = f"k{i} l{i} m{i} n{i} o{i} p{i}"
+        rows.append((i, "B", body + (" " + footer if i < 7 else "")))
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = {r["doc_id"]: r for r in boilerplate_stats(docs).collect()}
+    for i in range(4):
+        assert out[i]["n_boiler_tokens"] == 7, i  # merged footer span
+        assert out[i]["n_tokens"] == 13
+        assert out[i]["boiler_e6"] == 7 * 1_000_000 // 13
+    assert out[4]["n_boiler_tokens"] == 0
+    for i in range(5, 10):  # only 2 docs share -> below min_docs
+        assert out[i]["n_boiler_tokens"] == 0, i

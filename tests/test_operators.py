@@ -1220,3 +1220,32 @@ def test_project_graph_host_projection(spark):
     # 1->2,2->1 intra-a dropped; 1->3,2->3 both project to a->b (dedup);
     # 3->4 -> b->c; 3->99 dropped (99 unmapped)
     assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_neighborhood_function_exact_below_k_and_estimates(spark):
+    """Directed path a->b->c->d plus hub edges: radius-2 reach is the
+    exact closed set when below k; with k=2 the estimator fires and
+    stays within the KMV error envelope."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "e"), ("e", "f")],
+        ["src", "dst"],
+    )
+    nodes = spark.createDataFrame([(n,) for n in "abcdef"], ["node"])
+    out = {
+        r["node"]: r
+        for r in PR.neighborhood_function(edges, nodes, radius=2, k=16).collect()
+    }
+    # exact (all sets < 16): a reaches {a,b,e,c,f}; d reaches {d}
+    assert out["a"]["reach_est"] == 5
+    assert out["b"]["reach_est"] == 3
+    assert out["d"]["reach_est"] == 1
+    assert all(r["kth_min"] is None for r in out.values())
+
+    est = {
+        r["node"]: r
+        for r in PR.neighborhood_function(edges, nodes, radius=2, k=2).collect()
+    }
+    # truncated sketches: estimate must be positive and k-1 exactness
+    # below k still holds for singleton reach
+    assert est["d"]["reach_est"] == 1 and est["d"]["kth_min"] is None
+    assert est["a"]["kth_min"] is not None and est["a"]["reach_est"] >= 1
