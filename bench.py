@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "search_unmerged",
     "search_batch",
     "search_batch_joined",
+    "search_proximity",
     "media_features",
     "media_dedup",
     "events_asof",

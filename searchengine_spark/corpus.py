@@ -240,24 +240,59 @@ def parse_crawl_delay(txt: str, cap: int = 16) -> int:
     return delay
 
 
+_RX_SPECIALS = set(".^$+?()[]{}\\|")
+
+
+def robots_rule_regex_py(rule: str) -> str:
+    """RFC 9309 §2.2.3 wildcard rule -> anchored regex: '*' spans any
+    octets, a TRAILING '$' anchors the rule at the path end; every
+    other char is literal."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    parts = []
+    for ch in body:
+        if ch == "*":
+            parts.append(".*")
+        elif ch in _RX_SPECIALS:
+            parts.append("\\" + ch)
+        else:
+            parts.append(ch)
+    return "^" + "".join(parts) + ("$" if anchored else "")
+
+
+def robots_rule_matches_py(rule: str, path: str) -> bool:
+    """One robots rule against one path: plain rules are prefix
+    matches; rules carrying '*' or a trailing '$' match as RFC 9309
+    wildcards (what Googlebot implements). Twin of the per-token
+    branch in plans/crawl.robots_blocked_expr."""
+    import re
+
+    if "*" in rule or rule.endswith("$"):
+        return re.search(robots_rule_regex_py(rule), path) is not None
+    return path.startswith(rule)
+
+
 def robots_rules_blocked_py(state: str | None, path: str) -> bool:
     """Pure-python twin of plans/crawl.robots_blocked_expr covering
     EVERY state form (legacy + 'rules:'): True when the cached state
     blocks the path. 'rules:' gating is longest-match-wins, Allow wins
-    equal-length ties (RFC 9309 §2.2.2); no matching rule = allowed."""
+    equal-length ties (RFC 9309 §2.2.2); no matching rule = allowed.
+    Rules containing '*' / trailing '$' match as RFC 9309 wildcards
+    (§2.2.3); precedence still uses the raw rule's octet length."""
     if not state or state == "allow":
         return False
     if state == "deny":
         return True
     if state.startswith("disallow:"):
         return any(
-            path.startswith(p) for p in state[len("disallow:"):].split("|")
+            robots_rule_matches_py(p, path)
+            for p in state[len("disallow:"):].split("|")
         )
     if state.startswith("rules:"):
         matching = [
             t
             for t in state[len("rules:"):].split("|")
-            if path.startswith(t[1:])
+            if robots_rule_matches_py(t[1:], path)
         ]
         if not matching:
             return False

@@ -123,3 +123,46 @@ def rollup_time(
         GROUP BY GROUPING SETS ((g, day), (g, day, hour))
         """
     )
+
+
+def band_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_val: str,
+    right_val: str,
+    max_dist: int,
+) -> DataFrame:
+    """All (left, right) pairs sharing `keys` with
+    |left_val - right_val| <= max_dist — the NEAR / interval-proximity
+    join — WITHOUT a per-key cartesian product.
+
+    Naive form is `JOIN ON keys AND abs(l-r) <= d`: Spark plans the
+    inequality as a row-pair filter after a key-equi join, which
+    degenerates on hot keys (a doc/sensor with n rows costs n^2). The
+    banded form buckets both sides into width-`max_dist` bands
+    (band = value div max_dist); a qualifying pair can only differ by
+    at most one band index, so the LEFT side explodes to its 3
+    candidate bands and the join key becomes (keys, band) — exact
+    equi-join, hash-shuffled, hot keys now spread across bands. Each
+    true pair appears exactly once (the right row owns one band).
+    Cost: 3x left rows through the shuffle in exchange for bounded
+    reducers — the standard interval-join banding (e.g. Flink's
+    interval join, GeoSpark grid join).
+
+    Values must be NON-NEGATIVE integrals (positions, epoch units) —
+    banding uses truncating `div`, which equals floor-division only at
+    >= 0. Returns the joined frame with both value columns; caller
+    projects/aggregates.
+    """
+    assert max_dist >= 1
+    lb = F.expr(f"cast({left_val} div {max_dist} as bigint)")
+    rb = F.expr(f"cast({right_val} div {max_dist} as bigint)")
+    lx = left.withColumn(
+        "_band", F.explode(F.array(lb - 1, lb, lb + 1))
+    )
+    rx = right.withColumn("_band", rb)
+    out = lx.join(rx, keys + ["_band"]).where(
+        F.abs(F.col(left_val) - F.col(right_val)) <= max_dist
+    )
+    return out.drop("_band")

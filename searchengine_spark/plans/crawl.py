@@ -113,22 +113,42 @@ def url_path_expr(url) -> F.Column:
     return F.regexp_replace(hbody, "^[^/]*", "")
 
 
+def robots_rule_match_expr(path, rule) -> F.Column:
+    """One robots rule against one path, per-token: plain rules are
+    prefix matches; a rule carrying '*' or a trailing '$' matches as an
+    RFC 9309 §2.2.3 wildcard ('*' spans any octets, trailing '$'
+    anchors at path end). The regex is built in-plan: escape regex
+    specials, '*' -> '.*', re-anchor an escaped trailing '\\$', prefix
+    '^'. Twin: corpus.robots_rule_matches_py (pinned row-equal in
+    tests/test_crawl.py)."""
+    is_wild = rule.contains("*") | rule.endswith("$")
+    esc = F.regexp_replace(rule, "([.^$+?()\\[\\]{}\\\\|])", "\\\\$1")
+    starred = F.regexp_replace(esc, "\\*", ".*")
+    re_anchored = F.regexp_replace(starred, "\\\\\\$$", "\\$")
+    pattern = F.concat(F.lit("^"), re_anchored)
+    return F.when(is_wild, F.regexp_like(path, pattern)).otherwise(
+        path.startswith(rule)
+    )
+
+
 def robots_blocked_expr(path, robots_state) -> F.Column:
     """True when a cached robots_state blocks this path: 'deny' blocks
-    everything; 'disallow:<p1>|<p2>|...' blocks a match on ANY prefix
+    everything; 'disallow:<p1>|<p2>|...' blocks a match on ANY rule
     (HTTP-learned states carry every `User-agent: *` Disallow rule;
     the synthetic grammar emits at most one, where this reduces to the
     single startswith the ingest gate applies — operators/frontier.py);
     'rules:<±p1>|<±p2>|...' (HTTP-learned bodies with Allow AND
     Disallow rules) gates longest-match-wins with Allow winning
     equal-length ties (RFC 9309 §2.2.2) — blocked iff some rule
-    matches and no longest match is an Allow. NULL robots_state (host
+    matches and no longest match is an Allow. Rules carrying '*' or a
+    trailing '$' match as RFC 9309 wildcards (§2.2.3); precedence
+    still keys on the raw rule's octet length. NULL robots_state (host
     not yet contacted) blocks nothing. Pure-python twin:
     corpus.robots_rules_blocked_py (pinned row-equal in
     tests/test_crawl.py)."""
     matching = F.filter(
         F.split(F.substring(robots_state, 7, 8192), "\\|"),
-        lambda t: path.startswith(F.substring(t, 2, 8192)),
+        lambda t: robots_rule_match_expr(path, F.substring(t, 2, 8192)),
     )
     maxlen = F.array_max(F.transform(matching, lambda t: F.length(t)))
     rules_blocked = (F.size(matching) > 0) & ~F.exists(
@@ -141,7 +161,7 @@ def robots_blocked_expr(path, robots_state) -> F.Column:
             robots_state.startswith("disallow:"),
             F.exists(
                 F.split(F.substring(robots_state, 10, 8192), "\\|"),
-                lambda p: path.startswith(p),
+                lambda p: robots_rule_match_expr(path, p),
             ),
         )
         .when(robots_state.startswith("rules:"), rules_blocked)

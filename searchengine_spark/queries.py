@@ -4368,6 +4368,72 @@ ORACLE_SQL["boilerplate"] = SQL_BOILERPLATE
 
 
 # ---------------------------------------------------------------------------
+# proximity (NEAR) search via banded range join
+# ---------------------------------------------------------------------------
+
+PROX_TERMS = ("table", "join")
+PROX_SLOP = 3
+
+
+def q_search_proximity(spark, sf_dir):
+    """NEAR operator: docs where the two terms co-occur within
+    PROX_SLOP token positions, with pair count and closest distance.
+    The pair join is operators/temporal.band_range_join — width-slop
+    banding turns the |posA-posB|<=slop inequality into an exact
+    (doc, band) equi-join, so a hot doc never pays a per-doc
+    cartesian."""
+    from searchengine_spark.operators.temporal import band_range_join
+
+    toks = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("p0", "word"))
+        .select("doc_id", (F.col("p0") + 1).cast("long").alias("pos"), "word")
+    )
+    ta = toks.where(F.col("word") == PROX_TERMS[0]).select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    tb = toks.where(F.col("word") == PROX_TERMS[1]).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    pairs = band_range_join(ta, tb, ["doc_id"], "pos_a", "pos_b", PROX_SLOP)
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min(F.abs(F.col("pos_a") - F.col("pos_b")))
+            .cast("long")
+            .alias("min_dist"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SEARCH_PROXIMITY = f"""
+WITH tk AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    FROM documents
+  ),
+  ta AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos_a FROM tk
+         WHERE word = '{PROX_TERMS[0]}'),
+  tb AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos_b FROM tk
+         WHERE word = '{PROX_TERMS[1]}'),
+  pr AS (
+    SELECT a.doc_id, pos_a, pos_b
+    FROM ta a JOIN tb b ON a.doc_id = b.doc_id
+    WHERE abs(pos_a - pos_b) <= {PROX_SLOP}
+  )
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(min(abs(pos_a - pos_b)) AS BIGINT) AS min_dist
+FROM pr GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["search_proximity"] = q_search_proximity
+ORACLE_SQL["search_proximity"] = SQL_SEARCH_PROXIMITY
+
+
+# ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------
 

@@ -544,3 +544,41 @@ def test_crawl_depth_priority_end_to_end(spark, tmp_path_factory):
     # round 2 the depth-priority scheduler must be picking again
     stats = d2.run(2, resume=True)
     assert sum(s.scheduled for s in stats) > 0
+
+
+def test_robots_blocked_expr_wildcard_rules(spark):
+    """RFC 9309 §2.2.3 wildcards: '*' spans any octets, trailing '$'
+    anchors at path end; plain-prefix behavior unchanged. Expr is
+    row-equal to the pure twin over a wildcard-heavy cross product,
+    in both the 'disallow:' and precedence-bearing 'rules:' forms."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.corpus import robots_rules_blocked_py
+    from searchengine_spark.plans.crawl import robots_blocked_expr
+
+    states = [
+        "disallow:/*.pdf$",
+        "disallow:/*.php$|/admin",
+        "disallow:/pub/*/draft",
+        "rules:-/*.pdf$|+/pub/",
+        "rules:-/|+/*.html$",
+        "rules:-/cgi*|+/cgi-static",
+        "disallow:/p?q=(x)",        # regex specials stay literal
+        "disallow:/end$",
+    ]
+    paths = [
+        "/a/b.pdf", "/a/b.pdfx", "/a.pdf.html", "/pub/doc.pdf",
+        "/pub/a.txt", "/pub/x/draft", "/pub/x/drafty", "/x/y.php",
+        "/index.html", "/cgi-bin/q", "/cgi-static/ok", "/p?q=(x)y",
+        "/pXq=(x)", "/end", "/end/", "",
+    ]
+    rows = [(p, s) for s in states for p in paths]
+    df = spark.createDataFrame(rows, "path string, robots_state string")
+    got = [
+        r["b"]
+        for r in df.select(
+            robots_blocked_expr(F.col("path"), F.col("robots_state")).alias("b")
+        ).collect()
+    ]
+    want = [robots_rules_blocked_py(s, p) for p, s in rows]
+    assert got == want

@@ -1249,3 +1249,30 @@ def test_neighborhood_function_exact_below_k_and_estimates(spark):
     # below k still holds for singleton reach
     assert est["d"]["reach_est"] == 1 and est["d"]["kth_min"] is None
     assert est["a"]["kth_min"] is not None and est["a"]["reach_est"] >= 1
+
+
+def test_band_range_join_equals_naive(spark):
+    """Banded proximity join == naive key-join + abs filter, pair for
+    pair, including band-boundary values; no duplicates from the
+    3-band explode."""
+    import random
+
+    from searchengine_spark.operators.temporal import band_range_join
+
+    rng = random.Random(7)
+    left = [(k, rng.randrange(0, 40)) for k in ("a", "b") for _ in range(30)]
+    right = [(k, rng.randrange(0, 40)) for k in ("a", "b") for _ in range(30)]
+    l = spark.createDataFrame(left, ["k", "va"])
+    r = spark.createDataFrame(right, ["k", "vb"])
+    for d in (1, 4, 7):
+        got = sorted(
+            (x["k"], x["va"], x["vb"])
+            for x in band_range_join(l, r, ["k"], "va", "vb", d).collect()
+        )
+        want = sorted(
+            (lk, lv, rv)
+            for (lk, lv) in left
+            for (rk, rv) in right
+            if lk == rk and abs(lv - rv) <= d
+        )
+        assert got == want, d
