@@ -4170,7 +4170,14 @@ def q_host_pagerank(spark, sf_dir):
     (operators/pagerank.project_graph — intra-host edges collapse to
     self-loops and drop, out-degree recounted) and run the reference
     PageRank update for 3 sweeps over the 3-4 orders smaller host
-    graph."""
+    graph.
+
+    Plan note: the doc->host mapping derives from the URL-parse UDF
+    here, and the iterative plan re-evaluates it per consumer (~16
+    Arrow evals in PLANS_AUDIT) — accepted for the one-shot catalog
+    form because a cache would stay pinned across the driver's 80+
+    query run (CLAUDE.md rule); in production the mapping is a stored
+    column of the docs table and the parse never re-runs."""
     cand = (
         _candidates_df(spark, sf_dir)
         .select(F.col("doc_id").alias("node"), F.col("host").alias("part"))
