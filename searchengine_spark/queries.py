@@ -4440,6 +4440,67 @@ QUERIES["search_proximity"] = q_search_proximity
 ORACLE_SQL["search_proximity"] = SQL_SEARCH_PROXIMITY
 
 
+def q_anchor_terms(spark, sf_dir):
+    """Anchor-context term index: the text run preceding each inbound
+    link credited to the link *target* (operators/anchors.py — in-row
+    link/context pairing over the spans column, then one hash agg on
+    (target_md5, term)). Targets are keyed like every page key in the
+    engine: url_md5(canonicalize(raw)), so raw www./slash variants of
+    one page fold into one anchor bucket. The oracle recomputes the
+    whole derivation (chunk grammar -> link formula -> raw-url grammar
+    -> canonicalize -> getMD5) from the corpus formulas, so drift in
+    span generation, URL canonicalization or target keying hash-fails
+    here."""
+    from searchengine_spark.corpus import interleaved_docs_df
+    from searchengine_spark.operators import anchors as ANC
+
+    docs = interleaved_docs_df(spark, sf_dir)
+    return ANC.anchor_terms(docs).orderBy("target_md5", "term")
+
+
+# corpus.gen_spans_py chunk grammar: words[0:3] are the title; body
+# chunks of 5 start at word 3, so chunk c exists iff 3+5c < len(ws)
+# i.e. c < (len(ws)+1)//5; chunks with c % 3 == 1 emit a link to
+# hash60(doc_id:c, 'span-link') % n_docs immediately after their text
+# span — that text chunk IS the link's anchor context.
+SQL_ANCHOR_TERMS = f"""
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+  atoks AS (
+    SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  ),
+  achunks AS (
+    SELECT doc_id, ws, unnest(range(0, (len(ws) + 1) // 5)) AS c
+    FROM atoks WHERE len(ws) > 3
+  ),
+  alinkctx AS (
+    SELECT doc_id AS src_doc,
+           {hash60_sql("CAST(doc_id AS VARCHAR) || ':' || CAST(c AS VARCHAR)", "span-link")}
+             % (SELECT n FROM nn) AS target_id,
+           list_slice(ws, 4 + 5 * c, least(8 + 5 * c, len(ws))) AS ctx
+    FROM achunks WHERE c % 3 = 1
+  ),
+  araws AS (
+    SELECT src_doc, {raw_url_sql("target_id")} AS raw, ctx FROM alinkctx
+  ),
+  acanon AS (
+    SELECT src_doc, {canonicalize_sql("raw")} AS cu, ctx FROM araws
+  ),
+  akeyed AS (
+    SELECT src_doc, {url_md5_sql("cu")} AS target_md5, unnest(ctx) AS term
+    FROM acanon WHERE cu IS NOT NULL
+  )
+SELECT target_md5, term,
+       CAST(count(*) AS BIGINT) AS anchor_count,
+       CAST(count(DISTINCT src_doc) AS BIGINT) AS n_source_docs
+FROM akeyed WHERE target_md5 IS NOT NULL AND term <> ''
+GROUP BY target_md5, term
+ORDER BY target_md5, term
+"""
+
+QUERIES["anchor_terms"] = q_anchor_terms
+ORACLE_SQL["anchor_terms"] = SQL_ANCHOR_TERMS
+
+
 # ---------------------------------------------------------------------------
 # oracle hardening: force DuckDB CTE materialization
 # ---------------------------------------------------------------------------

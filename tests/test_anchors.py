@@ -1,0 +1,112 @@
+"""Anchor-context index (operators/anchors.py) — pairing-rule fixture.
+
+Pins the span-level semantics on a hand-built document set:
+* a link takes the immediately preceding ``text`` span as context;
+* links at offset 0 or behind non-text spans contribute nothing;
+* raw www./slash variants of one target fold into one md5 bucket
+  (getMD5 aliasing, SearchEngine.h:213-223);
+* rejected raw URLs (canonicalize -> NULL) are dropped;
+* anchor_count counts link occurrences, n_source_docs distinct docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.corpus import SPANS_SCHEMA
+from searchengine_spark.functions.urls import canonicalize_py, url_md5_py
+from searchengine_spark.operators.anchors import anchor_terms
+
+
+def _span(kind, text=None, ref=None, off=0):
+    return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, schema=f"doc_id string, url string, spans {SPANS_SCHEMA}"
+    )
+
+
+TARGET = "http://host1.com/p/9"
+TARGET_WWW = "http://www.host1.com/p/9"  # same getMD5 key as TARGET
+
+
+def test_anchor_pairing_and_folding(spark):
+    rows = [
+        # d1: text then link -> context credited; a second link to the
+        # www-variant right behind a text span too.
+        (
+            "d1",
+            "u1",
+            [
+                _span("title", "t", off=0),
+                _span("text", "alpha beta", off=1),
+                _span("link", ref=TARGET, off=2),
+                _span("text", "beta gamma", off=3),
+                _span("link", ref=TARGET_WWW, off=4),
+            ],
+        ),
+        # d2: link at offset 0 (no predecessor) and a link behind a
+        # media span -> both contribute nothing; then one real credit.
+        (
+            "d2",
+            "u2",
+            [
+                _span("link", ref=TARGET, off=0),
+                _span("media", ref="x.png", off=1),
+                _span("link", ref=TARGET, off=2),
+                _span("text", "alpha", off=3),
+                _span("link", ref=TARGET, off=4),
+            ],
+        ),
+        # d3: rejected target (no scheme colon) -> dropped.
+        (
+            "d3",
+            "u3",
+            [
+                _span("text", "alpha", off=0),
+                _span("link", ref="httpx//bad", off=1),
+            ],
+        ),
+    ]
+    out = anchor_terms(_docs(spark, rows)).orderBy("term").collect()
+    key = url_md5_py(canonicalize_py(TARGET))
+    assert url_md5_py(canonicalize_py(TARGET_WWW)) == key  # folding premise
+
+    got = {(r.target_md5, r.term): (r.anchor_count, r.n_source_docs) for r in out}
+    assert got == {
+        # 'alpha' from d1's first link + d2's last link -> 2 links, 2 docs
+        (key, "alpha"): (2, 2),
+        # 'beta' appears in both of d1's credited contexts -> 2 links, 1 doc
+        (key, "beta"): (2, 1),
+        (key, "gamma"): (1, 1),
+    }
+
+
+def test_anchor_empty_and_no_links(spark):
+    rows = [
+        ("d1", "u1", [_span("text", "only text", off=0)]),
+        ("d2", "u2", []),
+    ]
+    assert anchor_terms(_docs(spark, rows)).count() == 0
+
+
+def test_anchor_no_shuffle_before_agg(spark):
+    """The link/context pairing must stay in-row: the only exchanges
+    are the two aggregation phases of the exact countDistinct (partial
+    on (key, src_doc), final on key) — no join, no extra shuffle from
+    the pairing itself."""
+    rows = [
+        (
+            "d1",
+            "u1",
+            [
+                _span("text", "alpha", off=0),
+                _span("link", ref=TARGET, off=1),
+            ],
+        ),
+    ]
+    plan = anchor_terms(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan and "Cartesian" not in plan, plan
