@@ -192,6 +192,126 @@ def hybrid_topk(
     return rrf_fuse({"bm25": bm, "vec": vec}, k=k, k_rrf=k_rrf)
 
 
+W_ANCHOR_E2 = 150  # anchor field weight vs body, integer percent (1.5x)
+
+
+def anchor_term_scores(
+    anchor_idx: DataFrame, terms: list[str]
+) -> DataFrame:
+    """Per-target anchor-field BM25 partial sums for the query terms.
+
+    ``anchor_idx`` is operators/anchors.anchor_terms output
+    (target_md5, term, anchor_count, n_source_docs). The anchor field
+    scores like a BM25 field with b=0 — anchor pseudo-documents have
+    no meaningful length, so tf saturates without length
+    normalization: tfnorm = tf·(k1+1)/(tf+k1) with tf = anchor_count.
+    idf uses N = distinct targets in the index and df = targets whose
+    anchor text contains the term. Same exactness contract as
+    bm25_term_scores: floor to BIGINT micro-points per (target, term)
+    before summing.
+
+    Returns (target_md5, anchor_e6). Scale shape: the matched slice is
+    postings-of-the-query sized; stats/df are 1-row / ≤|terms|-row
+    broadcasts.
+    """
+    if len(set(terms)) != len(terms):
+        raise ValueError("query terms must be distinct")
+    if not terms:
+        raise ValueError("empty term list")
+    stats = anchor_idx.agg(
+        F.countDistinct("target_md5").cast("long").alias("n_tgts")
+    )
+    matched = anchor_idx.where(F.col("term").isin(terms)).select(
+        "target_md5", "term", F.col("anchor_count").alias("tf")
+    )
+    df_t = matched.groupBy("term").agg(
+        F.count("*").cast("long").alias("df")
+    )
+    scored = matched.join(F.broadcast(df_t), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_tgts") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfnorm = (F.col("tf").cast("double") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf") + F.lit(BM25_K1)
+    )
+    return (
+        scored.select(
+            "target_md5",
+            F.floor(F.lit(1000000.0) * (idf * tfnorm)).cast("long").alias(
+                "score_e6"
+            ),
+        )
+        .groupBy("target_md5")
+        .agg(F.sum("score_e6").cast("long").alias("anchor_e6"))
+    )
+
+
+def anchor_boosted_topk(
+    docs: DataFrame,
+    anchor_idx: DataFrame,
+    doc_keys: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    w_anchor_e2: int = W_ANCHOR_E2,
+) -> DataFrame:
+    """BM25F-style two-field retrieval: body BM25 + weighted anchor
+    field, fused full-outer so a page whose body lacks the query terms
+    but whose inbound anchors carry them still surfaces — the point of
+    the anchor signal (Brin & Page 1998 §4.2.2; the reference ranks
+    on-page text only, PageSearcher.cpp:400-520).
+
+    ``doc_keys`` maps doc_id -> the engine's page key
+    (url_md5(canonicalize(url))); aliased raw variants of one page
+    share a key and both receive its anchor credit.
+    comb_e6 = body_e6 + (w_anchor_e2 · anchor_e6) div 100 — exact
+    integers end to end.
+
+    Scale shape: the anchor arm result is query-postings sized and is
+    broadcast against the corpus-sized key map (no shuffle on the big
+    side); the final full-outer joins two aggregated query-sized
+    frames. Top-k is TakeOrderedAndProject; the rank window sees ≤k
+    rows.
+
+    Returns (doc_id, body_e6, anchor_e6, comb_e6, rank).
+    """
+    body = (
+        bm25_term_scores(docs, terms)
+        .groupBy("doc_id")
+        .agg(F.sum("score_e6").cast("long").alias("body_e6"))
+    )
+    anc = anchor_term_scores(anchor_idx, terms)
+    anc_docs = doc_keys.join(
+        F.broadcast(anc),
+        doc_keys["doc_key"] == anc["target_md5"],
+    ).select("doc_id", "anchor_e6")
+    fused = (
+        body.join(anc_docs, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("body_e6"), F.lit(0)).cast("long").alias(
+                "body_e6"
+            ),
+            F.coalesce(F.col("anchor_e6"), F.lit(0)).cast("long").alias(
+                "anchor_e6"
+            ),
+        )
+        .withColumn(
+            "comb_e6",
+            (
+                F.col("body_e6")
+                + F.expr(f"CAST(({w_anchor_e2} * anchor_e6) DIV 100 AS BIGINT)")
+            ).cast("long"),
+        )
+    )
+    top = fused.orderBy(F.desc("comb_e6"), "doc_id").limit(k)
+    w = W.orderBy(F.desc("comb_e6"), "doc_id")  # bounded: ≤ k rows
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def tfidf_weights(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -4462,9 +4462,9 @@ def q_anchor_terms(spark, sf_dir):
 # chunks of 5 start at word 3, so chunk c exists iff 3+5c < len(ws)
 # i.e. c < (len(ws)+1)//5; chunks with c % 3 == 1 emit a link to
 # hash60(doc_id:c, 'span-link') % n_docs immediately after their text
-# span — that text chunk IS the link's anchor context.
-SQL_ANCHOR_TERMS = f"""
-WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+# span — that text chunk IS the link's anchor context. The chain ends
+# in `akeyed(src_doc, target_md5, term)`.
+_ANCHOR_CTES = f"""nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
   atoks AS (
     SELECT doc_id, string_split(text, ' ') AS ws FROM documents
   ),
@@ -4488,7 +4488,10 @@ WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
   akeyed AS (
     SELECT src_doc, {url_md5_sql("cu")} AS target_md5, unnest(ctx) AS term
     FROM acanon WHERE cu IS NOT NULL
-  )
+  )"""
+
+SQL_ANCHOR_TERMS = f"""
+WITH {_ANCHOR_CTES}
 SELECT target_md5, term,
        CAST(count(*) AS BIGINT) AS anchor_count,
        CAST(count(DISTINCT src_doc) AS BIGINT) AS n_source_docs
@@ -4499,6 +4502,96 @@ ORDER BY target_md5, term
 
 QUERIES["anchor_terms"] = q_anchor_terms
 ORACLE_SQL["anchor_terms"] = SQL_ANCHOR_TERMS
+
+
+_ANCHOR_QUERY_TERMS = _BM25_TERMS  # same query as bm25_topk, comparable
+_ANCHOR_TOPK = 15
+
+
+def q_search_anchor_boosted(spark, sf_dir):
+    """BM25F-style two-field retrieval: body BM25 + inbound anchor
+    field at W_ANCHOR_E2=1.5x, fused full-outer so pages whose body
+    lacks the terms but whose anchors carry them still surface
+    (operators/retrieval.anchor_boosted_topk). Doc keys are the
+    engine's page key (url_md5 of the canonical raw url), so aliased
+    variants of one page share anchor credit. Exact integers end to
+    end; same term set as bm25_topk so the two rankings are directly
+    comparable."""
+    from searchengine_spark.corpus import interleaved_docs_df, raw_url_expr as _rue
+    from searchengine_spark.operators import anchors as ANC
+    from searchengine_spark.operators import retrieval as RET
+    from searchengine_spark.functions.urls import canonicalize_expr, url_md5_expr
+
+    docs = _docs(spark, sf_dir)
+    anchor_idx = ANC.anchor_terms(interleaved_docs_df(spark, sf_dir))
+    doc_keys = docs.select(
+        "doc_id", canonicalize_expr(_rue("doc_id")).alias("cu")
+    ).where(F.col("cu").isNotNull()).select(
+        "doc_id", url_md5_expr("cu").alias("doc_key")
+    )
+    return RET.anchor_boosted_topk(
+        docs, anchor_idx, doc_keys, _ANCHOR_QUERY_TERMS, k=_ANCHOR_TOPK
+    ).orderBy("rank")
+
+
+_ANCHOR_IN_LIST = ", ".join(f"'{t}'" for t in _ANCHOR_QUERY_TERMS)
+
+SQL_SEARCH_ANCHOR_BOOSTED = f"""
+WITH {_bm25_ctes(_ANCHOR_QUERY_TERMS)},
+{_ANCHOR_CTES},
+anidx AS (
+  SELECT target_md5, term, CAST(count(*) AS BIGINT) AS tf
+  FROM akeyed WHERE target_md5 IS NOT NULL AND term <> ''
+  GROUP BY target_md5, term
+),
+anstats AS (
+  SELECT CAST(count(DISTINCT target_md5) AS BIGINT) AS n_tgts FROM anidx
+),
+anm AS (SELECT * FROM anidx WHERE term IN ({_ANCHOR_IN_LIST})),
+andf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM anm GROUP BY 1),
+ansc AS (
+  SELECT target_md5,
+         CAST(floor(1000000.0 * (
+           ln(1.0 + (n_tgts - df + 0.5) / (df + 0.5))
+           * ((CAST(tf AS DOUBLE) * 2.2) / (tf + 1.2))
+         )) AS BIGINT) AS score_e6
+  FROM anm JOIN andf USING (term), anstats
+),
+anagg AS (
+  SELECT target_md5, CAST(sum(score_e6) AS BIGINT) AS anchor_e6
+  FROM ansc GROUP BY 1
+),
+draw AS (SELECT doc_id, {raw_url_sql("doc_id")} AS raw FROM documents),
+dcanon AS (SELECT doc_id, {canonicalize_sql("raw")} AS cu FROM draw),
+dkey AS (
+  SELECT doc_id, {url_md5_sql("cu")} AS doc_key FROM dcanon
+  WHERE cu IS NOT NULL
+),
+adoc AS (
+  SELECT doc_id, anchor_e6 FROM dkey JOIN anagg ON doc_key = target_md5
+),
+fusedx AS (
+  SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+         CAST(COALESCE(b.bm25_e6, 0) AS BIGINT) AS body_e6,
+         CAST(COALESCE(a.anchor_e6, 0) AS BIGINT) AS anchor_e6
+  FROM bm b FULL OUTER JOIN adoc a ON b.doc_id = a.doc_id
+),
+combx AS (
+  SELECT doc_id, body_e6, anchor_e6,
+         CAST(body_e6 + (150 * anchor_e6) // 100 AS BIGINT) AS comb_e6
+  FROM fusedx
+),
+rankedx AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY comb_e6 DESC, doc_id) AS INT)
+         AS rank
+  FROM combx
+)
+SELECT doc_id, body_e6, anchor_e6, comb_e6, rank FROM rankedx
+WHERE rank <= {_ANCHOR_TOPK} ORDER BY rank
+"""
+
+QUERIES["search_anchor_boosted"] = q_search_anchor_boosted
+ORACLE_SQL["search_anchor_boosted"] = SQL_SEARCH_ANCHOR_BOOSTED
 
 
 # ---------------------------------------------------------------------------

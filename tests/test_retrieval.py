@@ -321,3 +321,37 @@ def test_textrank_keywords_hand_computed(spark):
     ]
     # the doubly-linked hub y outranks the leaf q
     assert got["y"] > got["q"]
+
+
+def test_anchor_boosted_topk_anchor_only_doc_surfaces(spark, docs):
+    """BM25F fusion: a doc whose body lacks the query term but whose
+    inbound anchors carry it must surface with body_e6=0, scored at
+    the integer anchor weight (W_ANCHOR_E2 div 100)."""
+    # anchor index: doc 2's page key carries term 'b' from 3 links out
+    # of 2 source docs; doc 4's key carries 'a' once.
+    anchor_idx = spark.createDataFrame(
+        [("k2", "b", 3, 2), ("k4", "a", 1, 1)],
+        "target_md5 string, term string, anchor_count long, n_source_docs long",
+    )
+    doc_keys = spark.createDataFrame(
+        [(1, "k1"), (2, "k2"), (3, "k3"), (4, "k4")],
+        "doc_id long, doc_key string",
+    )
+    out = RET.anchor_boosted_topk(
+        docs, anchor_idx, doc_keys, ["b"], k=10, w_anchor_e2=150
+    ).collect()
+    by_doc = {r.doc_id: r for r in out}
+
+    # doc 2's body is "a d" — no 'b' — yet it appears via its anchors
+    assert 2 in by_doc and by_doc[2].body_e6 == 0
+    # hand-compute the anchor arm: N=2 targets, df('b')=1, tf=3
+    idf = math.log(1.0 + (2 - 1 + 0.5) / (1 + 0.5))
+    tfn = (3.0 * 2.2) / (3 + 1.2)
+    anchor_e6 = math.floor(1000000.0 * (idf * tfn))
+    assert by_doc[2].anchor_e6 == anchor_e6
+    assert by_doc[2].comb_e6 == (150 * anchor_e6) // 100
+    # body-only docs keep pure body scores and zero anchor field
+    assert by_doc[1].anchor_e6 == 0 and by_doc[1].body_e6 > 0
+    # ranks are 1..n by (comb_e6 desc, doc_id)
+    ranked = sorted(out, key=lambda r: (-r.comb_e6, r.doc_id))
+    assert [r.rank for r in ranked] == list(range(1, len(out) + 1))
