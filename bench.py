@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "events_window",
     "sessionize",
     "bm25_topk",
+    "anchor_terms",
+    "search_anchor_boosted",
     "hybrid_rrf",
     "spell_suggest",
     "collocations",
