@@ -23,7 +23,7 @@ import json
 import sys
 
 
-def main(argv=None) -> int:
+def main(argv=None, spark=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--store", required=True, help="crawl state-store root")
     ap.add_argument("--query", help="query string (supports \"phrases\" and prefix*)")
@@ -53,6 +53,12 @@ def main(argv=None) -> int:
         "occurrence in the indexed token stream, ±5 tokens)",
     )
     ap.add_argument(
+        "--anchors", action="store_true",
+        help="anchor-boosted ranking: RRF-fuse the console ranking with "
+        "an inbound-anchor arm (text around links TO a page, credited "
+        "to it) — a page can surface on what its neighbors call it",
+    )
+    ap.add_argument(
         "--incremental", action="store_true",
         help="maintain the index incrementally: re-tokenize only crawl "
         "rounds newer than the last indexed round (persisted "
@@ -74,11 +80,14 @@ def main(argv=None) -> int:
     from searchengine_spark.plans.index_pipeline import SearchService
     from searchengine_spark.session import get_spark
 
-    spark = get_spark("search", master=args.master)
+    own_session = spark is None
+    if own_session:
+        spark = get_spark("search", master=args.master)
     driver = CrawlDriver(spark, args.store)
     if driver.store.read_manifest() is None:
         print(f"error: {args.store} has no committed crawl state", file=sys.stderr)
-        spark.stop()
+        if own_session:
+            spark.stop()
         return 2
     svc = SearchService(driver.store, incremental=args.incremental)
     if args.get or args.get_index is not None:
@@ -100,11 +109,13 @@ def main(argv=None) -> int:
                 }
         except OSError as e:
             print(f"error: {e}", file=sys.stderr)
-            spark.stop()
+            if own_session:
+                spark.stop()
             return 2
         if not queries:
             print("error: batch file holds no queries", file=sys.stderr)
-            spark.stop()
+            if own_session:
+                spark.stop()
             return 2
         try:
             hits = svc.search_batch(
@@ -115,7 +126,8 @@ def main(argv=None) -> int:
             ).collect()
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
-            spark.stop()
+            if own_session:
+                spark.stop()
             return 2
         for r in hits:
             out = {
@@ -125,6 +137,23 @@ def main(argv=None) -> int:
             if not args.unmerge:
                 out["n_more_from_host"] = r["n_more_from_host"]
             print(json.dumps(out))
+    elif args.anchors:
+        try:
+            hits = svc.search_anchors(
+                args.query, k=args.k, max_search=args.max_search
+            ).collect()
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            if own_session:
+                spark.stop()
+            return 2
+        for r in hits:
+            print(json.dumps({
+                "doc_id": r["doc_id"], "rank": r["rank"],
+                "rrf_e6": r["rrf_e6"], "console_rank": r["console_rank"],
+                "anchor_rank": r["anchor_rank"], "host": r["host"],
+                "url": r["url"],
+            }))
     else:
         try:
             hits = svc.search(
@@ -136,7 +165,8 @@ def main(argv=None) -> int:
             ).collect()
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
-            spark.stop()
+            if own_session:
+                spark.stop()
             return 2
         for r in hits:
             out = {
@@ -148,7 +178,8 @@ def main(argv=None) -> int:
             if args.snippets:
                 out["snippet"] = r["snippet"]
             print(json.dumps(out))
-    spark.stop()
+    if own_session:
+        spark.stop()
     return 0
 
 

@@ -11,22 +11,38 @@ on-page text.
 
 Operator semantics (span-level, corpus-agnostic):
 
-* a ``link`` span at offset ``o`` takes as its anchor context the span
-  at offset ``o-1`` **iff** that span is a ``text`` span.  With the
-  engine's span extractor (functions/spans.py) the text run flushed
-  immediately before an ``<a>`` open tag is exactly the prose leading
-  into the link; with the interleaved-corpus generator
-  (corpus.gen_spans_py) the preceding text chunk is the sentence the
-  link was emitted from.  Links at offset 0 or behind non-text spans
-  (media, another link) carry no context and contribute nothing.
+* a ``link`` span at offset ``o`` takes anchor context from its
+  neighbor span(s) **iff** the neighbor is a ``text`` span.  Which
+  neighbor depends on ``direction``:
+
+  - ``"prev"`` (default): the span at ``o-1``.  With the engine's
+    span extractor (functions/spans.py) that is the prose flushed
+    immediately before the ``<a>`` open tag — the text leading into
+    the link; with the interleaved-corpus generator
+    (corpus.gen_spans_py) it is the sentence the link was emitted
+    from.  This is the catalog-oracle direction.
+  - ``"next"``: the span at ``o+1``.  With the span extractor the
+    anchor's own inner text accumulates until the next block tag and
+    flushes AFTER the link span — so ``o+1`` is where real-HTML
+    ``<a>anchor text</a>`` lands.
+  - ``"both"``: both neighbors; a term present in both counts twice
+    (two context occurrences).  The production console uses this.
+
+  Links whose selected neighbor(s) are absent or non-text (media,
+  another link) contribute nothing — by design they do not reach for
+  farther-away text.
 * the link target is keyed exactly like every other page key in the
   engine: ``url_md5(canonicalize(raw))`` — so the reference's
   www./slash aliasing (getMD5, SearchEngine.h:213-223) folds raw
   variants of the same page into one anchor bucket, and URLs the
-  canonicalizer rejects are dropped.
-* output: one row per (target_md5, term) with ``anchor_count`` (link
-  occurrences whose context contains the term — a page linking twice
-  counts twice) and ``n_source_docs`` (distinct linking documents).
+  canonicalizer rejects are dropped.  With
+  ``resolve_raw_hrefs=True`` the raw href is first resolved against
+  the page URL (functions/spans.resolve_href_expr — the HTTP-adapter
+  path, whose spans carry raw hrefs straight off the page; the
+  synthetic corpus pre-resolves and must NOT re-resolve).
+* output: one row per (target_md5, term) with ``anchor_count``
+  (context occurrences of the term — a page linking twice counts
+  twice) and ``n_source_docs`` (distinct linking documents).
 
 Scale notes (100 TB): the link/context pairing is entirely *in-row*
 (array ops over the spans column — no posexplode self-join, no
@@ -42,37 +58,58 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from searchengine_spark.functions.spans import resolve_href_expr
 from searchengine_spark.functions.urls import canonicalize_expr, url_md5_expr
 
+_DIRECTIONS = {"prev": (-1,), "next": (1,), "both": (-1, 1)}
 
-def link_context_pairs(docs: DataFrame) -> DataFrame:
-    """(doc_id, url, spans) -> one row per link span that has anchor
-    context: (src_doc, target_md5, ctx).
 
-    The pairing is in-row: ``element_at(spans, o)`` is the 1-based
-    array slot of the span at 0-based offset ``o-1`` (span offsets are
-    assigned in array order by both span producers).
+def link_context_pairs(
+    docs: DataFrame,
+    direction: str = "prev",
+    resolve_raw_hrefs: bool = False,
+) -> DataFrame:
+    """(doc_id, url, spans) -> one row per (link span, text neighbor):
+    (src_doc, target_md5, ctx).
+
+    The pairing is in-row: ``F.get(spans, o+delta)`` is the 0-indexed
+    array slot of the neighbor (span offsets are assigned in array
+    order by both span producers); out-of-range indexes yield NULL,
+    never an error, so no boundary guards are needed.
     """
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {sorted(_DIRECTIONS)}")
     s = F.col("spans")
     links = F.filter(s, lambda x: x["kind"] == F.lit("link"))
+
+    def _ctx(l, delta: int):
+        sp = F.get(s, l["offset"] + F.lit(delta))
+        return F.when(sp["kind"] == F.lit("text"), sp["text"])
+
     pairs = F.transform(
         links,
         lambda l: F.struct(
             l["media_ref"].alias("target_raw"),
-            F.when(
-                (l["offset"] >= F.lit(1))
-                & (F.element_at(s, l["offset"])["kind"] == F.lit("text")),
-                F.element_at(s, l["offset"])["text"],
-            ).alias("ctx"),
+            F.array_compact(
+                F.array(*[_ctx(l, d) for d in _DIRECTIONS[direction]])
+            ).alias("ctxs"),
         ),
     )
+    exploded = docs.select(
+        F.col("doc_id").alias("src_doc"),
+        F.col("url").alias("src_url"),
+        F.explode(pairs).alias("p"),
+    ).where(F.size(F.col("p.ctxs")) > 0)
+    raw = (
+        resolve_href_expr(F.col("src_url"), F.col("p.target_raw"))
+        if resolve_raw_hrefs
+        else F.col("p.target_raw")
+    )
     return (
-        docs.select(F.col("doc_id").alias("src_doc"), F.explode(pairs).alias("p"))
-        .where(F.col("p.ctx").isNotNull())
-        .select(
+        exploded.select(
             "src_doc",
-            canonicalize_expr(F.col("p.target_raw")).alias("target_canon"),
-            F.col("p.ctx").alias("ctx"),
+            canonicalize_expr(raw).alias("target_canon"),
+            F.explode(F.col("p.ctxs")).alias("ctx"),
         )
         .where(F.col("target_canon").isNotNull())
         # No md5-null filter: a non-null canonical URL always yields a
@@ -88,11 +125,15 @@ def link_context_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
-def anchor_terms(docs: DataFrame) -> DataFrame:
+def anchor_terms(
+    docs: DataFrame,
+    direction: str = "prev",
+    resolve_raw_hrefs: bool = False,
+) -> DataFrame:
     """(doc_id, url, spans) -> (target_md5, term, anchor_count,
     n_source_docs) — the anchor-context term index."""
     terms = (
-        link_context_pairs(docs)
+        link_context_pairs(docs, direction, resolve_raw_hrefs)
         .select(
             "src_doc",
             "target_md5",

@@ -130,6 +130,7 @@ class SearchService:
         self._small: DataFrame | None = None
         self._tokens: DataFrame | None = None
         self._meta: DataFrame | None = None
+        self._anchors: DataFrame | None = None
 
     def _docs_pinned(self) -> DataFrame:
         """Docs via the round manifest, never bare _latest: after a torn
@@ -293,6 +294,103 @@ class SearchService:
             )
             out = out.join(snips, "doc_id", "left")
         return out.orderBy(F.desc("score"), "doc_id")
+
+    def anchor_index(self) -> DataFrame:
+        """Anchor-context term index over the pinned docs snapshot
+        (operators/anchors.anchor_terms, direction='both': real-HTML
+        anchor inner text flushes into the FOLLOWING text span, the
+        leading prose into the preceding one — the console credits
+        both). HTTP-adapter stores carry raw hrefs in link spans and
+        resolve them against the page URL; synthetic stores are
+        pre-resolved and must not re-resolve (the
+        functions/spans.resolve_href_expr contract)."""
+        if self._anchors is None:
+            from searchengine_spark.operators.anchors import anchor_terms
+
+            cfg = self.store.read_config() or {}
+            docs = self._docs_pinned().select(
+                F.col("url_md5").alias("doc_id"), "url", "spans"
+            )
+            self._anchors = anchor_terms(
+                docs,
+                direction="both",
+                resolve_raw_hrefs=(cfg.get("adapter") == "http"),
+            ).cache()
+        return self._anchors
+
+    def search_anchors(
+        self,
+        q: str,
+        k: int = 20,
+        pool: int | None = None,
+        max_search: int | None = None,
+    ) -> DataFrame:
+        """Anchor-boosted console search: reciprocal-rank fusion
+        (operators/retrieval.rrf_fuse) of the reference-model console
+        ranking with an inbound-anchor arm — per-target total
+        anchor_count of the query's word terms, known docs only. RRF
+        needs no calibration between the reference's float rank model
+        and anchor counts, and a page whose body never says the term
+        can still surface through what its neighbors call it (the
+        anchor file's raison d'être, Brin & Page 1998 §4.2.2).
+
+        Each arm contributes a ``pool``-sized ranked list (default
+        2k, min 20); rank windows only ever see ≤pool rows. Returns
+        (doc_id, console_rank, anchor_rank, rrf_e6, rank, url, host)
+        ordered by fused rank.
+        """
+        from pyspark.sql import Window as W
+
+        from searchengine_spark.operators.index import (
+            MAX_SEARCH,
+            parse_query,
+        )
+        from searchengine_spark.operators.retrieval import rrf_fuse
+
+        if self._postings is None:
+            if self.incremental:
+                self.refresh_incremental()
+            else:
+                self.refresh()
+        pool = pool or max(2 * k, 20)
+        base = search_query(
+            self._postings,
+            q,
+            None,  # host-dedup off inside the arm; fusion re-ranks
+            k=pool,
+            tokens=self._tokens,
+            small=self._small,
+            max_search=MAX_SEARCH if max_search is None else max_search,
+        )
+        w_c = W.orderBy(F.desc("score"), "doc_id")  # bounded: ≤ pool
+        console = (
+            base.select("doc_id", "score")
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(pool)
+            .withColumn("rank", F.row_number().over(w_c).cast("int"))
+        )
+        words = [t["term"] for t in parse_query(q) if t["kind"] == "word"]
+        anc = self.anchor_index()
+        arm = (
+            anc.where(F.col("term").isin(words) if words else F.lit(False))
+            .groupBy("target_md5")
+            .agg(F.sum("anchor_count").cast("long").alias("anchor_hits"))
+            .join(
+                self._meta.select("doc_id"),
+                F.col("target_md5") == F.col("doc_id"),
+            )
+            .select("doc_id", "anchor_hits")
+        )
+        w_a = W.orderBy(F.desc("anchor_hits"), "doc_id")  # bounded: ≤ pool
+        anchor = (
+            arm.orderBy(F.desc("anchor_hits"), "doc_id")
+            .limit(pool)
+            .withColumn("rank", F.row_number().over(w_a).cast("int"))
+        )
+        fused = rrf_fuse({"anchor": anchor, "console": console}, k=k)
+        return fused.join(
+            self._meta.select("doc_id", "url", "host"), "doc_id"
+        ).orderBy("rank")
 
     def search_batch(
         self,

@@ -110,3 +110,57 @@ def test_anchor_no_shuffle_before_agg(spark):
     plan = anchor_terms(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2, plan
     assert "Join" not in plan and "Cartesian" not in plan, plan
+
+
+def test_anchor_direction_semantics(spark):
+    """direction='prev' takes the preceding text span, 'next' the
+    following (where real-HTML anchor inner text flushes), 'both'
+    credits each — a term in both neighbors counts twice."""
+    from searchengine_spark.operators.anchors import anchor_terms as AT
+
+    rows = [
+        (
+            "d1",
+            "u1",
+            [
+                _span("text", "alpha", off=0),
+                _span("link", ref=TARGET, off=1),
+                _span("text", "alpha omega", off=2),
+            ],
+        ),
+    ]
+    docs = _docs(spark, rows)
+    prev = {r.term: r.anchor_count for r in AT(docs, "prev").collect()}
+    nxt = {r.term: r.anchor_count for r in AT(docs, "next").collect()}
+    both = {r.term: r.anchor_count for r in AT(docs, "both").collect()}
+    assert prev == {"alpha": 1}
+    assert nxt == {"alpha": 1, "omega": 1}
+    assert both == {"alpha": 2, "omega": 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        AT(docs, "sideways")
+
+
+def test_anchor_resolve_raw_hrefs(spark):
+    """resolve_raw_hrefs=True resolves page-relative hrefs against the
+    source page URL (the HTTP-adapter span shape) before keying;
+    unresolvable hrefs (no leading slash) drop."""
+    from searchengine_spark.operators.anchors import anchor_terms as AT
+
+    rows = [
+        (
+            "d1",
+            "https://host9.net/a",
+            [
+                _span("text", "alpha", off=0),
+                _span("link", ref="/p/7", off=1),
+                _span("text", "beta", off=2),
+                _span("link", ref="rel-no-slash", off=3),
+            ],
+        ),
+    ]
+    docs = _docs(spark, rows)
+    out = AT(docs, "prev", resolve_raw_hrefs=True).collect()
+    key = url_md5_py(canonicalize_py("https://host9.net/p/7"))
+    assert {(r.target_md5, r.term) for r in out} == {(key, "alpha")}

@@ -3,6 +3,7 @@ local HTTP server: statuses, decode, body cap, transport failures, and
 the Spark-side fetched_docs stage (P8 gate + span extraction) feeding
 the same downstream the synthetic adapter feeds."""
 
+import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -777,3 +778,110 @@ def test_sitemap_ingest_refused_without_surface(spark, tmp_path):
     d.seed(["http://host0.com/p/0/"])
     with pytest.raises(ValueError, match="sitemap surface"):
         d.ingest_sitemaps()
+
+
+# ---------------------------------------------------------------------------
+# Anchor-boosted search over an HTTP-crawled store
+# ---------------------------------------------------------------------------
+
+ANCHOR_ROOT = (
+    "<html><head><title>Root</title></head><body>"
+    "<p>plain words about zebra stripes</p>"
+    '<a href="/target">zebra insights</a>'
+    '<p>unrelated trailer</p>'
+    '<a href="/other">other page</a>'
+    "</body></html>"
+)
+ANCHOR_TARGET = (
+    "<html><head><title>Target Page</title></head><body>"
+    "<p>completely unrelated content here</p></body></html>"
+)
+ANCHOR_OTHER = (
+    "<html><head><title>Other</title></head><body>"
+    "<p>nothing special</p></body></html>"
+)
+
+
+class _AnchorHandler(BaseHTTPRequestHandler):
+    def _send(self, body: bytes, ctype: str = "text/html; charset=utf-8"):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        if self.path in ("/", ""):
+            self._send(ANCHOR_ROOT.encode())
+        elif self.path == "/target":
+            self._send(ANCHOR_TARGET.encode())
+        elif self.path == "/other":
+            self._send(ANCHOR_OTHER.encode())
+        else:
+            self.send_error(404)
+
+    def log_message(self, *a):
+        pass
+
+
+def test_anchor_boosted_search_over_http_store(spark, tmp_path, capsys):
+    """The anchor file's raison d'être, end to end over real HTTP: the
+    term 'zebra' appears on the ROOT page (body + the anchor text of
+    its link to /target) but NEVER on /target itself — plain console
+    search can't return /target; anchor-boosted search surfaces it
+    through what its neighbor calls it. Raw hrefs resolve against the
+    page URL (the store's pinned http adapter drives
+    resolve_raw_hrefs)."""
+    import run_search
+    from searchengine_spark.plans.crawl import CrawlDriver
+    from searchengine_spark.plans.index_pipeline import SearchService
+    from searchengine_spark.sources.http_fetch import HttpFetchAdapter
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _AnchorHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        host = f"127.0.0.1:{port}"
+        store = str(tmp_path / "anchorstore")
+        drv = CrawlDriver(
+            spark,
+            store,
+            CrawlConfig(n_shards=4, politeness_rounds=1),
+            adapter=HttpFetchAdapter(timeout_s=3.0, pool_size=4),
+        )
+        drv.seed([f"http://{host}/"])
+        drv.run(3)
+        urls = {r["url"] for r in drv.store.read("docs").select("url").collect()}
+        assert f"{host}/target" in urls, urls
+
+        svc = SearchService(drv.store)
+        # plain console search: /target has no on-page 'zebra'
+        plain = {r["url"] for r in svc.search("zebra", k=10).collect()}
+        assert f"{host}/target" not in plain
+        assert host in plain  # the root page says zebra in its body
+
+        fused = svc.search_anchors("zebra", k=10).collect()
+        by_url = {r["url"]: r for r in fused}
+        assert f"{host}/target" in by_url, fused
+        tgt = by_url[f"{host}/target"]
+        # anchor-only evidence: no console rank, a real anchor rank
+        assert tgt["console_rank"] is None
+        assert tgt["anchor_rank"] is not None
+        # /other was linked but never with 'zebra' context
+        assert f"{host}/other" not in by_url
+
+        # CLI wiring: --anchors prints the fused rows
+        rc = run_search.main(
+            ["--store", store, "--query", "zebra", "--anchors", "--k", "5"],
+            spark=spark,
+        )
+        assert rc == 0
+        lines = [
+            json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")
+        ]
+        assert any(h["url"] == f"{host}/target" for h in lines)
+    finally:
+        srv.shutdown()

@@ -339,3 +339,43 @@ def test_search_snippets_end_to_end(crawled):
     # snippet join preserves score ordering
     scores = [h["score"] for h in hits]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_search_anchors_fused_ranking(crawled):
+    """Anchor-boosted console search (SearchService.search_anchors):
+    RRF fusion of the console arm with the inbound-anchor arm over the
+    synthetic store. The synthetic corpus gives each page's FIRST
+    outlink a text predecessor ("body of <url> w...", corpus
+    fetch_spans_py order: title, text, links...), so querying 'body'
+    engages both arms."""
+    svc = SearchService(crawled.store)
+    out = svc.search_anchors("body", k=5).collect()
+    assert out, "no fused hits"
+    # contract: fused rank 1..n by (rrf_e6 desc, doc_id)
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    ordered = sorted(out, key=lambda r: (-r["rrf_e6"], r["doc_id"]))
+    assert [r["doc_id"] for r in ordered] == [r["doc_id"] for r in out]
+    # both arms engaged somewhere in the pool
+    assert any(r["anchor_rank"] is not None for r in out)
+    assert any(r["console_rank"] is not None for r in out)
+    # metadata joined for every hit
+    assert all(r["url"] and r["host"] for r in out)
+    # deterministic across evaluations
+    again = svc.search_anchors("body", k=5).collect()
+    assert [(r["doc_id"], r["rrf_e6"]) for r in again] == [
+        (r["doc_id"], r["rrf_e6"]) for r in out
+    ]
+    # anchor arm is target-side: every anchor-ranked doc is some page's
+    # first outlink target present in the store
+    from searchengine_spark.operators.anchors import anchor_terms
+
+    docs = crawled.store.read("docs").select(
+        F.col("url_md5").alias("doc_id"), "url", "spans"
+    )
+    idx = anchor_terms(docs, direction="both")
+    credited = {
+        r["target_md5"] for r in idx.where(F.col("term") == "body").collect()
+    }
+    for r in out:
+        if r["anchor_rank"] is not None:
+            assert r["doc_id"] in credited
