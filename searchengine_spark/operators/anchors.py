@@ -145,3 +145,60 @@ def anchor_terms(
         F.count(F.lit(1)).cast("bigint").alias("anchor_count"),
         F.countDistinct("src_doc").cast("bigint").alias("n_source_docs"),
     )
+
+
+def anchor_terms_py(
+    docs: list[dict],
+    direction: str = "prev",
+    resolve_raw_hrefs: bool = False,
+) -> dict:
+    """Pure-Python twin of :func:`anchor_terms` (three-form discipline:
+    the Spark expr, the DuckDB oracle in queries.py, and this — pinned
+    row-equal by tests/test_anchors.py).
+
+    ``docs`` is [{doc_id, url, spans}] with spans as
+    [{kind, text, media_ref, offset}]; mirrors the Spark mechanics
+    exactly, including neighbor lookup by ARRAY INDEX ``offset+delta``
+    (both span producers assign offset = array position).
+
+    Returns {(target_md5, term): (anchor_count, n_source_docs)}.
+    """
+    from searchengine_spark.functions.spans import resolve_href_py
+    from searchengine_spark.functions.urls import canonicalize_py, url_md5_py
+
+    if direction not in _DIRECTIONS:
+        raise ValueError(f"direction must be one of {sorted(_DIRECTIONS)}")
+    agg: dict[tuple, list] = {}
+    for d in docs:
+        spans = d["spans"] or []
+        for s in spans:
+            if s["kind"] != "link":
+                continue
+            ctxs = []
+            for delta in _DIRECTIONS[direction]:
+                i = s["offset"] + delta
+                if (
+                    0 <= i < len(spans)
+                    and spans[i]["kind"] == "text"
+                    and spans[i]["text"] is not None
+                ):
+                    ctxs.append(spans[i]["text"])
+            if not ctxs:
+                continue
+            raw = s["media_ref"]
+            if resolve_raw_hrefs and raw is not None:
+                raw = resolve_href_py(d["url"], raw)
+            if raw is None:
+                continue
+            canon = canonicalize_py(raw)
+            if canon is None:
+                continue
+            key = url_md5_py(canon)
+            for ctx in ctxs:
+                for term in ctx.split(" "):
+                    if term == "":
+                        continue
+                    ent = agg.setdefault((key, term), [0, set()])
+                    ent[0] += 1
+                    ent[1].add(d["doc_id"])
+    return {k: (c, len(srcs)) for k, (c, srcs) in agg.items()}

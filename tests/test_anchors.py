@@ -11,6 +11,7 @@ Pins the span-level semantics on a hand-built document set:
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from searchengine_spark.corpus import SPANS_SCHEMA
@@ -164,3 +165,63 @@ def test_anchor_resolve_raw_hrefs(spark):
     out = AT(docs, "prev", resolve_raw_hrefs=True).collect()
     key = url_md5_py(canonicalize_py("https://host9.net/p/7"))
     assert {(r.target_md5, r.term) for r in out} == {(key, "alpha")}
+
+
+def _rand_docs(n_docs=60, seed=7):
+    """Deterministic pseudo-random span fixtures exercising every
+    pairing edge: links at offset 0, behind media/links, text with
+    multi-space gaps, None media_ref, rejected/aliased raw targets."""
+    import random
+
+    rng = random.Random(seed)
+    kinds = ["text", "link", "media", "title", "b"]
+    words = ["alpha", "beta", "gamma", "delta", "", "x"]
+    raws = [
+        TARGET,
+        TARGET_WWW,
+        "httpx//bad",
+        "//h7.net/q/1",
+        "host3.org/a/2//",
+        None,
+        "/rel/path",
+    ]
+    docs = []
+    for di in range(n_docs):
+        spans = []
+        for off in range(rng.randrange(0, 9)):
+            kind = rng.choices(kinds, weights=[4, 3, 1, 1, 1])[0]
+            spans.append(
+                {
+                    "kind": kind,
+                    "text": (
+                        " ".join(rng.choices(words, k=rng.randrange(0, 4)))
+                        if kind in ("text", "title", "b")
+                        else None
+                    ),
+                    "media_ref": rng.choice(raws) if kind in ("link", "media") else None,
+                    "offset": off,
+                }
+            )
+        docs.append(
+            {"doc_id": f"d{di}", "url": f"https://src{di % 5}.net/p", "spans": spans}
+        )
+    return docs
+
+
+@pytest.mark.parametrize("direction", ["prev", "next", "both"])
+@pytest.mark.parametrize("resolve", [False, True])
+def test_anchor_terms_spark_equals_py(spark, direction, resolve):
+    """Three-form discipline: the Spark expr form equals the pure
+    twin on pseudo-random span fixtures, for every direction and both
+    href-resolution modes."""
+    from searchengine_spark.operators.anchors import anchor_terms_py
+
+    docs = _rand_docs()
+    df = _docs(spark, [(d["doc_id"], d["url"], d["spans"]) for d in docs])
+    got = {
+        (r.target_md5, r.term): (r.anchor_count, r.n_source_docs)
+        for r in anchor_terms(df, direction, resolve).collect()
+    }
+    want = anchor_terms_py(docs, direction, resolve)
+    assert got == want
+    assert want, "fixture degenerated to an empty index"  # non-vacuous
