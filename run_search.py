@@ -6,6 +6,7 @@ PageSearcher.cpp:348-559 — searchPages over a crawled store).
     python run_search.py --store /tmp/crawlstore --get <url_md5>
     python run_search.py --store /tmp/crawlstore --get-index 0
     python run_search.py --store /tmp/crawlstore --query sort --unmerge
+    python run_search.py --store /tmp/crawlstore --query zebra --anchors
 
 Builds (or refreshes) the weighted dict + token index from the store's
 docs snapshot, then serves the query: short words route to the small
