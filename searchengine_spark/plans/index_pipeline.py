@@ -153,6 +153,12 @@ class SearchService:
         self.store.commit("postings", self._postings, meta={"kind": "index"})
         self.store.commit("postings_small", self._small, meta={"kind": "index"})
         self.store.commit("tokens", self._tokens, meta={"kind": "index"})
+        self._anchors = self._build_anchor_index(docs).cache()
+        self.store.commit(
+            "anchors",
+            self._anchors,
+            meta={"kind": "index", "docs_version": self._docs_version()},
+        )
 
     def refresh_incremental(self) -> None:
         """Refresh by re-indexing ONLY crawl rounds newer than the last
@@ -295,6 +301,24 @@ class SearchService:
             out = out.join(snips, "doc_id", "left")
         return out.orderBy(F.desc("score"), "doc_id")
 
+    def _docs_version(self):
+        """The committed docs snapshot version (the manifest is the
+        cross-table commit point) — the anchors table's freshness key."""
+        m = self.store.read_manifest()
+        return (m or {}).get("versions", {}).get("docs")
+
+    def _build_anchor_index(self, docs: DataFrame | None = None) -> DataFrame:
+        from searchengine_spark.operators.anchors import anchor_terms
+
+        cfg = self.store.read_config() or {}
+        if docs is None:
+            docs = self._docs_pinned()
+        return anchor_terms(
+            docs.select(F.col("url_md5").alias("doc_id"), "url", "spans"),
+            direction="both",
+            resolve_raw_hrefs=(cfg.get("adapter") == "http"),
+        )
+
     def anchor_index(self) -> DataFrame:
         """Anchor-context term index over the pinned docs snapshot
         (operators/anchors.anchor_terms, direction='both': real-HTML
@@ -303,19 +327,24 @@ class SearchService:
         both). HTTP-adapter stores carry raw hrefs in link spans and
         resolve them against the page URL; synthetic stores are
         pre-resolved and must not re-resolve (the
-        functions/spans.resolve_href_expr contract)."""
-        if self._anchors is None:
-            from searchengine_spark.operators.anchors import anchor_terms
+        functions/spans.resolve_href_expr contract).
 
-            cfg = self.store.read_config() or {}
-            docs = self._docs_pinned().select(
-                F.col("url_md5").alias("doc_id"), "url", "spans"
-            )
-            self._anchors = anchor_terms(
-                docs,
-                direction="both",
-                resolve_raw_hrefs=(cfg.get("adapter") == "http"),
-            ).cache()
+        Served from the table `refresh()` persisted when its
+        docs_version matches the current manifest (scan pushdown on
+        the term predicate, no re-parse); any staleness — crawl rounds
+        after the last refresh, or an incremental-index store that
+        never ran the full refresh — falls back to an ephemeral
+        session-cached build, never a stale answer."""
+        if self._anchors is None:
+            v = self._docs_version()
+            if (
+                v is not None
+                and self.store.exists("anchors")
+                and self.store.pointer_meta("anchors").get("docs_version") == v
+            ):
+                self._anchors = self.store.read("anchors").cache()
+            else:
+                self._anchors = self._build_anchor_index().cache()
         return self._anchors
 
     def search_anchors(

@@ -379,3 +379,42 @@ def test_search_anchors_fused_ranking(crawled):
     for r in out:
         if r["anchor_rank"] is not None:
             assert r["doc_id"] in credited
+
+
+def test_anchor_index_persistence_and_freshness(crawled, spark):
+    """refresh() persists the anchor index keyed on the docs snapshot
+    version; anchor_index() serves the persisted table only while the
+    version matches and rebuilds ephemerally otherwise — never a stale
+    answer. Pinned observably with a poisoned table: version-matching
+    poison IS served (persisted path taken), stale-version poison is
+    ignored (rebuild path taken)."""
+    svc = SearchService(crawled.store)
+    svc.refresh()
+    assert crawled.store.exists("anchors")
+    v = svc._docs_version()
+    assert v is not None
+    assert crawled.store.pointer_meta("anchors").get("docs_version") == v
+    baseline = {
+        (r["target_md5"], r["term"], r["anchor_count"])
+        for r in SearchService(crawled.store).anchor_index().collect()
+    }
+    assert baseline
+
+    poison = spark.createDataFrame(
+        [("deadbeef", "zzz", 1, 1)],
+        "target_md5 string, term string, anchor_count long, n_source_docs long",
+    )
+    crawled.store.commit(
+        "anchors", poison, meta={"kind": "index", "docs_version": v}
+    )
+    served = SearchService(crawled.store).anchor_index().collect()
+    assert [(r["target_md5"], r["term"]) for r in served] == [("deadbeef", "zzz")]
+
+    crawled.store.commit(
+        "anchors", poison, meta={"kind": "index", "docs_version": "stale"}
+    )
+    rebuilt = {
+        (r["target_md5"], r["term"], r["anchor_count"])
+        for r in SearchService(crawled.store).anchor_index().collect()
+    }
+    assert rebuilt == baseline
