@@ -147,6 +147,45 @@ def anchor_terms(
     )
 
 
+def anchor_contributions(
+    docs: DataFrame,
+    direction: str = "prev",
+    resolve_raw_hrefs: bool = False,
+) -> DataFrame:
+    """Per-SOURCE-doc anchor partials: (src_doc, target_md5, term,
+    anchor_count) — the append-only base of the incremental anchor
+    index.  A source doc's contributions are a pure function of its own
+    spans, and docs are append-only (the seen-set fetches a URL once),
+    so a crawl round's delta is exactly ``anchor_contributions(delta
+    docs)``; the final index is an associative re-merge
+    (:func:`merge_anchor_contributions`).  Keeping ``src_doc`` in the
+    key is what lets ``n_source_docs`` survive the merge as a
+    countDistinct."""
+    pairs = link_context_pairs(docs, direction, resolve_raw_hrefs)
+    terms = pairs.select(
+        "src_doc",
+        "target_md5",
+        F.explode(F.split(F.col("ctx"), " ")).alias("term"),
+    ).where(F.col("term") != "")
+    return terms.groupBy("src_doc", "target_md5", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("anchor_count")
+    )
+
+
+def merge_anchor_contributions(base: DataFrame) -> DataFrame:
+    """Fold :func:`anchor_contributions` partials (any number of
+    appended deltas) into the served index shape — row-equal to
+    :func:`anchor_terms` over the union of the source docs (pinned by
+    tests/test_anchors.py): SUM of counts is the total context
+    occurrences, countDistinct(src_doc) is exact because the base keeps
+    source granularity.  One (target_md5, term) hash aggregation — the
+    same single shuffle as the one-shot build, minus the text parse."""
+    return base.groupBy("target_md5", "term").agg(
+        F.sum("anchor_count").cast("bigint").alias("anchor_count"),
+        F.countDistinct("src_doc").cast("bigint").alias("n_source_docs"),
+    )
+
+
 def anchor_terms_py(
     docs: list[dict],
     direction: str = "prev",

@@ -227,6 +227,29 @@ class SearchService:
             for t in ("postings_base", "tokens_base", "links_base"):
                 if self.store.chain_length(t) >= INDEX_COMPACT_CHAIN:
                     self.store.compact(t)
+        # Anchor base: same append-only split as postings_base — a source
+        # doc's anchor contributions are a pure function of its own spans
+        # (operators/anchors.anchor_contributions), so a round's delta is
+        # O(delta).  Keyed on its OWN indexed_round marker (not `k`) so a
+        # crash between the postings append and this commit, or an older
+        # store that predates the table, self-heals from the docs it
+        # actually missed rather than re-parsing everything.
+        a_have = self.store.exists("anchors_base")
+        ak = (
+            int(self.store.pointer_meta("anchors_base").get("indexed_round", -1))
+            if a_have
+            else -1
+        )
+        if (not a_have) or max_round > ak:
+            a_delta = docs.where(F.col("round") > F.lit(ak)) if a_have else docs
+            self.store.commit(
+                "anchors_base",
+                self._anchor_contributions(a_delta),
+                mode="append" if a_have else "overwrite",
+                meta={"kind": "index_base", "indexed_round": max_round},
+            )
+            if self.store.chain_length("anchors_base") >= INDEX_COMPACT_CHAIN:
+                self.store.compact("anchors_base")
         pr_round = int(self.store.pointer_meta("doc_pr").get("indexed_round", -2))
         if new_rounds or pr_round != max_round:
             edges = edges_from_links(self.store.read("links_base"), docs)
@@ -259,6 +282,30 @@ class SearchService:
         self._meta = docs.select(
             F.col("url_md5").alias("doc_id"), "url", "host"
         ).cache()
+        # Served anchor index: re-merge the base partials when the docs
+        # snapshot moved (one (target_md5, term) hash agg — the same
+        # single shuffle as the one-shot build, no text re-parse), and
+        # persist under the SAME docs_version freshness key refresh()
+        # uses so anchor_index()/search_anchors serve it unchanged.
+        from searchengine_spark.operators.anchors import merge_anchor_contributions
+
+        v = self._docs_version()
+        anchors_fresh = (
+            v is not None
+            and self.store.exists("anchors")
+            and self.store.pointer_meta("anchors").get("docs_version") == v
+        )
+        if anchors_fresh:
+            self._anchors = self.store.read("anchors").cache()
+        else:
+            self._anchors = merge_anchor_contributions(
+                self.store.read("anchors_base")
+            ).cache()
+            self.store.commit(
+                "anchors",
+                self._anchors,
+                meta={"kind": "index", "docs_version": v},
+            )
 
     def search(
         self,
@@ -314,6 +361,20 @@ class SearchService:
         if docs is None:
             docs = self._docs_pinned()
         return anchor_terms(
+            docs.select(F.col("url_md5").alias("doc_id"), "url", "spans"),
+            direction="both",
+            resolve_raw_hrefs=(cfg.get("adapter") == "http"),
+        )
+
+    def _anchor_contributions(self, docs: DataFrame) -> DataFrame:
+        """Per-source-doc anchor partials for the incremental base —
+        same direction/href-resolution contract as _build_anchor_index
+        (the two must agree or the merged index diverges from the
+        one-shot build; pinned by test_incremental_anchor_index_*)."""
+        from searchengine_spark.operators.anchors import anchor_contributions
+
+        cfg = self.store.read_config() or {}
+        return anchor_contributions(
             docs.select(F.col("url_md5").alias("doc_id"), "url", "spans"),
             direction="both",
             resolve_raw_hrefs=(cfg.get("adapter") == "http"),

@@ -209,6 +209,35 @@ def _rand_docs(n_docs=60, seed=7):
 
 
 @pytest.mark.parametrize("direction", ["prev", "next", "both"])
+def test_contributions_merge_equals_one_shot(spark, direction):
+    """Incremental-base contract: per-source contributions computed on
+    ANY split of the docs (here two appended halves), then merged, are
+    row-equal to the one-shot anchor_terms build — the associativity
+    refresh_incremental's anchors_base relies on (a source doc's
+    contributions are a pure function of its own spans)."""
+    from searchengine_spark.operators.anchors import (
+        anchor_contributions,
+        merge_anchor_contributions,
+    )
+
+    docs = _rand_docs()
+    as_rows = lambda ds: [(d["doc_id"], d["url"], d["spans"]) for d in ds]
+    base = anchor_contributions(_docs(spark, as_rows(docs[:30])), direction).unionByName(
+        anchor_contributions(_docs(spark, as_rows(docs[30:])), direction)
+    )
+    got = {
+        (r.target_md5, r.term): (r.anchor_count, r.n_source_docs)
+        for r in merge_anchor_contributions(base).collect()
+    }
+    want = {
+        (r.target_md5, r.term): (r.anchor_count, r.n_source_docs)
+        for r in anchor_terms(_docs(spark, as_rows(docs)), direction).collect()
+    }
+    assert got == want
+    assert want, "fixture degenerated to an empty index"
+
+
+@pytest.mark.parametrize("direction", ["prev", "next", "both"])
 @pytest.mark.parametrize("resolve", [False, True])
 def test_anchor_terms_spark_equals_py(spark, direction, resolve):
     """Three-form discipline: the Spark expr form equals the pure

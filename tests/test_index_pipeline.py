@@ -247,6 +247,49 @@ def test_incremental_noop_without_new_rounds(inc_store):
     assert svc2.search("page body", k=5).count() > 0
 
 
+def test_incremental_anchor_index_appends_and_merges(inc_store):
+    """The anchors_base path of refresh_incremental: the second refresh
+    fast-appends exactly the new rounds' source docs (O(delta), no
+    anchor re-parse of old docs), the served merge is row-equal to the
+    one-shot anchor_terms build over the final doc set, and the merged
+    table is persisted under the docs_version freshness key so
+    anchor_index()/search_anchors serve it without an ephemeral
+    rebuild."""
+    import os
+
+    from searchengine_spark.operators.anchors import anchor_terms
+
+    d, svc = inc_store
+    store = d.store
+    assert store.chain_length("anchors_base") == 2
+    assert store.pointer_meta("anchors_base")["indexed_round"] == 3
+    v = store.latest_version("anchors_base")
+    delta = store.spark.read.parquet(
+        os.path.join(store.snapshot_path("anchors_base", v), "delta")
+    )
+    old_ids = {
+        r["url_md5"] for r in store.read("docs").where("round <= 1").collect()
+    }
+    delta_srcs = {r["src_doc"] for r in delta.select("src_doc").distinct().collect()}
+    assert delta_srcs and not (delta_srcs & old_ids)
+
+    docs = store.read("docs").select(
+        F.col("url_md5").alias("doc_id"), "url", "spans"
+    )
+    key = lambda df: sorted(
+        (r["target_md5"], r["term"], r["anchor_count"], r["n_source_docs"])
+        for r in df.collect()
+    )
+    want = key(anchor_terms(docs, direction="both"))
+    assert key(store.read("anchors")) == want and want
+
+    # freshness key matches -> anchor_index serves the persisted table
+    assert store.pointer_meta("anchors")["docs_version"] == svc._docs_version()
+    assert key(SearchService(store, incremental=True).anchor_index()) == want
+    # and the fused console runs over the incremental store
+    assert svc.search_anchors("body", k=5).count() > 0
+
+
 def test_incremental_refresh_equals_full_rebuild(inc_store):
     """base ∘ factor must be row-equal (ranks included) to the
     one-shot `refresh()` over the final doc set — postings, small
