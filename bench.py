@@ -644,12 +644,29 @@ def run_scaling(sf_dir: str = SF_DIR) -> None:
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
     urls = os.environ.get("BENCH_SCALING_URLS", "2000000")
     levels = (2, 8, 32)
+    # Per-level progress log: a session takes ~1h at 12M URLs and a
+    # killed parent otherwise loses every completed level (run_scaling
+    # only publishes at the end).  Each finished level appends one line
+    # here so an interrupted session still leaves its measurements.
+    prog_log = os.path.join(REPO, "BENCH", "scaling_progress.jsonl")
+    os.makedirs(os.path.dirname(prog_log), exist_ok=True)
+    session_ts = time.strftime("%Y-%m-%dT%H:%M:%S")
     runs: dict[int, list[dict]] = {}
     for n in levels:
-        rs = sorted(
-            (_run_level(n, urls) for _ in range(repeats)),
-            key=lambda r: r["pages_per_sec"],
-        )
+        rs = []
+        for i in range(repeats):
+            r = _run_level(n, urls)
+            rs.append(r)
+            with open(prog_log, "a") as f:
+                f.write(json.dumps({
+                    "session": session_ts,
+                    "urls": int(urls),
+                    "level": n,
+                    "repeat": i,
+                    "pages_per_sec": r["pages_per_sec"],
+                    "load_1m_start": r.get("load_1m_start"),
+                }) + "\n")
+        rs.sort(key=lambda r: r["pages_per_sec"])
         runs[n] = rs
     best = {n: runs[n][-1] for n in levels}
     med = {n: runs[n][len(runs[n]) // 2] for n in levels}
