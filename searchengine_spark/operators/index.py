@@ -1122,6 +1122,50 @@ def _phrase_side(
     )
 
 
+def _expand_prefixes(
+    postings: DataFrame, idx_prefixes: list[tuple[int, str]]
+) -> dict[int, str]:
+    """Most-common-dict-word expansion for trailing-'*' terms
+    (PageSearcher.cpp:521-540 class: pick the most common dict word the
+    prefix matches, then search THAT word), batched: every prefix term
+    shares ONE plan — each posting is tagged with every prefix it
+    startswith (same tag-array shape as _tagged_top2), counts roll up
+    per (prefix, word), and the per-prefix argmax is taken in-plan
+    (min of (-n, word): most common wins, ties to the lexicographically
+    first word — identical to the former ORDER BY n DESC, term LIMIT 1)
+    so the collect returns at most one tiny row per prefix term.
+    Returns {parse-position: chosen word}; positions with no matching
+    dict word are absent (the caller drops them without consuming a
+    term slot — that emptiness decision is why this stays a driver
+    action at all)."""
+    if not idx_prefixes:
+        return {}
+    tag_arr = F.array(
+        *[
+            F.when(F.col("term").startswith(t), F.lit(j)).otherwise(
+                F.lit(None).cast("int")
+            )
+            for j, t in idx_prefixes
+        ]
+    )
+    rows = (
+        postings.select(
+            F.explode(F.filter(tag_arr, lambda x: x.isNotNull())).alias("_pi"),
+            "term",
+        )
+        .groupBy("_pi", "term")
+        .agg(F.count("*").alias("n"))
+        .groupBy("_pi")
+        .agg(
+            F.min(
+                F.struct((-F.col("n")).alias("nn"), F.col("term").alias("t"))
+            ).alias("_c")
+        )
+        .collect()
+    )
+    return {r["_pi"]: r["_c"]["t"] for r in rows}
+
+
 def search_query(
     postings: DataFrame,
     q: str,
@@ -1146,12 +1190,20 @@ def search_query(
     limit(1).count() driver action per short word, so a k-term query
     paid k round-trips even over a persisted dict. Now the whole word
     batch is one job regardless of term count (statusTracker-asserted
-    in tests). A prefix term still pays its one dict-expansion probe —
-    that collect IS the reference's expansion step (pick the most-
-    common matching dict word before searching)."""
+    in tests). Prefix terms pay ONE dict-expansion probe action for the
+    whole query (was: one collect per prefix term) — the probe itself
+    IS the reference's expansion step (pick the most-common matching
+    dict word before searching), and its result decides data-dependent
+    semantics the main plan cannot carry (a no-match prefix is dropped
+    without consuming a term slot), so it stays a driver action; all
+    prefixes share it via the same tag-array batching as _tagged_top2."""
     postings = _norm_postings(postings)
     small_n = _norm_small(small) if small is not None else None
     parsed = parse_query(q)
+    expansion = _expand_prefixes(
+        postings,
+        [(j, p["term"]) for j, p in enumerate(parsed) if p["kind"] == "prefix"],
+    )
     sides: list[DataFrame] = []  # per-idx frames (phrase adjacency)
     word_pairs: list[tuple[int, str]] = []  # small|main routed in-plan
     # main-dict-only batch: degraded phrase words + expanded prefix
@@ -1159,18 +1211,10 @@ def search_query(
     # the small dict)
     plain_pairs: list[tuple[int, str]] = []
     idx = 0
-    for p in parsed:
+    for j, p in enumerate(parsed):
         if p["kind"] == "prefix":
-            hits = (
-                postings.where(F.col("term").startswith(p["term"]))
-                .groupBy("term")
-                .agg(F.count("*").alias("n"))
-                .orderBy(F.desc("n"), "term")
-                .limit(1)
-                .collect()
-            )
-            if hits:
-                plain_pairs.append((idx, hits[0]["term"]))
+            if j in expansion:
+                plain_pairs.append((idx, expansion[j]))
                 idx += 1
         elif p["kind"] == "phrase":
             if tokens is not None:

@@ -442,6 +442,45 @@ def test_parse_query_and_search_query(spark):
     assert [r["doc_id"] for r in got2.collect()] == ["d2"]
 
 
+def test_search_query_prefix_probe_batched(spark):
+    """All prefix terms share ONE expansion probe action: building a
+    3-prefix query fires exactly as many driver jobs as a 1-prefix
+    query (the old path paid one collect per prefix term), and the
+    expansion semantics are unchanged — most-common dict word wins,
+    a count tie goes to the lexicographically first word, and a
+    no-match prefix is dropped without consuming a term slot or
+    blocking the AND over the other terms."""
+    p = spark.createDataFrame(
+        [
+            ("pear", "d1", 1, 0.5), ("pear", "d2", 2, 0.4),
+            ("peach", "d1", 3, 0.3),
+            ("tart", "d1", 4, 0.2), ("tame", "d2", 5, 0.1),
+        ],
+        "term string, doc_id string, pos int, rank double",
+    )
+    sc = spark.sparkContext
+
+    def probe_jobs(group, q):
+        sc.setJobGroup(group, "prefix expansion probe")
+        df = IX.search_query(p, q)
+        sc.setJobGroup(None, None)
+        return df, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    _, n1 = probe_jobs("pref1", "pea*")
+    df3, n3 = probe_jobs("pref3", "pea* ta* zzz*")
+    assert n3 == n1, f"probe jobs scale with prefix count: {n1} -> {n3}"
+
+    # pea* -> pear (2 postings beat peach's 1); ta* -> tame (tie with
+    # tart at 1 posting each resolves lexicographically); zzz* matches
+    # no dict word and is dropped, so the AND is (pear, tame) = d2 only
+    assert {r["doc_id"] for r in df3.collect()} == {"d2"}
+    # dropped prefix consumed no term slot: scores equal the explicit
+    # two-word query's
+    explicit = {r["doc_id"]: r["score"] for r in IX.search_query(p, "pear tame").collect()}
+    got = {r["doc_id"]: r["score"] for r in df3.collect()}
+    assert got == explicit
+
+
 # ---- weighted dict (getWords parity) ----------------------------------------
 
 def _sections_df(spark, rows):
