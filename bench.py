@@ -39,6 +39,7 @@ FRONTIER_URLS_PER_SF = 20_000_000
 BENCH_QUERIES = [
     "schedule_round",
     "frontier_dedup",
+    "frontier_dedup_cuckoo",
     "top_hosts",
     "trap_hosts",
     "recrawl_schedule",

@@ -35,6 +35,13 @@ def main(argv=None, spark=None) -> int:
     ap.add_argument("--max-doc", type=int, default=500)
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument(
+        "--seen-filter", choices=["bloom", "cuckoo"], default="bloom",
+        help="seen-set prefilter structure (north rule 'bloom/cuckoo'): "
+        "bloom = OR-mergeable bitmaps; cuckoo = deletable fingerprint "
+        "table. Both fall back to the exact anti-join; safe to switch "
+        "across resumes (the inactive structure's table is dropped)",
+    )
+    ap.add_argument(
         "--ingest-sitemaps", action="store_true",
         help="before the rounds, fetch every known host's robots-declared "
         "sitemaps and admit their page URLs into the frontier "
@@ -89,6 +96,7 @@ def main(argv=None, spark=None) -> int:
         politeness_rounds=args.politeness_rounds,
         max_doc=args.max_doc,
         use_bloom=not args.no_bloom,
+        seen_filter=args.seen_filter,
         robots_ttl_rounds=args.robots_ttl,
         priority=args.priority,
     )
@@ -137,6 +145,7 @@ def main(argv=None, spark=None) -> int:
             stored.pop("adapter", None)  # tag, not a CrawlConfig field
             stored["use_bloom"] = cfg.use_bloom
             stored["priority"] = cfg.priority
+            stored["seen_filter"] = cfg.seen_filter
             resumed = CrawlConfig(**stored)
             if resumed != cfg:
                 print(

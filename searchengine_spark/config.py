@@ -17,9 +17,23 @@ class CrawlConfig:
     max_urls_per_host: int = 1_000_000  # MAXURLPERHOST (SearchEngine.h:17)
     max_doc: int = 500  # synthetic URL universe size (corpus grammar ids)
     shard_salt: str = "s0"  # hot-host salting knob (north_rule; SURVEY §4-X3)
-    use_bloom: bool = True  # bloom prefilter before the exact anti-join (D3)
+    use_bloom: bool = True  # seen prefilter before the exact anti-join (D3)
     bloom_bits_per_shard: int = 1 << 16
     bloom_hashes: int = 4
+    # which prefilter structure use_bloom enables (north rule: "bloom/
+    # cuckoo-filter URL-seen set"): "bloom" = OR-mergeable bitmaps
+    # (operators.seen), "cuckoo" = deletable fingerprint table
+    # (operators.cuckoo). Both are DERIVED data under the same
+    # exact-anti-join fallback, so check_config exempts the knob (like
+    # use_bloom) — a round commits only the active structure's table
+    # and drops the other's version, forcing a rebuild on switch-back.
+    seen_filter: str = "bloom"
+    # cuckoo geometry (pinned, like bloom_bits_per_shard: a drifted
+    # resume would probe existing blocks at wrong positions). buckets
+    # must be a power of two (xor alternate bucket) and <= 2^16 (stash
+    # packing); capacity/shard = buckets*bucket_size at ~95% load.
+    cuckoo_buckets_per_shard: int = 1 << 11
+    cuckoo_bucket_size: int = 4
     # robots cache TTL in rounds for learned-robots adapters (HTTP):
     # a host whose robots_state was resolved more than this many rounds
     # ago is re-resolved in the hosts merge. 0 = cache forever (the

@@ -170,3 +170,57 @@ def dedup_seen_with_bloom(
     suspects = tagged.where(F.col("maybe_seen")).drop("maybe_seen")
     cleared = suspects.join(seen.select("url_md5"), "url_md5", "left_anti")
     return definitely_new.unionByName(cleared)
+
+
+# -- prefilter dispatch (north rule: "bloom/cuckoo-filter URL-seen set") -------
+#
+# cfg.seen_filter selects the structure; both arms share the exact-
+# anti-join fallback contract, so the choice is physical-only. The
+# crawl loop goes through these dispatchers and stays structure-
+# agnostic; each round commits ONLY the active structure's table
+# (plans/crawl.py drops the inactive version so a switch-back rebuilds
+# from the pinned seen set instead of trusting a stale filter).
+
+
+def _filter_impl(cfg: CrawlConfig):
+    if cfg.seen_filter == "bloom":
+        return None  # this module
+    if cfg.seen_filter == "cuckoo":
+        from searchengine_spark.operators import cuckoo
+
+        return cuckoo
+    raise ValueError(
+        f"unknown seen_filter {cfg.seen_filter!r} (expected 'bloom' or 'cuckoo')"
+    )
+
+
+def filter_table_name(cfg: CrawlConfig) -> str:
+    _filter_impl(cfg)  # validate the knob
+    return cfg.seen_filter
+
+
+def build_filter_blocks(seen: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    impl = _filter_impl(cfg)
+    if impl is None:
+        return build_bloom_blocks(seen, cfg)
+    return impl.build_cuckoo_blocks(seen, cfg)
+
+
+def merge_filter_blocks(a: DataFrame, b: DataFrame, cfg: CrawlConfig) -> DataFrame:
+    impl = _filter_impl(cfg)
+    if impl is None:
+        return merge_bloom_blocks(a, b, cfg)
+    return impl.merge_cuckoo_blocks(a, b, cfg)
+
+
+def dedup_seen_with_filter(
+    spark: SparkSession,
+    candidates: DataFrame,
+    seen: DataFrame,
+    blocks: DataFrame,
+    cfg: CrawlConfig,
+) -> DataFrame:
+    impl = _filter_impl(cfg)
+    if impl is None:
+        return dedup_seen_with_bloom(spark, candidates, seen, blocks, cfg)
+    return impl.dedup_seen_with_cuckoo(spark, candidates, seen, blocks, cfg)

@@ -46,7 +46,12 @@ from searchengine_spark.operators.frontier import (
     priority_depth_expr,
     schedule_round,
 )
-from searchengine_spark.operators.seen import build_bloom_blocks, dedup_seen_with_bloom
+from searchengine_spark.operators.seen import (
+    build_filter_blocks,
+    dedup_seen_with_filter,
+    filter_table_name,
+    merge_filter_blocks,
+)
 from searchengine_spark.sources.statestore import TableStore
 
 MAXHOSTTRY = 10  # SearchEngine.h:18
@@ -349,11 +354,12 @@ class CrawlDriver:
             ),
         }
         if cfg.use_bloom:
-            # a FRESH bloom built from the seed seen set: re-seeding an
+            # a FRESH filter built from the seed seen set: re-seeding an
             # already-used store must not leave a stale bitmap that would
             # mark new seen keys 'definitely new' (exactness violation)
-            versions["bloom"] = self.store.commit(
-                "bloom", build_bloom_blocks(seen0, cfg), meta=meta
+            ftab = filter_table_name(cfg)
+            versions[ftab] = self.store.commit(
+                ftab, build_filter_blocks(seen0, cfg), meta=meta
             )
         # pin the config to the store: shard/bloom geometry is baked into
         # the persisted state, so a resume must run the SAME config.
@@ -478,16 +484,21 @@ class CrawlDriver:
         )
         versions["hosts"] = self.store.commit("hosts", hosts2, meta=meta)
         versions["seen"] = self.store.commit("seen", seen2, meta=meta)
+        # seen grew this transaction: any filter version NOT refreshed
+        # right here would lag the pinned seen set, so drop them all
+        # and re-commit only the active structure (stale-filter rule,
+        # same as the run_round commit site)
+        for t in ("bloom", "cuckoo"):
+            versions.pop(t, None)
         if cfg.use_bloom:
-            from searchengine_spark.operators.seen import merge_bloom_blocks
-
-            if "bloom" in pinned:
-                blocks = self.store.read("bloom", pinned["bloom"])
+            ftab = filter_table_name(cfg)
+            if ftab in pinned:
+                blocks = self.store.read(ftab, pinned[ftab])
             else:
-                blocks = build_bloom_blocks(seen, cfg)
-            delta = build_bloom_blocks(new_rows.select("url_md5", "shard"), cfg)
-            versions["bloom"] = self.store.commit(
-                "bloom", merge_bloom_blocks(blocks, delta, cfg), meta=meta
+                blocks = build_filter_blocks(seen, cfg)
+            delta = build_filter_blocks(new_rows.select("url_md5", "shard"), cfg)
+            versions[ftab] = self.store.commit(
+                ftab, merge_filter_blocks(blocks, delta, cfg), meta=meta
             )
         out = {
             "hosts_probed": hosts.count(),
@@ -644,11 +655,14 @@ class CrawlDriver:
         deduped = dedup_batch(admitted)
         if cfg.use_bloom:
             # incremental blocks: read last round's, never rescan seen
-            if "bloom" in pinned:
-                blocks = self.store.read("bloom", pinned["bloom"])
+            # (a filter switch finds no pinned table for the new
+            # structure and rebuilds once from the pinned seen set)
+            ftab = filter_table_name(cfg)
+            if ftab in pinned:
+                blocks = self.store.read(ftab, pinned[ftab])
             else:
-                blocks = build_bloom_blocks(seen, cfg)
-            new_rows = dedup_seen_with_bloom(spark, deduped, seen, blocks, cfg)
+                blocks = build_filter_blocks(seen, cfg)
+            new_rows = dedup_seen_with_filter(spark, deduped, seen, blocks, cfg)
         else:
             new_rows = dedup_seen(deduped, seen)
         new_rows = new_rows.select(
@@ -790,10 +804,8 @@ class CrawlDriver:
 
         seen2 = seen.unionByName(new_rows.select("url_md5", "shard"))
         if cfg.use_bloom:
-            from searchengine_spark.operators.seen import merge_bloom_blocks
-
-            delta = build_bloom_blocks(new_rows.select("url_md5", "shard"), cfg)
-            blocks2 = merge_bloom_blocks(blocks, delta, cfg)
+            delta = build_filter_blocks(new_rows.select("url_md5", "shard"), cfg)
+            blocks2 = merge_filter_blocks(blocks, delta, cfg)
 
         # ONE action for every round counter (scheduled + failures fold
         # into the same per-shard digest — the old separate summary agg
@@ -856,15 +868,17 @@ class CrawlDriver:
         )
         versions["hosts"] = self.store.commit("hosts", hosts2, meta=meta)
         versions["seen"] = self.store.commit("seen", seen2, meta=meta)
+        # a round must NOT carry a filter version it did not refresh:
+        # seen keeps growing, so a later resume under that structure
+        # would trust a table that lags the pinned seen set and mark
+        # already-seen URLs definitely-new (exact-dedup violation).
+        # Dropping forces a rebuild from pinned seen — this covers both
+        # the no-filter round AND a bloom<->cuckoo switch.
+        for t in ("bloom", "cuckoo"):
+            versions.pop(t, None)
         if cfg.use_bloom:
-            versions["bloom"] = self.store.commit("bloom", blocks2, meta=meta)
-        else:
-            # a no-bloom round must NOT carry the old bloom version
-            # forward: seen keeps growing, so a later bloom-enabled
-            # resume would trust a bitmap that lags the pinned seen set
-            # and mark already-seen URLs definitely-new (exact-dedup
-            # violation). Dropping it forces a rebuild from pinned seen.
-            versions.pop("bloom", None)
+            ftab = filter_table_name(cfg)
+            versions[ftab] = self.store.commit(ftab, blocks2, meta=meta)
 
         stats.wall_sec = time.time() - t0
         metrics_rows = [
@@ -936,16 +950,28 @@ class CrawlDriver:
                 "resuming"
             )
         if stored is not None:
-            # use_bloom is exempt: the bloom is DERIVED data and a
-            # no-bloom round drops its version from the manifest, so
-            # toggling it cannot desync state. priority is exempt for
-            # the same shape of reason: it orders future picks only —
-            # no state table is keyed by it — and exempting it keeps
+            # use_bloom/seen_filter are exempt: the filter tables are
+            # DERIVED data and a round drops any version it did not
+            # refresh from the manifest, so toggling the structure
+            # cannot desync state. priority is exempt for the same
+            # shape of reason: it orders future picks only — no state
+            # table is keyed by it — and exempting it keeps
             # pre-priority stores resumable (their pinned config lacks
             # the field)
-            exempt = ("use_bloom", "priority")
+            exempt = ("use_bloom", "priority", "seen_filter")
             stored = {k: v for k, v in stored.items() if k not in exempt}
             given = {k: v for k, v in given.items() if k not in exempt}
+            # migration: a store pinned before a config field existed
+            # was crawled under that field's DEFAULT semantics, so
+            # compare against the default rather than refusing the
+            # resume (the robots_checked_round backfill pattern). A
+            # non-default value for the new field still errors — the
+            # store really was not crawled under it.
+            from searchengine_spark.config import CrawlConfig as _CC
+
+            for k, v in asdict(_CC()).items():
+                if k not in exempt:
+                    stored.setdefault(k, v)
         if stored is not None and stored != given:
             diff = {
                 k: (stored.get(k), v)

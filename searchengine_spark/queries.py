@@ -162,6 +162,35 @@ WHERE s.url_md5 IS NULL
 """
 
 
+def q_frontier_dedup_cuckoo(spark, sf_dir):
+    """J1 through the cuckoo prefilter arm (operators/cuckoo.py — the
+    north rule's 'bloom/cuckoo-filter URL-seen set'). The filter is
+    physical-only (probe-negatives skip the exact anti-join, probe-
+    positives still take it), so the oracle is the SAME exact-anti-join
+    SQL as frontier_dedup: a hash-green run proves the no-false-
+    negative contract on real parse-pipeline keys. Geometry is sized
+    to OVERLOAD at this SF (32 buckets x 4 slots/shard) so the stash
+    path is exercised, not just the bucket path."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        QCFG, seen_filter="cuckoo", cuckoo_buckets_per_shard=32
+    )
+    from searchengine_spark.operators import cuckoo as CK
+
+    cand = FR.dedup_batch(_candidates_df(spark, sf_dir))
+    seen = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 3 == 0)
+        .select(raw_url_expr("doc_id").alias("raw_url"))
+    )
+    seen_keys = FR.normalize_candidates(seen, QCFG).select("url_md5", "shard")
+    blocks = CK.build_cuckoo_blocks(seen_keys, cfg)
+    return CK.dedup_seen_with_cuckoo(spark, cand, seen_keys, blocks, cfg).select(
+        "url_md5", "url", "host"
+    )
+
+
 def q_schedule_round(spark, sf_dir):
     """Full deterministic scheduling semantics via the engine operator."""
     cand = FR.dedup_batch(
@@ -2022,6 +2051,7 @@ QUERIES = {
     "url_candidates": q_url_candidates,
     "host_shards": q_host_shards,
     "frontier_dedup": q_frontier_dedup,
+    "frontier_dedup_cuckoo": q_frontier_dedup_cuckoo,
     "schedule_round": q_schedule_round,
     "schedule_priority": q_schedule_priority,
     "crawl_fetch_log": q_crawl_fetch_log,
@@ -2062,6 +2092,9 @@ ORACLE_SQL = {
     "url_candidates": SQL_URL_CANDIDATES,
     "host_shards": SQL_HOST_SHARDS,
     "frontier_dedup": SQL_FRONTIER_DEDUP,
+    # the cuckoo prefilter is physical-only, so its oracle IS the
+    # exact-anti-join SQL (hash-green = no-false-negative proof)
+    "frontier_dedup_cuckoo": SQL_FRONTIER_DEDUP,
     "schedule_round": SQL_SCHEDULE_ROUND,
     "schedule_priority": SQL_SCHEDULE_PRIORITY,
     "crawl_fetch_log": SQL_CRAWL_FETCH_LOG,
