@@ -48,6 +48,13 @@ def main(argv=None, spark=None) -> int:
         "(HTTP adapter only)",
     )
     ap.add_argument(
+        "--evict-url", action="append", default=[],
+        help="before the rounds, evict this URL from the seen set so the "
+        "next page linking it re-admits it for a re-fetch (repeatable; "
+        "the adaptive-recrawl actuator — pair with the recrawl_schedule "
+        "query to pick due URLs)",
+    )
+    ap.add_argument(
         "--priority", choices=["fifo", "depth"], default="fifo",
         help="frontier pick order: fifo = reference-parity "
         "(discovered_round, url_md5); depth = shallow-first priority "
@@ -173,6 +180,8 @@ def main(argv=None, spark=None) -> int:
             if own_session:
                 spark.stop()
             return 2
+    if args.evict_url:
+        print(json.dumps({"evict": driver.evict_seen(args.evict_url)}))
     for st in driver.run(args.rounds, resume=args.resume):
         print(
             json.dumps(

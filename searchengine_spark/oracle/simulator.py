@@ -175,6 +175,25 @@ def run_round(state: SimState, round_no: int, cfg: CrawlConfig) -> dict:
     }
 
 
+def evict(state: SimState, urls: list[str], cfg: CrawlConfig) -> int:
+    """Seen-set eviction twin of CrawlDriver.evict_seen: drop the URLs'
+    md5 keys from the seen set so the next page that links them
+    re-admits them into the frontier (the recrawl actuator). Keys still
+    PENDING in the frontier are skipped (evicting one would double-
+    admit it while queued); host url_count is untouched (admission
+    caps count ATTEMPTS, the reference filterURL semantics)."""
+    n = 0
+    for u in urls:
+        c = _normalize(u, cfg)
+        if c is None:
+            continue
+        md5 = c[1]
+        if md5 in state.seen and md5 not in state.frontier:
+            state.seen.discard(md5)
+            n += 1
+    return n
+
+
 def simulate(seed_urls: list[str], n_rounds: int, cfg: CrawlConfig) -> SimState:
     state = SimState()
     seed(state, seed_urls, cfg)

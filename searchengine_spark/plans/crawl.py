@@ -512,6 +512,68 @@ class CrawlDriver:
         new_rows.unpersist()
         return out
 
+    def evict_seen(self, urls: list[str]) -> dict:
+        """Maintenance transaction — the adaptive-recrawl ACTUATOR:
+        remove URLs from the exact seen set so the next page that
+        links them re-admits them into the frontier for a re-fetch
+        (operators/recrawl decides WHICH URLs are due; this makes the
+        decision actionable). Byte-equal twin: oracle/simulator.evict.
+
+        Scope rules (tests pin engine ≡ simulator across an eviction):
+        * keys still PENDING in the frontier are skipped — evicting
+          one would let it be admitted a second time while queued and
+          double-fetch;
+        * only keys actually in seen count (unknown URLs are no-ops) —
+          this also keeps the cuckoo delete inside its inserted-keys-
+          only contract;
+        * under the cuckoo filter the keys are deleted from the filter
+          blocks in the SAME transaction (the deletable arm's purpose);
+          under bloom the filter version is dropped so the next round
+          rebuilds from the shrunken seen set (bitmaps cannot delete);
+        * hosts are untouched (url_count counts admission ATTEMPTS,
+          the reference filterURL semantics) and docs history is
+          untouched: a re-fetch appends a new docs row (append-only
+          store, the revisit keeps its own round/seq lineage).
+        """
+        cfg, ad = self.cfg, self.adapter
+        pinned = self._pinned_versions()
+        seen = self.store.read("seen", pinned["seen"])
+        frontier = self.store.read("frontier", pinned["frontier"])
+        raw = self.spark.createDataFrame([(u,) for u in urls], "raw_url string")
+        keys = (
+            normalize_candidates(raw, cfg, robots_filter=ad.ingest_robots)
+            .select("url_md5", "shard")
+            .distinct()
+        )
+        effective = (
+            keys.join(seen.select("url_md5"), "url_md5", "left_semi")
+            .join(frontier.select("url_md5"), "url_md5", "left_anti")
+            .cache()
+        )
+        n_evicted = effective.count()
+        seen2 = seen.join(effective.select("url_md5"), "url_md5", "left_anti")
+        meta = {"round": self.last_round, "evict": True}
+        versions = dict(pinned)
+        versions["seen"] = self.store.commit("seen", seen2, meta=meta)
+        # same stale-filter rule as every other seen-mutating commit:
+        # carry no filter version the transaction did not refresh
+        for t in ("bloom", "cuckoo"):
+            versions.pop(t, None)
+        if cfg.use_bloom and cfg.seen_filter == "cuckoo" and "cuckoo" in pinned:
+            from searchengine_spark.operators.cuckoo import (
+                delete_from_cuckoo_blocks,
+            )
+
+            blocks = self.store.read("cuckoo", pinned["cuckoo"])
+            versions["cuckoo"] = self.store.commit(
+                "cuckoo",
+                delete_from_cuckoo_blocks(blocks, effective, cfg),
+                meta=meta,
+            )
+        self.store.commit_manifest(self.last_round, versions)
+        effective.unpersist()
+        return {"requested": len(urls), "evicted": n_evicted}
+
     # -- one round ---------------------------------------------------------------
 
     def run_round(self, round_no: int) -> RoundStats:

@@ -243,3 +243,55 @@ def test_dispatch_builds_the_right_structure(spark):
             for r in dedup_seen_with_filter(spark, cand, seen, blocks, cfg).collect()
         }
         assert got == expect, cfg.seen_filter
+
+
+def test_evict_seen_byte_equal_and_refetch(spark, tmp_path_factory):
+    """Mid-crawl seen-set eviction (the adaptive-recrawl actuator)
+    stays byte-equal to the simulator twin and actually drives a
+    RE-FETCH of an evicted URL, under both filter structures (cuckoo
+    deletes in-place; bloom drops its version and rebuilds)."""
+    from collections import Counter
+
+    total_rounds = 5
+    state = sim.SimState()
+    sim.seed(state, SEEDS, CFG)
+    for r in range(2):
+        sim.run_round(state, r, CFG)
+    evict_urls = [u for (_, _, u, _) in state.fetch_log]
+    n_sim = sim.evict(state, evict_urls, CFG)
+    assert n_sim > 0
+    for r in range(2, total_rounds):
+        sim.run_round(state, r, CFG)
+    counts = Counter(u for (_, _, u, _) in state.fetch_log)
+    assert any(k > 1 for k in counts.values()), "fixture never re-fetched"
+
+    for cfg in (TINY, dataclasses.replace(CFG, seen_filter="bloom")):
+        root = str(tmp_path_factory.mktemp(f"evict_{cfg.seen_filter}"))
+        d = CrawlDriver(spark, root, cfg)
+        d.seed(SEEDS)
+        d.run(2)
+        out = d.evict_seen(evict_urls)
+        assert out["evicted"] == n_sim, cfg.seen_filter
+        d.run(total_rounds - 2, resume=True)
+        got = [
+            (r["round"], r["seq_in_round"], r["url"], r["host"])
+            for r in d.fetch_log().collect()
+        ]
+        assert got == state.fetch_log, cfg.seen_filter
+        assert {
+            r["url_md5"] for r in d.seen_set().collect()
+        } == state.seen, cfg.seen_filter
+
+
+def test_evict_skips_pending_frontier_urls(spark, tmp_path_factory):
+    """A URL still queued in the frontier must NOT be evictable (it
+    would be admitted twice and double-fetched)."""
+    root = str(tmp_path_factory.mktemp("evictpend"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed(SEEDS)
+    d.run(1)
+    pend = d.store.read("frontier").select("url").limit(1).collect()[0]["url"]
+    before = d.store.read("seen").count()
+    out = d.evict_seen([pend])
+    assert out["evicted"] == 0
+    assert d.store.read("seen").count() == before
