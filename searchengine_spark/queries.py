@@ -4553,12 +4553,17 @@ def q_search_anchor_boosted(spark, sf_dir):
     from searchengine_spark.corpus import interleaved_docs_df, raw_url_expr as _rue
     from searchengine_spark.operators import anchors as ANC
     from searchengine_spark.operators import retrieval as RET
-    from searchengine_spark.functions.urls import canonicalize_expr, url_md5_expr
+    from searchengine_spark.functions.urls import canonicalize_udf, url_md5_expr
 
     docs = _docs(spark, sf_dir)
     anchor_idx = ANC.anchor_terms(interleaved_docs_df(spark, sf_dir))
+    # canonicalize via the Arrow kernel, not canonicalize_expr: fused
+    # into this query's scoring stage the native chain blew janino's
+    # 64 KB method cap and dropped the whole stage to interpreted
+    # execution (the CLAUDE.md codegen trap; kernel ≡ expr is pinned
+    # by the three-form sync tests)
     doc_keys = docs.select(
-        "doc_id", canonicalize_expr(_rue("doc_id")).alias("cu")
+        "doc_id", canonicalize_udf(_rue("doc_id")).alias("cu")
     ).where(F.col("cu").isNotNull()).select(
         "doc_id", url_md5_expr("cu").alias("doc_key")
     )
