@@ -55,6 +55,13 @@ def main(argv=None, spark=None) -> int:
         "query to pick due URLs)",
     )
     ap.add_argument(
+        "--requeue-url", action="append", default=[],
+        help="before the rounds, append this already-crawled URL straight "
+        "back into the frontier for a GUARANTEED re-fetch (repeatable; "
+        "seen set untouched — unlike --evict-url, no link re-discovery "
+        "is needed)",
+    )
+    ap.add_argument(
         "--priority", choices=["fifo", "depth"], default="fifo",
         help="frontier pick order: fifo = reference-parity "
         "(discovered_round, url_md5); depth = shallow-first priority "
@@ -182,6 +189,8 @@ def main(argv=None, spark=None) -> int:
             return 2
     if args.evict_url:
         print(json.dumps({"evict": driver.evict_seen(args.evict_url)}))
+    if args.requeue_url:
+        print(json.dumps({"requeue": driver.requeue(args.requeue_url)}))
     for st in driver.run(args.rounds, resume=args.resume):
         print(
             json.dumps(

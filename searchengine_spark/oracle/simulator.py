@@ -194,6 +194,28 @@ def evict(state: SimState, urls: list[str], cfg: CrawlConfig) -> int:
     return n
 
 
+def requeue(
+    state: SimState, urls: list[str], cfg: CrawlConfig, disc_round: int
+) -> int:
+    """Guaranteed-re-fetch twin of CrawlDriver.requeue: append already-
+    SEEN URLs straight back into the frontier (discovered_round =
+    disc_round, so they compete like freshly discovered URLs in the
+    next round's (discovered_round, url_md5) pick order). The seen set
+    is untouched — the key stays deduped against organic re-discovery.
+    Unseen URLs are skipped (they belong to normal admission), as are
+    keys already pending."""
+    n = 0
+    for u in urls:
+        c = _normalize(u, cfg)
+        if c is None:
+            continue
+        url, md5, host, shard = c
+        if md5 in state.seen and md5 not in state.frontier:
+            state.frontier[md5] = (url, host, shard, disc_round)
+            n += 1
+    return n
+
+
 def simulate(seed_urls: list[str], n_rounds: int, cfg: CrawlConfig) -> SimState:
     state = SimState()
     seed(state, seed_urls, cfg)

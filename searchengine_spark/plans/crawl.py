@@ -574,6 +574,60 @@ class CrawlDriver:
         effective.unpersist()
         return {"requested": len(urls), "evicted": n_evicted}
 
+    def requeue(self, urls: list[str]) -> dict:
+        """Guaranteed re-fetch — the direct-appension complement of
+        evict_seen (which only re-enables ORGANIC re-admission): append
+        already-seen URLs straight back into the frontier with
+        discovered_round = last_round + 1, so they compete like freshly
+        discovered URLs in the next round's (discovered_round, url_md5)
+        pick order. Byte-equal twin: oracle/simulator.requeue.
+
+        The seen set is untouched — the key stays deduped against
+        organic re-discovery, so a requeued URL is fetched exactly once
+        more. Unseen URLs are skipped (they belong to normal seeded/
+        linked admission, which enforces host caps); already-pending
+        keys are skipped (no duplicate frontier rows). Politeness,
+        per-shard quotas and the pick order gate the actual fetch round
+        exactly as for any other frontier row."""
+        cfg, ad = self.cfg, self.adapter
+        from searchengine_spark.operators.frontier import with_storage_bucket
+
+        pinned = self._pinned_versions()
+        seen = self.store.read("seen", pinned["seen"])
+        frontier = self.store.read("frontier", pinned["frontier"]).drop(
+            "storage_bucket"
+        )
+        raw = self.spark.createDataFrame([(u,) for u in urls], "raw_url string")
+        cand = dedup_batch(
+            normalize_candidates(raw, cfg, robots_filter=ad.ingest_robots)
+        )
+        eligible = (
+            cand.join(seen.select("url_md5"), "url_md5", "left_semi")
+            .join(frontier.select("url_md5"), "url_md5", "left_anti")
+            .select(
+                "url",
+                "url_md5",
+                "host",
+                "shard",
+                F.lit(self.last_round + 1).cast("int").alias("discovered_round"),
+            )
+            .cache()
+        )
+        n_requeued = eligible.count()
+        meta = {"round": self.last_round, "requeue": True}
+        versions = dict(pinned)
+        versions["frontier"] = self.store.commit(
+            "frontier",
+            with_storage_bucket(frontier.unionByName(eligible)),
+            partition_by=["storage_bucket"],
+            meta=meta,
+        )
+        # seen did not change, so the pinned filter stays valid and
+        # rides forward untouched
+        self.store.commit_manifest(self.last_round, versions)
+        eligible.unpersist()
+        return {"requested": len(urls), "requeued": n_requeued}
+
     # -- one round ---------------------------------------------------------------
 
     def run_round(self, round_no: int) -> RoundStats:

@@ -295,3 +295,39 @@ def test_evict_skips_pending_frontier_urls(spark, tmp_path_factory):
     out = d.evict_seen([pend])
     assert out["evicted"] == 0
     assert d.store.read("seen").count() == before
+
+
+def test_requeue_guaranteed_refetch_byte_equal(spark, tmp_path_factory):
+    """requeue (the direct complement of evict_seen: seen untouched,
+    frontier appended) stays byte-equal to its simulator twin and every
+    requeued URL is re-fetched exactly once more — no link
+    re-discovery needed, politeness/pick-order still gate WHEN."""
+    from collections import Counter
+
+    total_rounds = 8
+    state = sim.SimState()
+    sim.seed(state, SEEDS, CFG)
+    for r in range(2):
+        sim.run_round(state, r, CFG)
+    targets = [u for (_, _, u, _) in state.fetch_log][:4]
+    assert sim.requeue(state, targets, CFG, 2) == 4
+    # second requeue of the same URLs is a no-op (already pending)
+    assert sim.requeue(state, targets, CFG, 2) == 0
+    for r in range(2, total_rounds):
+        sim.run_round(state, r, CFG)
+    counts = Counter(u for (_, _, u, _) in state.fetch_log)
+    assert all(counts[u] == 2 for u in targets), "fixture must re-fetch all"
+
+    root = str(tmp_path_factory.mktemp("requeue"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed(SEEDS)
+    d.run(2)
+    assert d.requeue(targets)["requeued"] == 4
+    assert d.requeue(targets)["requeued"] == 0
+    d.run(total_rounds - 2, resume=True)
+    got = [
+        (r["round"], r["seq_in_round"], r["url"], r["host"])
+        for r in d.fetch_log().collect()
+    ]
+    assert got == state.fetch_log
+    assert {r["url_md5"] for r in d.seen_set().collect()} == state.seen
