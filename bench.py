@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "frontier_dedup_cuckoo",
     "top_hosts",
     "trap_hosts",
+    "mirror_hosts",
     "recrawl_schedule",
     "pagerank3",
     "host_pagerank",

@@ -2879,6 +2879,80 @@ QUERIES["dedup_spans"] = q_dedup_spans
 ORACLE_SQL["dedup_spans"] = SQL_DEDUP_SPANS
 
 
+def _docs_mirror_aug(spark, sf_dir):
+    """documents + deterministic mirror hosts: origin host = `source`;
+    every doc_id % 3 == 0 page is re-served by mirror host
+    'mir<doc_id % 5>' — so each mirror carries slices of several
+    origins (a partial-mirror farm, the Bharat & Broder test shape)."""
+    d = _docs(spark, sf_dir).select(
+        F.col("source").alias("host"), "text"
+    )
+    mir = (
+        _docs(spark, sf_dir)
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            F.concat(F.lit("mir"), (F.col("doc_id") % 5).cast("string")).alias(
+                "host"
+            ),
+            "text",
+        )
+    )
+    return d.unionByName(mir)
+
+
+def q_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection (operators/mirrors.py): host pairs ranked
+    by shared distinct content fingerprints, containment scored
+    against the smaller host in exact integer micro-points. The
+    reference crawls a mirrored site twice (content keyed on md5(url),
+    KeyValueDB.hpp:68-83, and host-dedup exists only at result marshal,
+    PageSearcher.cpp:481-538); this is the crawl-budget guard a
+    web-scale deployment adds. Pair fan-out is bounded per fingerprint
+    bucket (MAX_HOSTS_PER_HASH boilerplate cap) — no all-pairs host
+    product anywhere."""
+    from searchengine_spark.operators import mirrors as MIR
+
+    return MIR.mirror_pairs(_docs_mirror_aug(spark, sf_dir)).orderBy(
+        "host_a", "host_b"
+    )
+
+
+SQL_MIRROR_HOSTS = """
+WITH mdocs AS (
+    SELECT source AS host, text FROM documents
+    UNION ALL
+    SELECT 'mir' || CAST(doc_id % 5 AS VARCHAR) AS host, text
+    FROM documents WHERE doc_id % 3 = 0
+  ),
+  sigs AS (SELECT DISTINCT host, md5(text) AS chash FROM mdocs),
+  sizes AS (
+    SELECT host, CAST(count(*) AS BIGINT) AS n_pages FROM sigs GROUP BY host
+  ),
+  okh AS (
+    SELECT chash FROM sigs GROUP BY chash
+    HAVING count(*) BETWEEN 2 AND 16
+  ),
+  pairs AS (
+    SELECT a.host AS host_a, b.host AS host_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sigs a JOIN okh USING (chash) JOIN sigs b USING (chash)
+    WHERE a.host < b.host
+    GROUP BY 1, 2 HAVING count(*) >= 2
+  )
+SELECT p.host_a, p.host_b, p.n_shared,
+       sa.n_pages AS n_a, sb.n_pages AS n_b,
+       CAST((p.n_shared * 1000000) // least(sa.n_pages, sb.n_pages) AS BIGINT)
+         AS containment_e6
+FROM pairs p
+JOIN sizes sa ON sa.host = p.host_a
+JOIN sizes sb ON sb.host = p.host_b
+ORDER BY host_a, host_b
+"""
+
+QUERIES["mirror_hosts"] = q_mirror_hosts
+ORACLE_SQL["mirror_hosts"] = SQL_MIRROR_HOSTS
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: decontamination / repetition filters / split+sampling
 # ---------------------------------------------------------------------------
