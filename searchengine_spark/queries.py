@@ -383,14 +383,23 @@ DIGCFG = CrawlConfig(
 
 def _digest_round(spark, sf_dir):
     """Round 0 of a crawl seeded with the full grammar universe:
-    returns (cand_pre, hostcnt, frontier, fetched, ok_with_spans)."""
+    returns (cand_pre, hostcnt, frontier, fetched, ok_with_spans).
+
+    cand_pre (the Arrow URL parse) fans out to every branch of both
+    digest queries; run_round persists this stage through
+    cache_handles, and the one-shot catalog twin materializes it to a
+    tmp parquet instead (caching is banned here, CLAUDE.md rule)."""
+    import tempfile
+
     from searchengine_spark.plans.crawl import _fetch_fails_expr
     from searchengine_spark.corpus import fetch_spans_expr
 
     docs = _docs(spark, sf_dir)
     max_doc = docs.count()
     raw = docs.select(raw_url_expr("doc_id").alias("raw_url"))
-    cand_pre = FR.normalize_candidates(raw, DIGCFG)
+    pdir = tempfile.mkdtemp(prefix="se_digest_") + "/cand_pre"
+    FR.normalize_candidates(raw, DIGCFG).write.parquet(pdir)
+    cand_pre = spark.read.parquet(pdir)
     hostcnt = cand_pre.groupBy("host").agg(F.count("*").alias("url_count"))
     frontier = FR.dedup_batch(cand_pre).withColumn(
         "discovered_round", F.lit(0).cast("int")
@@ -488,7 +497,16 @@ def q_crawl_round_digest(spark, sf_dir):
     """Per-shard digest of the full round: outlink extraction from the
     real spans, candidate normalization, host-cap admission (the cap
     binds under DIGCFG), batch dedup and the J1 seen anti-join — the
-    run_round DAG (plans/crawl.py) minus the state-store commits."""
+    run_round DAG (plans/crawl.py) minus the state-store commits.
+
+    Plan note: run_round itself persists the parsed-candidates stage
+    through cache_handles; this one-shot catalog form may not cache
+    (CLAUDE.md rule), so the Arrow-parse output is materialized ONCE
+    to a tmp parquet and read back — otherwise every digest branch
+    (candidate count, admission, dedup chain) re-runs the parse UDF
+    (~35 Arrow evals in the final plan before this)."""
+    import tempfile
+
     cand_pre, hostcnt, frontier, fetched, ok = _digest_round(spark, sf_dir)
     outlinks = ok.select(
         F.explode(
@@ -498,7 +516,9 @@ def q_crawl_round_digest(spark, sf_dir):
             )
         ).alias("raw_url")
     )
-    cnd = FR.normalize_candidates(outlinks, DIGCFG)
+    cdir = tempfile.mkdtemp(prefix="se_digest_") + "/cnd"
+    FR.normalize_candidates(outlinks, DIGCFG).write.parquet(cdir)
+    cnd = spark.read.parquet(cdir)
     remaining = hostcnt.select(
         "host",
         (F.lit(DIGCFG.max_urls_per_host) - F.col("url_count")).alias("_rem"),
@@ -4279,17 +4299,25 @@ def q_host_pagerank(spark, sf_dir):
     PageRank update for 3 sweeps over the 3-4 orders smaller host
     graph.
 
-    Plan note: the doc->host mapping derives from the URL-parse UDF
-    here, and the iterative plan re-evaluates it per consumer (~16
-    Arrow evals in PLANS_AUDIT) — accepted for the one-shot catalog
-    form because a cache would stay pinned across the driver's 80+
-    query run (CLAUDE.md rule); in production the mapping is a stored
-    column of the docs table and the parse never re-runs."""
-    cand = (
+    Plan note: the doc->host mapping derives from the URL-parse UDF,
+    and the iterative plan would re-evaluate it per consumer (~16
+    Arrow evals before this was fixed). A `.cache()` is banned in
+    one-shot catalog queries (it would stay pinned across the driver's
+    80+-query run, CLAUDE.md rule), so the mapping is materialized
+    ONCE to a tmp parquet and read back — exactly what production does
+    with a stored docs column; every consumer (both projection joins,
+    the node set, each rank sweep) now scans 8 KB of parquet instead
+    of re-running the parse."""
+    import tempfile
+
+    cand_src = (
         _candidates_df(spark, sf_dir)
         .select(F.col("doc_id").alias("node"), F.col("host").alias("part"))
         .distinct()
     )
+    mdir = tempfile.mkdtemp(prefix="se_hostpr_") + "/mapping"
+    cand_src.write.parquet(mdir)
+    cand = spark.read.parquet(mdir)
     edges = _synth_edges(spark, sf_dir)
     hedges = PR.project_graph(edges, cand)
     nodes = cand.select(F.col("part").alias("node")).distinct()
