@@ -48,6 +48,13 @@ def main(argv=None, spark=None) -> int:
         "(HTTP adapter only)",
     )
     ap.add_argument(
+        "--changed-since", metavar="YYYY-MM-DD", default=None,
+        help="make --ingest-sitemaps lastmod-aware: already-seen pages "
+        "whose sitemap <lastmod> is newer than this date are requeued "
+        "for a re-fetch, and index children with older lastmod are "
+        "not fetched at all",
+    )
+    ap.add_argument(
         "--evict-url", action="append", default=[],
         help="before the rounds, evict this URL from the seen set so the "
         "next page linking it re-admits it for a re-fetch (repeatable; "
@@ -179,9 +186,16 @@ def main(argv=None, spark=None) -> int:
     if not args.resume:
         seeds = args.seed_url or [raw_url_py(i) for i in range(args.seeds)]
         driver.seed(seeds)
+    if args.changed_since and not args.ingest_sitemaps:
+        print("error: --changed-since needs --ingest-sitemaps", file=sys.stderr)
+        if own_session:
+            spark.stop()
+        return 2
     if args.ingest_sitemaps:
         try:
-            print(json.dumps({"sitemap_ingest": driver.ingest_sitemaps()}))
+            print(json.dumps({
+                "sitemap_ingest": driver.ingest_sitemaps(args.changed_since)
+            }))
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
             if own_session:

@@ -390,7 +390,7 @@ class CrawlDriver:
 
     # -- sitemap discovery -------------------------------------------------------
 
-    def ingest_sitemaps(self) -> dict:
+    def ingest_sitemaps(self, changed_since: str | None = None) -> dict:
         """Sitemap discovery pass (sitemaps.org protocol via the
         robots.txt `Sitemap:` directive, RFC 9309 §2.3): for every
         known host, fetch its DECLARED sitemaps through the adapter's
@@ -407,14 +407,29 @@ class CrawlDriver:
         cross-table atomicity as a round; the round number does not
         advance). Requires an adapter with a sitemap surface (HTTP);
         raises ValueError for adapters without one. Returns counters.
+
+        `changed_since` (YYYY-MM-DD) turns the pass lastmod-aware
+        (sitemaps.org `<lastmod>`): ALREADY-SEEN page locs whose
+        lastmod is strictly newer than the date are REQUEUED — appended
+        to the frontier with discovered_round = next round, seen set
+        untouched, exactly the `requeue` actuator's semantics — and
+        index-level children whose lastmod is on or before the date
+        are not even fetched (the fetch saver on large stable sites).
+        Locs without a lastmod are never requeued (no evidence of
+        change); brand-new locs admit identically in both modes.
         """
         cfg, ad = self.cfg, self.adapter
-        udf_factory = getattr(ad, "sitemap_urls_udf", None)
+        ent = None
+        if changed_since is None:
+            udf_factory = getattr(ad, "sitemap_urls_udf", None)
+        else:
+            udf_factory = getattr(ad, "sitemap_entries_udf", None)
         if udf_factory is None:
             raise ValueError(
                 f"the '{getattr(ad, 'tag', 'custom')}' fetch adapter has no "
-                "sitemap surface (sitemap_urls_udf) — sitemap ingestion "
-                "needs an HTTP-style adapter"
+                "sitemap surface "
+                f"({'sitemap_entries_udf' if changed_since else 'sitemap_urls_udf'})"
+                " — sitemap ingestion needs an HTTP-style adapter"
             )
         pinned = self._pinned_versions()
         frontier = self.store.read("frontier", pinned["frontier"]).drop(
@@ -426,11 +441,26 @@ class CrawlDriver:
         seen = self.store.read("seen", pinned["seen"])
         next_round = self.last_round + 1
 
-        locs = (
-            hosts.select("host", udf_factory()(F.col("host")).alias("_sm"))
-            .select(F.explode("_sm").alias("raw_url"))
-            .cache()
-        )
+        if changed_since is None:
+            locs = (
+                hosts.select("host", udf_factory()(F.col("host")).alias("_sm"))
+                .select(F.explode("_sm").alias("raw_url"))
+                .cache()
+            )
+        else:
+            ent = (
+                hosts.select(
+                    "host",
+                    udf_factory(changed_since)(F.col("host")).alias("_sm"),
+                )
+                .select(F.explode("_sm").alias("_e"))
+                .select(
+                    F.col("_e.loc").alias("raw_url"),
+                    F.col("_e.lastmod").alias("lastmod"),
+                )
+                .cache()
+            )
+            locs = ent.select("raw_url")
         cand = normalize_candidates(locs, cfg, robots_filter=ad.ingest_robots)
         if not ad.ingest_robots:
             cand = (
@@ -459,10 +489,52 @@ class CrawlDriver:
             F.lit(next_round).alias("discovered_round"),
         ).cache()
 
+        # lastmod requeue: seen locs with evidence of change re-enter
+        # the frontier (requeue-actuator semantics: seen untouched,
+        # already-pending keys skipped; disjoint from new_rows, which
+        # passed the seen anti-join)
+        requeue_rows = None
+        n_requeued = 0
+        if changed_since is not None:
+            fresh = ent.where(
+                F.col("lastmod") > F.lit(changed_since)
+            ).select("raw_url")
+            rcand = normalize_candidates(
+                fresh, cfg, robots_filter=ad.ingest_robots
+            )
+            if not ad.ingest_robots:
+                rcand = (
+                    rcand.join(
+                        hosts.select("host", "robots_state"), "host", "left"
+                    )
+                    .where(
+                        ~robots_blocked_expr(
+                            url_path_expr(F.col("url")), F.col("robots_state")
+                        )
+                    )
+                    .drop("robots_state")
+                )
+            requeue_rows = (
+                dedup_batch(rcand)
+                .join(seen.select("url_md5"), "url_md5", "left_semi")
+                .join(frontier.select("url_md5"), "url_md5", "left_anti")
+                .select(
+                    "url",
+                    "url_md5",
+                    "host",
+                    "shard",
+                    F.lit(next_round).cast("int").alias("discovered_round"),
+                )
+                .cache()
+            )
+            n_requeued = requeue_rows.count()
+
         # state merges: frontier/seen grow; url_count counts ATTEMPTED
         # candidates per host (the reference's pre-dedup m_hostsCount
         # quirk, same as a round's hosts merge)
         frontier2 = frontier.unionByName(new_rows)
+        if requeue_rows is not None:
+            frontier2 = frontier2.unionByName(requeue_rows)
         seen2 = seen.unionByName(new_rows.select("url_md5", "shard"))
         cand_counts = cand.groupBy("host").agg(F.count("*").alias("_n"))
         hosts2 = hosts.join(cand_counts, "host", "left").select(
@@ -506,10 +578,14 @@ class CrawlDriver:
             "candidates": n_cand,
             "new_urls": new_rows.count(),
         }
+        if changed_since is not None:
+            out["requeued"] = n_requeued
         self.store.commit_manifest(self.last_round, versions)
-        locs.unpersist()
+        (ent if ent is not None else locs).unpersist()
         cand.unpersist()
         new_rows.unpersist()
+        if requeue_rows is not None:
+            requeue_rows.unpersist()
         return out
 
     def evict_seen(self, urls: list[str]) -> dict:

@@ -330,6 +330,16 @@ class HttpFetchAdapter:
             self.timeout_s, self.max_bytes, self.pool_size
         )
 
+    def sitemap_entries_udf(self, changed_since: str | None = None):
+        """host -> array<struct<loc,lastmod>> — the lastmod-aware
+        discovery surface (CrawlDriver.ingest_sitemaps with
+        changed_since: seen pages whose lastmod is newer get
+        REQUEUED for a re-fetch, and stale index children are not
+        even fetched)."""
+        return make_sitemap_entries_udf(
+            self.timeout_s, self.max_bytes, self.pool_size, changed_since
+        )
+
 
 # ---------------------------------------------------------------------------
 # sitemap discovery (sitemaps.org protocol over the same transport)
@@ -339,44 +349,94 @@ SITEMAP_MAX_FILES = 8  # sitemap files fetched per host (index children incl.)
 SITEMAP_MAX_URLS = 50_000  # the protocol's own per-file cap; also our total
 
 _LOC_RE = _re.compile(r"<loc>\s*(.*?)\s*</loc>", _re.IGNORECASE | _re.DOTALL)
+_ENTRY_RE = _re.compile(
+    r"<(?:url|sitemap)>(.*?)</(?:url|sitemap)>", _re.IGNORECASE | _re.DOTALL
+)
+_LASTMOD_RE = _re.compile(
+    r"<lastmod>\s*(.*?)\s*</lastmod>", _re.IGNORECASE | _re.DOTALL
+)
+# sitemaps.org lastmod is W3C datetime; only the DATE prefix is kept
+# (YYYY-MM-DD sorts chronologically as a string, mixed granularities
+# compare cleanly) — anything not starting with a date is treated as
+# absent rather than guessed at.
+_LASTMOD_DATE_RE = _re.compile(r"^\d{4}-\d{2}-\d{2}")
+
+
+def _lastmod_date(s: str | None) -> str | None:
+    if not s:
+        return None
+    m = _LASTMOD_DATE_RE.match(s.strip())
+    return m.group(0) if m else None
+
+
+def parse_sitemap_entries(
+    xml: str,
+) -> tuple[str, list[tuple[str, str | None]]]:
+    """One sitemap file -> (kind, [(loc, lastmod_date|None), ...]):
+    kind is 'index' for a <sitemapindex> (locs are CHILD SITEMAP urls)
+    else 'urlset' (locs are page urls). Regex extraction with entity
+    unescape — the sitemaps.org schema is flat enough that a full XML
+    parser buys nothing at the fetch boundary; malformed files degrade
+    to however many well-formed entries they contain (a bare <loc>
+    outside an entry block still counts, with no lastmod)."""
+    kind = "index" if _re.search(r"<\s*sitemapindex", xml, _re.I) else "urlset"
+    out: list[tuple[str, str | None]] = []
+    covered: set[str] = set()
+    for m in _ENTRY_RE.finditer(xml):
+        block = m.group(1)
+        locm = _LOC_RE.search(block)
+        if not locm or not locm.group(1).strip():
+            continue
+        loc = _html.unescape(locm.group(1))
+        lm = _LASTMOD_RE.search(block)
+        out.append((loc, _lastmod_date(lm.group(1) if lm else None)))
+        covered.add(loc)
+    # malformed fallback: bare <loc> tags outside entry blocks
+    for m in _LOC_RE.finditer(xml):
+        if m.group(1).strip():
+            loc = _html.unescape(m.group(1))
+            if loc not in covered:
+                out.append((loc, None))
+                covered.add(loc)
+    return kind, out[:SITEMAP_MAX_URLS]
 
 
 def parse_sitemap(xml: str) -> tuple[str, list[str]]:
-    """One sitemap file -> (kind, locs): kind is 'index' for a
-    <sitemapindex> (locs are CHILD SITEMAP urls) else 'urlset' (locs
-    are page urls). Regex extraction of <loc> with entity unescape —
-    the sitemaps.org schema is flat enough that a full XML parser buys
-    nothing at the fetch boundary; malformed files degrade to however
-    many well-formed <loc> entries they contain."""
-    kind = "index" if _re.search(r"<\s*sitemapindex", xml, _re.I) else "urlset"
-    locs = [
-        _html.unescape(m.group(1))
-        for m in _LOC_RE.finditer(xml)
-        if m.group(1).strip()
-    ]
-    return kind, locs[:SITEMAP_MAX_URLS]
+    """Back-compat form of parse_sitemap_entries: (kind, locs) with
+    lastmod dropped."""
+    kind, entries = parse_sitemap_entries(xml)
+    return kind, [loc for loc, _ in entries]
 
 
-def fetch_host_sitemaps(
+def fetch_host_sitemap_entries(
     host: str,
     timeout_s: float = DEFAULT_TIMEOUT_S,
     max_bytes: int = DEFAULT_MAX_BYTES,
-) -> list[str]:
-    """Host -> page URLs declared by its robots.txt `Sitemap:` lines
-    (sitemaps.org; RFC 9309 §2.3). Conservative discovery: only
-    DECLARED sitemaps are fetched (no blind /sitemap.xml probe — an
-    undeclared guess 404s on most hosts and pollutes failure stats).
-    A <sitemapindex> is followed one BFS level within the same
-    SITEMAP_MAX_FILES budget; page URLs cap at SITEMAP_MAX_URLS
-    total. Every fetch is the adapter's own transport (fetch_one), so
-    timeout/size caps and the 301-once policy hold here too."""
+    changed_since: str | None = None,
+) -> list[tuple[str, str | None]]:
+    """Host -> (page URL, lastmod date) pairs declared by its
+    robots.txt `Sitemap:` lines (sitemaps.org; RFC 9309 §2.3).
+    Conservative discovery: only DECLARED sitemaps are fetched (no
+    blind /sitemap.xml probe — an undeclared guess 404s on most hosts
+    and pollutes failure stats). A <sitemapindex> is followed one BFS
+    level within the same SITEMAP_MAX_FILES budget; page URLs cap at
+    SITEMAP_MAX_URLS total. Every fetch is the adapter's own
+    transport (fetch_one), so timeout/size caps and the 301-once
+    policy hold here too.
+
+    `changed_since` (YYYY-MM-DD) makes the index level lastmod-aware:
+    a CHILD sitemap whose index entry carries a lastmod ON OR BEFORE
+    the date is not fetched at all (its pages cannot have changed
+    since, per the protocol's lastmod contract) — the fetch saver that
+    matters on large sites where one index fronts hundreds of stable
+    child files. Children without a lastmod are always fetched."""
     from searchengine_spark.corpus import parse_sitemap_decls
 
     st, _, body = fetch_one(f"http://{host}/robots.txt", timeout_s, max_bytes)
     if not (200 <= st < 300):
         return []
-    queue = parse_sitemap_decls(body)[:SITEMAP_MAX_FILES]
-    pages: list[str] = []
+    queue: list[str] = parse_sitemap_decls(body)[:SITEMAP_MAX_FILES]
+    pages: list[tuple[str, str | None]] = []
     fetched = 0
     while queue and fetched < SITEMAP_MAX_FILES and len(pages) < SITEMAP_MAX_URLS:
         sm_url = queue.pop(0)
@@ -384,12 +444,28 @@ def fetch_host_sitemaps(
         st, _, xml = fetch_one(sm_url, timeout_s, max_bytes)
         if not (200 <= st < 300):
             continue
-        kind, locs = parse_sitemap(xml)
+        kind, entries = parse_sitemap_entries(xml)
         if kind == "index":
-            queue.extend(locs[: SITEMAP_MAX_FILES - fetched])
+            children = [
+                loc
+                for loc, lm in entries
+                if not (changed_since and lm and lm <= changed_since)
+            ]
+            queue.extend(children[: SITEMAP_MAX_FILES - fetched])
         else:
-            pages.extend(locs[: SITEMAP_MAX_URLS - len(pages)])
+            pages.extend(entries[: SITEMAP_MAX_URLS - len(pages)])
     return pages
+
+
+def fetch_host_sitemaps(
+    host: str,
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+) -> list[str]:
+    """Back-compat form of fetch_host_sitemap_entries: page URLs only."""
+    return [
+        loc for loc, _ in fetch_host_sitemap_entries(host, timeout_s, max_bytes)
+    ]
 
 
 def make_sitemap_urls_udf(
@@ -415,5 +491,45 @@ def make_sitemap_urls_udf(
 
     return (
         F.pandas_udf(_discover, returnType=ArrayType(StringType()))
+        .asNondeterministic()
+    )
+
+
+def make_sitemap_entries_udf(
+    timeout_s: float = DEFAULT_TIMEOUT_S,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+    pool_size: int = DEFAULT_POOL,
+    changed_since: str | None = None,
+):
+    """Lastmod-aware sitemap discovery: host column ->
+    array<struct<loc, lastmod>> (lastmod is a YYYY-MM-DD string or
+    NULL). `changed_since` also prunes index-level children inside the
+    fetch (fetch_host_sitemap_entries). Thread-pooled like every other
+    latency-bound fetch in this adapter."""
+
+    def _discover(hosts: pd.Series) -> pd.Series:
+        hs = hosts.fillna("").tolist()
+        if not hs:
+            return pd.Series([], dtype=object)
+        n = min(pool_size, max(1, len(hs)))
+        with _fut.ThreadPoolExecutor(max_workers=n) as ex:
+            rows = list(
+                ex.map(
+                    lambda h: [
+                        {"loc": loc, "lastmod": lm}
+                        for loc, lm in fetch_host_sitemap_entries(
+                            h, timeout_s, max_bytes, changed_since
+                        )
+                    ],
+                    hs,
+                )
+            )
+        return pd.Series(rows)
+
+    return (
+        F.pandas_udf(
+            _discover,
+            returnType="array<struct<loc:string,lastmod:string>>",
+        )
         .asNondeterministic()
     )

@@ -780,6 +780,163 @@ def test_sitemap_ingest_refused_without_surface(spark, tmp_path):
         d.ingest_sitemaps()
 
 
+def test_parse_sitemap_entries_lastmod():
+    """Entry-level lastmod extraction: per-<url> pairing, W3C datetime
+    truncated to the date, malformed dates treated as absent, the
+    bare-<loc> fallback, index kind."""
+    kind, ents = HF.parse_sitemap_entries(
+        "<urlset>"
+        "<url><loc>http://h/a</loc><lastmod>2026-08-15</lastmod></url>"
+        "<url><loc>http://h/b</loc>"
+        "<lastmod>2026-02-01T10:30:00+00:00</lastmod></url>"
+        "<url><loc>http://h/c</loc></url>"
+        "<url><loc>http://h/d</loc><lastmod>yesterday</lastmod></url>"
+        "<loc>http://h/bare</loc>"
+        "</urlset>"
+    )
+    assert kind == "urlset"
+    assert ents == [
+        ("http://h/a", "2026-08-15"),
+        ("http://h/b", "2026-02-01"),
+        ("http://h/c", None),
+        ("http://h/d", None),
+        ("http://h/bare", None),
+    ]
+    kind, ents = HF.parse_sitemap_entries(
+        "<sitemapindex><sitemap><loc>http://h/s.xml</loc>"
+        "<lastmod>2026-01-01</lastmod></sitemap></sitemapindex>"
+    )
+    assert kind == "index"
+    assert ents == [("http://h/s.xml", "2026-01-01")]
+
+
+class _LmSitemapHandler(BaseHTTPRequestHandler):
+    """Index with a STALE child (lastmod 2026-01-01) and a FRESH child
+    (2026-08-15); the fresh child carries a hot page, a cold page and
+    a no-lastmod page."""
+
+    requests: list
+
+    def _send(self, body: bytes, ctype: str = "text/html; charset=utf-8"):
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        port = self.server.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+        self.requests.append(self.path)
+        if self.path == "/robots.txt":
+            self._send(
+                f"User-agent: *\nSitemap: {base}/sm-lm-index.xml\n".encode(),
+                "text/plain",
+            )
+        elif self.path == "/sm-lm-index.xml":
+            self._send(
+                (
+                    '<?xml version="1.0"?><sitemapindex>'
+                    f"<sitemap><loc>{base}/sm-old.xml</loc>"
+                    "<lastmod>2026-01-01</lastmod></sitemap>"
+                    f"<sitemap><loc>{base}/sm-new.xml</loc>"
+                    "<lastmod>2026-08-15</lastmod></sitemap>"
+                    "</sitemapindex>"
+                ).encode(),
+                "application/xml",
+            )
+        elif self.path == "/sm-old.xml":
+            self._send(
+                (
+                    '<?xml version="1.0"?><urlset>'
+                    f"<url><loc>{base}/stale-page</loc>"
+                    "<lastmod>2026-01-02</lastmod></url></urlset>"
+                ).encode(),
+                "application/xml",
+            )
+        elif self.path == "/sm-new.xml":
+            self._send(
+                (
+                    '<?xml version="1.0"?><urlset>'
+                    f"<url><loc>{base}/page-hot</loc>"
+                    "<lastmod>2026-08-15</lastmod></url>"
+                    f"<url><loc>{base}/page-cold</loc>"
+                    "<lastmod>2026-02-01</lastmod></url>"
+                    f"<url><loc>{base}/page-nolm</loc></url>"
+                    "</urlset>"
+                ).encode(),
+                "application/xml",
+            )
+        elif self.path in ("/", ""):
+            self._send(b"<html><head><title>R</title></head><body>r</body></html>")
+        else:
+            self._send(SIMPLE.format(t="Leaf").encode())
+
+    def log_message(self, *a):
+        pass
+
+
+def test_sitemap_lastmod_reingest(spark, tmp_path):
+    """Lastmod-aware re-ingest: a plain ingest admits everything; a
+    later changed-since pass (1) skips fetching the stale index child
+    entirely, (2) requeues EXACTLY the seen page whose lastmod is
+    newer than the date (not the cold page, not the no-lastmod page),
+    (3) is pending-safe (second pass requeues nothing while the row
+    sits in the frontier), and the requeued page is then re-fetched —
+    two docs rows, seen set untouched."""
+    from searchengine_spark.plans.crawl import CrawlDriver
+    from searchengine_spark.sources.http_fetch import HttpFetchAdapter
+
+    reqs: list = []
+    handler = type("_H", (_LmSitemapHandler,), {"requests": reqs})
+    srv = ThreadingHTTPServer(("", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        host = f"127.0.0.1:{port}"
+        drv = CrawlDriver(
+            spark,
+            str(tmp_path / "store"),
+            CrawlConfig(n_shards=4, politeness_rounds=1),
+            adapter=HttpFetchAdapter(timeout_s=3.0, pool_size=4),
+        )
+        drv.seed([f"http://{host}/"])
+        drv.run(1)
+        out = drv.ingest_sitemaps()  # plain: admits all 4 pages
+        assert out["new_urls"] == 4
+        drv.run(4, resume=True)  # politeness 1/host/round: drain them
+        docs_urls = [
+            r["url"] for r in drv.store.read("docs").select("url").collect()
+        ]
+        assert f"{host}/page-hot" in docs_urls
+        n_seen_before = drv.store.read("seen").count()
+
+        n_old_fetches = reqs.count("/sm-old.xml")
+        out2 = drv.ingest_sitemaps(changed_since="2026-06-01")
+        assert out2["requeued"] == 1  # page-hot only
+        assert out2["new_urls"] == 0  # everything already seen
+        # stale index child not re-fetched by the changed-since pass
+        assert reqs.count("/sm-old.xml") == n_old_fetches
+        # pending-safe: the row is in the frontier, a second pass no-ops
+        out3 = drv.ingest_sitemaps(changed_since="2026-06-01")
+        assert out3["requeued"] == 0
+
+        drv.run(1, resume=True)  # the one pending row: page-hot again
+        docs_urls = [
+            r["url"] for r in drv.store.read("docs").select("url").collect()
+        ]
+        assert docs_urls.count(f"{host}/page-hot") == 2
+        assert docs_urls.count(f"{host}/page-cold") == 1
+        assert docs_urls.count(f"{host}/page-nolm") == 1
+        assert drv.store.read("seen").count() == n_seen_before
+
+        # nothing newer than the far-future date -> no requeue
+        out4 = drv.ingest_sitemaps(changed_since="2026-12-31")
+        assert out4["requeued"] == 0
+    finally:
+        srv.shutdown()
+
+
 # ---------------------------------------------------------------------------
 # Anchor-boosted search over an HTTP-crawled store
 # ---------------------------------------------------------------------------
