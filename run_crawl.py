@@ -69,6 +69,13 @@ def main(argv=None, spark=None) -> int:
         "is needed)",
     )
     ap.add_argument(
+        "--recrawl-due", action="store_true",
+        help="before the rounds, run the composed freshness pass: derive "
+        "the change log from the store's fetch history, apply the "
+        "adaptive-recrawl backoff, and requeue every URL whose revisit "
+        "is due (decider + actuator in one transaction)",
+    )
+    ap.add_argument(
         "--priority", choices=["fifo", "depth"], default="fifo",
         help="frontier pick order: fifo = reference-parity "
         "(discovered_round, url_md5); depth = shallow-first priority "
@@ -205,6 +212,8 @@ def main(argv=None, spark=None) -> int:
         print(json.dumps({"evict": driver.evict_seen(args.evict_url)}))
     if args.requeue_url:
         print(json.dumps({"requeue": driver.requeue(args.requeue_url)}))
+    if args.recrawl_due:
+        print(json.dumps({"recrawl_due": driver.recrawl_due()}))
     for st in driver.run(args.rounds, resume=args.resume):
         print(
             json.dumps(

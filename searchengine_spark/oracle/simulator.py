@@ -216,6 +216,45 @@ def requeue(
     return n
 
 
+def recrawl_due(
+    state: SimState,
+    target_round: int,
+    cfg: CrawlConfig,
+    max_interval: int = 16,
+) -> int:
+    """Composed-freshness twin of CrawlDriver.recrawl_due: derive the
+    change-observation log from the fetch history (state.docs holds one
+    row per successful fetch), apply the Cho backoff closed form per
+    key, and requeue the keys due by `target_round`.
+
+    Synthetic content is a pure function of the URL, so a re-fetch
+    never observes a change: the last change is always observation 1
+    (the first sighting) and interval = min(2^(n_obs - 1),
+    max_interval), due when last_fetch_round + interval <= target.
+    Requeue semantics (seen untouched; pending keys skipped) match
+    `requeue` exactly."""
+    obs: dict[str, list[int]] = {}
+    urls: dict[str, str] = {}
+    for md5, url, r, _seq in state.docs:
+        obs.setdefault(md5, []).append(r)
+        urls[md5] = url
+    n = 0
+    for md5 in obs:
+        rounds = obs[md5]
+        interval = min(2 ** (len(rounds) - 1), max_interval)
+        if rounds[-1] + interval > target_round:
+            continue
+        if md5 not in state.seen or md5 in state.frontier:
+            continue
+        c = _normalize(urls[md5], cfg)
+        if c is None:
+            continue
+        url, _md5, host, shard = c
+        state.frontier[md5] = (url, host, shard, target_round)
+        n += 1
+    return n
+
+
 def simulate(seed_urls: list[str], n_rounds: int, cfg: CrawlConfig) -> SimState:
     state = SimState()
     seed(state, seed_urls, cfg)

@@ -704,6 +704,104 @@ class CrawlDriver:
         eligible.unpersist()
         return {"requested": len(urls), "requeued": n_requeued}
 
+    def recrawl_due(
+        self, target_round: int | None = None, max_interval: int = 16
+    ) -> dict:
+        """The composed freshness loop: DECIDER + ACTUATOR in one
+        maintenance transaction. The change-observation log is derived
+        from the store's own fetch history (docs rows are per-fetch
+        appends; observation fingerprint = md5 of the spans JSON, so a
+        re-fetch that returned different content counts as a change),
+        the Cho & Garcia-Molina backoff closed form from
+        operators/recrawl.py runs per key — first sighting counts as a
+        change, the revisit interval doubles per unchanged
+        RE-observation, capped at `max_interval` — and every key whose
+        next fetch is due by `target_round` (default: the next round)
+        is REQUEUED with `requeue`'s exact semantics: seen untouched,
+        already-pending keys skipped. Byte-equal twin:
+        oracle/simulator.recrawl_due (tests/test_cuckoo.py).
+
+        Unlike the catalog form (which observes every round), the
+        store's log is sparse — a key is only observed when fetched —
+        so the backoff counts OBSERVATIONS, not elapsed rounds: the
+        honest reading of the policy when you control the sampling.
+        Scale shape: one key-partitioned window over the docs history
+        (ordered by (round, seq_in_round), unique per key) + one
+        groupBy(url_md5) + the frontier anti-join — no driver-side
+        history walk."""
+        from pyspark.sql import Window
+
+        from searchengine_spark.operators.frontier import with_storage_bucket
+
+        target = self.last_round + 1 if target_round is None else target_round
+        pinned = self._pinned_versions()
+        docs = self.store.read("docs", pinned["docs"])
+        frontier = self.store.read("frontier", pinned["frontier"]).drop(
+            "storage_bucket"
+        )
+        seen = self.store.read("seen", pinned["seen"])
+        w = Window.partitionBy("url_md5").orderBy("round", "seq_in_round")
+        fp = F.md5(F.to_json(F.col("spans")))
+        o = (
+            docs.select(
+                "url_md5", "url", "host", "shard", "round", fp.alias("_fp"),
+                "seq_in_round",
+            )
+            .withColumn("_idx", F.row_number().over(w))
+            .withColumn(
+                "_chg",
+                F.when(
+                    F.lag("_fp").over(w).isNull()
+                    | (F.col("_fp") != F.lag("_fp").over(w)),
+                    F.lit(1),
+                ).otherwise(F.lit(0)),
+            )
+        )
+        agg = o.groupBy("url_md5").agg(
+            F.max("_idx").alias("_n_obs"),
+            F.max(F.col("_idx") * F.col("_chg")).alias("_last_chg"),
+            F.max("round").alias("_last_round"),
+            F.max("url").alias("url"),
+            F.max("host").alias("host"),
+            F.max("shard").alias("shard"),
+        )
+        interval = F.least(
+            F.expr(
+                "cast(shiftleft(1, cast(_n_obs - _last_chg as int)) as bigint)"
+            ),
+            F.lit(max_interval).cast("long"),
+        )
+        due = agg.where((F.col("_last_round") + interval) <= F.lit(target))
+        eligible = (
+            due.join(seen.select("url_md5"), "url_md5", "left_semi")
+            .join(frontier.select("url_md5"), "url_md5", "left_anti")
+            .select(
+                "url",
+                "url_md5",
+                "host",
+                "shard",
+                F.lit(target).cast("int").alias("discovered_round"),
+            )
+            .cache()
+        )
+        n_due = due.count()
+        n_requeued = eligible.count()
+        meta = {"round": self.last_round, "recrawl_due": True}
+        versions = dict(pinned)
+        versions["frontier"] = self.store.commit(
+            "frontier",
+            with_storage_bucket(frontier.unionByName(eligible)),
+            partition_by=["storage_bucket"],
+            meta=meta,
+        )
+        self.store.commit_manifest(self.last_round, versions)
+        eligible.unpersist()
+        return {
+            "due": n_due,
+            "requeued": n_requeued,
+            "target_round": target,
+        }
+
     # -- one round ---------------------------------------------------------------
 
     def run_round(self, round_no: int) -> RoundStats:

@@ -331,3 +331,50 @@ def test_requeue_guaranteed_refetch_byte_equal(spark, tmp_path_factory):
     ]
     assert got == state.fetch_log
     assert {r["url_md5"] for r in d.seen_set().collect()} == state.seen
+
+
+def test_recrawl_due_composed_freshness_byte_equal(spark, tmp_path_factory):
+    """recrawl_due (the DECIDER + ACTUATOR composition: change log
+    derived from the store's own fetch history, Cho backoff closed
+    form, requeue of due keys) stays byte-equal to its simulator twin
+    across two passes, and the backoff actually backs off: after a key
+    is re-observed unchanged its interval doubles, so an immediate
+    second pass at the same target requeues nothing."""
+    from collections import Counter
+
+    state = sim.SimState()
+    sim.seed(state, SEEDS, CFG)
+    for r in range(2):
+        sim.run_round(state, r, CFG)
+    n1 = sim.recrawl_due(state, 2, CFG)
+    assert n1 > 0  # every once-fetched key has interval 1 -> due
+    assert sim.recrawl_due(state, 2, CFG) == 0  # all pending now
+    for r in range(2, 5):
+        sim.run_round(state, r, CFG)
+    # keys re-observed unchanged carry interval 2 from their re-fetch
+    n2 = sim.recrawl_due(state, 5, CFG)
+    for r in range(5, 7):
+        sim.run_round(state, r, CFG)
+
+    root = str(tmp_path_factory.mktemp("recrawl_due"))
+    d = CrawlDriver(spark, root, CFG)
+    d.seed(SEEDS)
+    d.run(2)
+    out1 = d.recrawl_due()
+    assert out1["requeued"] == n1 and out1["target_round"] == 2
+    out1b = d.recrawl_due()
+    assert out1b["requeued"] == 0  # pending-safe, matches the twin
+    d.run(3, resume=True)
+    out2 = d.recrawl_due()
+    assert out2["requeued"] == n2 and out2["target_round"] == 5
+    d.run(2, resume=True)
+
+    got = [
+        (r["round"], r["seq_in_round"], r["url"], r["host"])
+        for r in d.fetch_log().collect()
+    ]
+    assert got == state.fetch_log
+    assert {r["url_md5"] for r in d.seen_set().collect()} == state.seen
+    # the loop actually re-fetched: some key has >= 2 observations
+    counts = Counter(u for (_, _, u, _) in state.fetch_log)
+    assert max(counts.values()) >= 2
