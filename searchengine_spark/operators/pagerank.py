@@ -29,7 +29,7 @@ def link_pairs(docs: DataFrame) -> DataFrame:
     persist them per crawl round and never re-parse old spans. The
     target-EXISTENCE semi-join (J2) is deliberately not here — new
     crawl rounds legitimately turn old pairs into live edges."""
-    from searchengine_spark.functions.urls import canonicalize_expr, url_md5_expr
+    from searchengine_spark.functions.urls import canonicalize_udf, url_md5_expr
 
     raw = docs.select(
         F.col("url_md5").alias("src"),
@@ -42,7 +42,14 @@ def link_pairs(docs: DataFrame) -> DataFrame:
             )
         ).alias("raw_target"),
     )
-    tgt = raw.withColumn("_c", canonicalize_expr("raw_target")).where(
+    # canonicalize via the Arrow kernel, NOT canonicalize_expr: the
+    # expr chain fused into the downstream distinct()'s hashAgg blows
+    # janino's 64 KB method cap (Spark logs ONE CodeGenerator ERROR and
+    # silently runs the whole stage interpreted — found 2026-08-19 on
+    # the SearchService refresh path, invisible to the catalog codegen
+    # sweep because catalog pagerank queries use synthetic edges).
+    # Kernel ≡ expr row-equal is pinned by tests/test_urls.py.
+    tgt = raw.withColumn("_c", canonicalize_udf(F.col("raw_target"))).where(
         F.col("_c").isNotNull()
     )
     return tgt.select("src", url_md5_expr("_c").alias("dst")).where(

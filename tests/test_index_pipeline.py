@@ -461,3 +461,24 @@ def test_anchor_index_persistence_and_freshness(crawled, spark):
         for r in SearchService(crawled.store).anchor_index().collect()
     }
     assert rebuilt == baseline
+
+
+def test_index_path_stays_whole_stage_codegen(crawled, spark):
+    """The refresh path must compile: with codegen fallback DISABLED a
+    janino 64 KB overflow raises instead of silently running the stage
+    interpreted (Spark logs one ERROR otherwise — the CLAUDE.md trap).
+    Found live 2026-08-19: link_pairs' canonicalize_expr chain fused
+    into the edge distinct()'s hashAgg overflowed on every
+    SearchService refresh, invisible to the catalog codegen sweep
+    because catalog pagerank queries use synthetic edges. Pinned here
+    on the real crawl-store shape so it cannot regress."""
+    from searchengine_spark.plans import index_pipeline as IP
+
+    docs = crawled.store.read("docs")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        IP.rank_docs(docs).collect()
+        IP.build_index(docs).collect()
+        IP.build_token_index(docs).collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
