@@ -634,6 +634,63 @@ def _run_level(n: int, urls: str) -> dict:
     return json.loads(lines[-1])
 
 
+def run_size_sweep() -> None:
+    """Data-size (weak-scaling) evidence for the 10^10 extrapolation:
+    the SAME crawl round at fixed local[32] over frontiers that grow
+    4x per step (default 3M -> 12M -> 48M URLs; hosts and the seen set
+    grow with the frontier, so per-round state is 16x bigger at the top
+    level). If cost were superlinear in state size (a frontier-wide
+    sort, an unprefixed seen join, a collect) the per-page wall would
+    climb with size; a flat pages/s across the sweep is direct evidence
+    the round costs O(batch) work per fetched page regardless of how
+    big the crawl state has grown. Appends one row per level to
+    BENCH/size_sweep.jsonl and prints a summary JSON line."""
+    sizes = [
+        int(s)
+        for s in os.environ.get(
+            "BENCH_SWEEP_URLS", "3000000,12000000,48000000"
+        ).split(",")
+    ]
+    repeats = int(os.environ.get("BENCH_REPEATS", "1"))
+    log = os.path.join(REPO, "BENCH", "size_sweep.jsonl")
+    os.makedirs(os.path.dirname(log), exist_ok=True)
+    session_ts = time.strftime("%Y-%m-%dT%H:%M:%S")
+    summary = {}
+    for n in sizes:
+        best = None
+        for _ in range(repeats):
+            r = _run_level(32, str(n))
+            if best is None or r["pages_per_sec"] > best["pages_per_sec"]:
+                best = r
+        row = {
+            "session": session_ts,
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            "frontier_urls": n,
+            "pages_fetched": best["round_fetched"],
+            "round_wall_sec": best["queries"]["crawl_round"],
+            "pages_per_sec": best["pages_per_sec"],
+            "us_per_page": round(1e6 / best["pages_per_sec"], 2),
+            "load_1m_start": best.get("load_1m_start"),
+            "cpu_canary": best.get("cpu_canary"),
+        }
+        with open(log, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        summary[n] = {
+            "pages_per_sec": row["pages_per_sec"],
+            "us_per_page": row["us_per_page"],
+        }
+        print(f"size-sweep level {n:,} done: {row['pages_per_sec']:,} pages/s",
+              file=sys.stderr)
+    base = summary[sizes[0]]["us_per_page"]
+    print(json.dumps({
+        "metric": "frontier_size_sweep_us_per_page",
+        "levels": summary,
+        "per_page_cost_ratio_vs_smallest": {
+            n: round(summary[n]["us_per_page"] / base, 3) for n in sizes
+        },
+    }))
+
+
 def run_scaling(sf_dir: str = SF_DIR) -> None:
     """Same crawl round at N and 4N parallelism (two pairs: 2->8 and
     8->32), fresh subprocess per level, warm-up inside each run.
@@ -796,6 +853,8 @@ Ingest-only pipeline (canonicalize+dedup+anti-join+schedule, no fetch):
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--size-sweep" in sys.argv:
+        run_size_sweep()
     else:
         master = os.environ.get("BENCH_MASTER")
         print(json.dumps(run_suite(master=master)))
