@@ -268,8 +268,17 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
     the result is bit-deterministic across partition layouts); a
     lone-max division is the only float step. Overflow bound: scores
     grow as ≲ (d_max)^(2·iters)·|V| paths — far inside int64 for
-    web-ish degrees at the default 3 sweeps; raise `iters` only with
-    that bound in mind (documented, not silently clamped).
+    web-ish degrees at the default 3 sweeps. Past the documented safe
+    depth (iters > 8) a one-sided tripwire runs: path counts are
+    nonnegative by construction, so a negative score PROVES int64 wrap
+    (non-ANSI sums wrap like Java longs) and raises ArithmeticError.
+    One-sided means a wrap can also land positive and slip through
+    (e.g. d=15 wraps positive at iters=9, provably negative at 10) —
+    the check costs one tiny agg over the checkpointed scores and
+    turns the likeliest silent corruption into a hard error; callers
+    needing deep sweeps should normalize per sweep instead (loses the
+    exact-integer property). The default-depth path (iters ≤ 8) is
+    untouched — zero extra jobs.
 
     edges: (src, dst), pre-deduped. Returns (node, authority, hub)
     rounded to 6 dp; a graph with no edges yields empty.
@@ -302,6 +311,23 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
             "node", F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("h")
         )
     scores = nodes.join(a, "node", "left").join(h, "node", "left")
+    if iters > 8:
+        # Checkpoint so the overflow probe and the final read share one
+        # evaluation of the deep iterative plan (same pattern as the
+        # tol-mode pagerank loop).
+        scores = scores.localCheckpoint(eager=True)
+        lo = scores.agg(
+            F.min("a").alias("_amin"), F.min("h").alias("_hmin")
+        ).first()
+        if (lo["_amin"] is not None and lo["_amin"] < 0) or (
+            lo["_hmin"] is not None and lo["_hmin"] < 0
+        ):
+            raise ArithmeticError(
+                f"hits(iters={iters}): negative path count — int64 "
+                "overflow in the unnormalized sweeps (bound ≲ "
+                "d_max^(2·iters)·|V|). Lower iters or normalize per "
+                "sweep."
+            )
     mx = scores.agg(
         F.max("a").cast("long").alias("_amax"),
         F.max("h").cast("long").alias("_hmax"),

@@ -259,6 +259,28 @@ def test_hits_hand_computed(spark):
     assert out["c"][1] == 0.0  # c links nowhere
 
 
+def test_hits_deep_sweep_overflow_tripwire(spark):
+    """Past the documented safe depth (iters > 8), a proven int64 wrap
+    (negative path count — counts are nonnegative by construction)
+    raises instead of silently normalizing garbage. Fixture: complete
+    digraph on 16 nodes (d_max = 15); the uniform scores are exactly
+    15^(2t-1)/15^(2t), which wrap NEGATIVE first at t = 10 (at t = 9
+    they have already wrapped but land positive — the tripwire is
+    one-sided by design, documented in the hits docstring)."""
+    n = 16
+    rows = [(f"n{i}", f"n{j}") for i in range(n) for j in range(n) if i != j]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    with pytest.raises(ArithmeticError, match="overflow"):
+        PR.hits(edges, iters=10)
+    # the guard does not fire on a deep sweep that stays in range:
+    # 3 nodes in a cycle keep every count at 1 forever
+    ring = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    out = {r["node"]: r["authority"] for r in PR.hits(ring, iters=10).collect()}
+    assert out == {"a": 1.0, "b": 1.0, "c": 1.0}
+
+
 def test_edges_from_docs_semi_join(spark):
     from searchengine_spark.functions.urls import url_md5_py
 
