@@ -171,6 +171,14 @@ def admit_host_caps(
     from a cached count) picks the plan adaptively: at or below
     ADMISSION_SINGLE_TASK_MAX the direct single-window form runs — the
     skew machinery is pure fixed cost when every host fits one task.
+
+    Broadcast policy for `remaining` is the same as schedule_round's
+    hosts dim: no forced hint — AQE auto-broadcasts the projection of
+    the parquet-backed hosts table while it measures small, and falls
+    back to a host-keyed shuffle at open-web host counts (~10^8 rows,
+    where a forced broadcast would serially collect GBs on the
+    driver). Candidates shuffle by host for the admission windows
+    regardless, so the shuffled-join fallback adds no extra exchange.
     """
     order = [F.col(c) for c in order_cols]
     if n_candidates is not None and n_candidates <= ADMISSION_SINGLE_TASK_MAX:
@@ -214,7 +222,7 @@ def apply_host_caps(candidates: DataFrame, hosts: DataFrame, cfg: CrawlConfig) -
     )
     return admit_host_caps(
         candidates,
-        F.broadcast(quota),
+        quota,
         cfg.max_urls_per_host,
         order_cols=("url_md5",),
     )

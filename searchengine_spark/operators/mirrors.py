@@ -17,8 +17,11 @@ Scale shape (100 TB): one shuffle keyed on the content fingerprint
 fingerprint bucket is bounded by ``max_hosts_per_hash`` (a fingerprint
 carried by more hosts than that is boilerplate — an empty page, a
 navigation stub — and is dropped, the same df-cap discipline as
-dedup.repeated_spans); host sizes are a tiny dimension aggregate
-broadcast back onto the pairs. Never an all-pairs host product. The
+dedup.repeated_spans); host sizes join back onto the pairs with NO
+forced broadcast — the per-host aggregate is unbounded (~10^8 hosts
+on the open web, too big for a driver broadcast), so AQE picks
+broadcast when it measures small and a uniform host-keyed shuffle
+otherwise. Never an all-pairs host product. The
 fingerprint is the full md5 hex (exact); a deployment squeezing
 shuffle bytes can swap in hash60 at ~17 expected collisions per 10^10
 pages, which containment thresholds don't feel.
@@ -90,18 +93,14 @@ def mirror_pairs(
     )
     return (
         shared.join(
-            F.broadcast(
-                sizes.select(
-                    F.col("host").alias("host_a"), F.col("n_pages").alias("n_a")
-                )
+            sizes.select(
+                F.col("host").alias("host_a"), F.col("n_pages").alias("n_a")
             ),
             "host_a",
         )
         .join(
-            F.broadcast(
-                sizes.select(
-                    F.col("host").alias("host_b"), F.col("n_pages").alias("n_b")
-                )
+            sizes.select(
+                F.col("host").alias("host_b"), F.col("n_pages").alias("n_b")
             ),
             "host_b",
         )

@@ -478,9 +478,12 @@ class CrawlDriver:
             (F.lit(cfg.max_urls_per_host) - F.col("url_count")).alias("_rem"),
         )
         n_cand = cand.count()
+        # no forced broadcast: remaining spans the FULL hosts table
+        # (admit_host_caps docstring — AQE broadcasts while small,
+        # shuffles at open-web host counts)
         admitted = admit_host_caps(
             cand,
-            F.broadcast(remaining),
+            remaining,
             cfg.max_urls_per_host,
             n_candidates=n_cand,
         )
@@ -936,9 +939,12 @@ class CrawlDriver:
         # bounded-window plan above ADMISSION_SINGLE_TASK_MAX — identical
         # admitted set either way (frontier.admit_host_caps)
         n_cand = cand.count()
+        # no forced broadcast: remaining spans the FULL hosts table
+        # (admit_host_caps docstring — AQE broadcasts while small,
+        # shuffles at open-web host counts)
         admitted = admit_host_caps(
             cand,
-            F.broadcast(remaining),
+            remaining,
             cfg.max_urls_per_host,
             n_candidates=n_cand,
         )
