@@ -62,8 +62,11 @@ def _attr(attrs: str, name: str) -> str | None:
     return None
 
 
-def extract_spans_py(html: str) -> list[dict]:
-    """Pure-Python span extractor (shared by the UDF and the test oracle)."""
+def _extract_spans_ref_py(html: str) -> list[dict]:
+    """REFERENCE span extractor — the original, closure-per-call form.
+    Kept verbatim as the semantic anchor: the optimized
+    :func:`extract_spans_py` below is pinned row-equal to this by
+    tests/test_spans.py::test_extract_spans_fast_matches_reference."""
     h = _COMMENT_RE.sub("", html)
     h = _SCRIPT_RE.sub("", h)
     h = _STYLE_RE.sub("", h)
@@ -117,6 +120,109 @@ def extract_spans_py(html: str) -> list[dict]:
                     push("link", None, href)
         pos = m.end()
     flush_text()
+    return spans
+
+
+def extract_spans_py(html: str) -> list[dict]:
+    """Pure-Python span extractor (shared by the UDF and the test
+    oracle). Output-identical to :func:`_extract_spans_ref_py` (pinned
+    by test); r6-optimized for the crawl hot loop — this runs once per
+    fetched page:
+
+    * the comment/script/style subs only run when their marker occurs
+      (three substring probes are ~C-speed; the subs scan thrice);
+    * one `finditer` pass instead of repeated `.search(pos)` calls
+      (matches inside a skipped <title> body are dropped by a pos
+      check, preserving the reference's jump semantics);
+    * no per-call closures; locals bound once per page.
+    """
+    h = html
+    if "<!--" in h:
+        h = _COMMENT_RE.sub("", h)
+    hl = h.lower()
+    if "<script" in hl:
+        h = _SCRIPT_RE.sub("", h)
+        hl = h.lower()
+    if "<style" in hl:
+        h = _STYLE_RE.sub("", h)
+
+    spans: list[dict] = []
+    off = 0
+    pos = 0
+    pending: list[str] = []
+    ws_sub = _WS_RE.sub
+    block = _BLOCK_TAGS
+    for m in _TAG_RE.finditer(h):
+        start = m.start()
+        if start < pos:  # inside a consumed <title>...</title> body
+            continue
+        closing, name, attrs = m.group(1), m.group(2).lower(), m.group(3)
+        is_block = name in block
+        special = not closing and name in ("title", "meta", "img", "a")
+        if is_block or special:
+            pending.append(h[pos:start])
+            txt = ws_sub(" ", "".join(pending)).strip()
+            pending.clear()
+            if txt:
+                spans.append(
+                    {"kind": "text", "text": txt, "media_ref": None, "offset": off}
+                )
+                off += 1
+        else:
+            pending.append(h[pos:start])
+        if special:
+            if name == "title":
+                t = _TITLE_RE.match(h, start)
+                if t:
+                    title = ws_sub(" ", t.group(1)).strip()[:MAX_TITLE_LEN]
+                    spans.append(
+                        {
+                            "kind": "title",
+                            "text": title,
+                            "media_ref": None,
+                            "offset": off,
+                        }
+                    )
+                    off += 1
+                    pos = t.end()
+                    continue
+            elif name == "meta":
+                spans.append(
+                    {
+                        "kind": "meta",
+                        "text": None,
+                        "media_ref": _attr(attrs, "content"),
+                        "offset": off,
+                    }
+                )
+                off += 1
+            elif name == "img":
+                spans.append(
+                    {
+                        "kind": "media",
+                        "text": None,
+                        "media_ref": _attr(attrs, "src"),
+                        "offset": off,
+                    }
+                )
+                off += 1
+            else:  # <a ...>
+                href = _attr(attrs, "href")
+                if href is not None:
+                    spans.append(
+                        {
+                            "kind": "link",
+                            "text": None,
+                            "media_ref": href,
+                            "offset": off,
+                        }
+                    )
+                    off += 1
+        pos = m.end()
+    pending.append(h[pos:])
+    txt = ws_sub(" ", "".join(pending)).strip()
+    if txt:
+        spans.append({"kind": "text", "text": txt, "media_ref": None, "offset": off})
     return spans
 
 

@@ -177,12 +177,16 @@ def merge_anchor_contributions(base: DataFrame) -> DataFrame:
     appended deltas) into the served index shape — row-equal to
     :func:`anchor_terms` over the union of the source docs (pinned by
     tests/test_anchors.py): SUM of counts is the total context
-    occurrences, countDistinct(src_doc) is exact because the base keeps
-    source granularity.  One (target_md5, term) hash aggregation — the
-    same single shuffle as the one-shot build, minus the text parse."""
+    occurrences, and (src_doc, target_md5, term) is UNIQUE in the base
+    — each delta is grouped on exactly that key and docs are
+    append-only (a source doc lands in one delta, ever) — so the
+    distinct source count is a plain count(*): no countDistinct
+    expand, one map-side-combinable (target_md5, term) aggregation —
+    the same single shuffle as the one-shot build, minus the text
+    parse."""
     return base.groupBy("target_md5", "term").agg(
         F.sum("anchor_count").cast("bigint").alias("anchor_count"),
-        F.countDistinct("src_doc").cast("bigint").alias("n_source_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_source_docs"),
     )
 
 

@@ -18,7 +18,14 @@ shuffle to verify candidate pairs — never an all-pairs product.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
+# DataType objects, not DDL strings: string return types parse via the
+# active SparkContext and would make this module import-order-dependent
+from pyspark.sql import types as _T
 
 
 N_MINHASH = 8
@@ -55,21 +62,57 @@ def _mh_window_sql(md5_expr: str, i: int) -> str:
     return f"(('0x' || substr({md5_expr}, {2 * i + 1}, 15))::BIGINT)"
 
 
+def _minhash_sig_batch(elem_arrays: pd.Series) -> pd.Series:
+    """Arrow kernel twin of the native signature columns: per row, md5
+    each element string once, mh_i = min over elements of the i-th
+    60-bit digest window (hex chars [2i, 2i+15) == digest bytes
+    [i, i+8) >> 4). Returns the N_MINHASH values as one array<long>.
+
+    Guide §4.2 rationale: the native form is N_MINHASH interpreted
+    ``transform`` passes (conv+substring per element per window); here
+    each element hashes once per batch (pure-function dict memo, task-
+    local) and the windows are byte slices of the digest. Bit-equal to
+    minhash_signature_sql, pinned by
+    tests/test_operators.py::test_minhash_udf_matches_expr."""
+    cache: dict[str, list[int]] = {}
+    out = []
+    for arr in elem_arrays:
+        if arr is None:
+            out.append(None)
+            continue
+        mins = [None] * N_MINHASH
+        for s in arr:
+            wins = cache.get(s)
+            if wins is None:
+                d = hashlib.md5(s.encode("utf-8")).digest()
+                wins = [
+                    int.from_bytes(d[i : i + 8], "big") >> 4
+                    for i in range(N_MINHASH)
+                ]
+                cache[s] = wins
+            for i in range(N_MINHASH):
+                m = mins[i]
+                if m is None or wins[i] < m:
+                    mins[i] = wins[i]
+        out.append(mins)
+    return pd.Series(out)
+
+
+minhash_sig_udf = F.pandas_udf(
+    _minhash_sig_batch, _T.ArrayType(_T.LongType())
+)
+
+
 def minhash_signature(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """doc_id + mh_0..mh_{N-1}: element hashed ONCE (md5), the N
-    permutations read N overlapping 60-bit windows of the digest.
-
-    Pure native expressions (md5+conv inside `transform`) — runs in the
-    JVM with whole-stage codegen, no Python, one digest per element.
-    """
+    permutations read N overlapping 60-bit windows of the digest —
+    via the Arrow kernel (minhash_sig_udf); the native expr path
+    (`_window_of`) and the SQL twin stay the semantic anchors."""
     words = _word_set(text_col)
-    out = docs.select("doc_id", F.transform(words, lambda w: F.md5(w)).alias("_h"))
+    out = docs.select("doc_id", minhash_sig_udf(words).alias("_mh"))
     for i in range(N_MINHASH):
-        out = out.withColumn(
-            f"mh_{i}",
-            F.array_min(F.transform("_h", _window_of(i))),
-        )
-    return out.drop("_h")
+        out = out.withColumn(f"mh_{i}", F.element_at("_mh", i + 1))
+    return out.drop("_mh")
 
 
 def _window_of(i: int):
@@ -116,7 +159,9 @@ def jaccard_verify(
         pairs.join(w.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("wset", "wa"), "doc_a")
         .join(w.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("wset", "wb"), "doc_b")
         .withColumn("_i", F.size(F.array_intersect("wa", "wb")))
-        .withColumn("_u", F.size(F.array_union("wa", "wb")))
+        # |A∪B| = |A|+|B|-|A∩B| over the distinct word-set arrays — no
+        # per-pair union array materialization
+        .withColumn("_u", F.size("wa") + F.size("wb") - F.col("_i"))
         .withColumn("jaccard", F.round(F.col("_i") / F.col("_u"), 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -211,10 +256,56 @@ def simhash_sql(text: str) -> str:
     return f"printf('%08x%08x', {half(1)}, {half(9)})"
 
 
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Arrow kernel twin of :func:`simhash_expr` — bit-identical output
+    (pinned by tests/test_operators.py::test_simhash_udf_matches_expr).
+
+    Why it exists (optimization guide §4.2): the native form is a
+    64-branch higher-order ``aggregate`` per word — interpreted
+    per-element Catalyst eval, no codegen for HOF lambdas — measured
+    ~1.4 ms/doc at bench scale. Here each distinct word hashes once
+    per batch (dict memo — pure-function memo within one task, no
+    cross-run state) and the 64 bit votes are one numpy add."""
+    shifts = np.arange(32, dtype=np.uint64)
+    packs = 1 << np.arange(32, dtype=np.int64)
+    cache: dict[str, np.ndarray] = {}
+    out = []
+    for t in texts:
+        if t is None:
+            # expr twin: aggregate(NULL array) -> NULL votes -> both
+            # when-sums take the otherwise(0) branch
+            out.append("0000000000000000")
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for w in set(t.split(" ")):
+            bits = cache.get(w)
+            if bits is None:
+                d = hashlib.md5(("sh|" + w).encode("utf-8")).hexdigest()
+                hi = np.uint64(int(d[0:8], 16))
+                lo = np.uint64(int(d[8:16], 16))
+                b = np.empty(64, dtype=np.int64)
+                b[:32] = ((hi >> shifts) & np.uint64(1)).astype(np.int64)
+                b[32:] = ((lo >> shifts) & np.uint64(1)).astype(np.int64)
+                bits = 2 * b - 1
+                cache[w] = bits
+            votes += bits
+        pos = votes > 0
+        hi_val = int(pos[:32].dot(packs))
+        lo_val = int(pos[32:].dot(packs))
+        out.append(f"{hi_val:08x}{lo_val:08x}")
+    return pd.Series(out)
+
+
+simhash_udf = F.pandas_udf(_simhash_batch, _T.StringType())
+
+
 def simhash_dup_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Docs sharing an identical simhash — near-dup buckets."""
+    """Docs sharing an identical simhash — near-dup buckets.
+
+    Signature column via the Arrow kernel (simhash_udf); the native
+    expr/SQL twins stay the cross-engine semantic anchors."""
     return (
-        docs.withColumn("simhash", simhash_expr(text_col))
+        docs.withColumn("simhash", simhash_udf(F.col(text_col)))
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .where(F.col("n_docs") > 1)
@@ -348,6 +439,36 @@ def dup_groups(
 SPAN_WINDOW = 6  # tokens per fingerprint window (dedup unit)
 
 
+def _span_hashes_batch(texts: pd.Series) -> pd.Series:
+    """Arrow kernel twin of the native window-fingerprint array in
+    :func:`repeated_spans`: split on ' ', hash60 of each
+    SPAN_WINDOW-token window (hash60 == first 15 hex chars of md5 ==
+    first 7.5 digest bytes). NULL/short texts yield the empty array,
+    matching the native when().otherwise(empty) form. Pinned by
+    tests/test_operators.py::test_span_hashes_udf_matches_expr."""
+    out = []
+    for t in texts:
+        if t is None:
+            out.append([])
+            continue
+        toks = t.split(" ")
+        npos = len(toks) - SPAN_WINDOW + 1
+        if npos < 1:
+            out.append([])
+            continue
+        hs = []
+        for i in range(npos):
+            d = hashlib.md5(
+                " ".join(toks[i : i + SPAN_WINDOW]).encode("utf-8")
+            ).digest()
+            hs.append(int.from_bytes(d[0:8], "big") >> 4)
+        out.append(hs)
+    return pd.Series(out)
+
+
+span_hashes_udf = F.pandas_udf(_span_hashes_batch, _T.ArrayType(_T.LongType()))
+
+
 def repeated_spans(
     docs: DataFrame, window: int = SPAN_WINDOW, text_col: str = "text"
 ) -> DataFrame:
@@ -381,13 +502,18 @@ def repeated_spans(
 
     toks = F.split(F.col(text_col), " ")
     npos = F.size(toks) - window + 1  # windows in this doc
-    whashes = F.when(
-        npos >= 1,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(npos, F.lit(1))),
-            lambda i: hash60(F.array_join(F.slice(toks, i, window), " ")),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
+    if window == SPAN_WINDOW:
+        # hot path: Arrow kernel (one md5 per window, no interpreted
+        # slice/array_join/conv chain per window) — bit-equal by test
+        whashes = span_hashes_udf(F.col(text_col))
+    else:
+        whashes = F.when(
+            npos >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(npos, F.lit(1))),
+                lambda i: hash60(F.array_join(F.slice(toks, i, window), " ")),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
     wins = docs.select(
         "doc_id", F.posexplode(whashes).alias("p0", "whash")
     ).select(

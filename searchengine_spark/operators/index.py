@@ -450,18 +450,36 @@ def build_small_postings(postings: DataFrame, pos_col: str | None = None) -> Dat
     """A6: truncate terms to SMALLWORDSIZE bytes, keep the max-rank
     instance per (doc, short term); deterministic tie-break by term.
     Works over both the tf-postings (first_pos/tf/rank) and the
-    weighted dict (pos/rank) schemas."""
-    w = W.partitionBy("doc_id", "sterm").orderBy(F.desc("rank"), "term")
+    weighted dict (pos/rank) schemas.
+
+    Shape (r6): argmin-struct aggregate, not a row_number window — the
+    pick order (rank DESC, term ASC) becomes min(struct(-rank, term,
+    carry...)), which partial-aggregates map-side instead of
+    sort-shuffling every posting row. (doc_id, term) is unique in both
+    input schemas, so (-rank, term) already identifies one row and the
+    carried columns ride along unchanged."""
     carry = [
         c
         for c in ([pos_col] if pos_col else ["first_pos", "tf"])
         if c in postings.columns
     ]
+    pick = F.min(
+        F.struct(
+            (-F.col("rank")).alias("_nr"),
+            F.col("term").alias("_t"),
+            *[F.col(c).alias(c) for c in carry],
+        )
+    ).alias("_m")
     return (
         postings.withColumn("sterm", F.substring("term", 1, SMALLWORDSIZE))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("sterm", "doc_id", *carry, "rank")
+        .groupBy("doc_id", "sterm")
+        .agg(pick)
+        .select(
+            "sterm",
+            "doc_id",
+            *[F.col(f"_m.{c}").alias(c) for c in carry],
+            (-F.col("_m._nr")).alias("rank"),
+        )
     )
 
 

@@ -1098,7 +1098,6 @@ class CrawlDriver:
                 .alias("crawl_delay"),
             )
 
-        seen2 = seen.unionByName(new_rows.select("url_md5", "shard"))
         if cfg.use_bloom:
             delta = build_filter_blocks(new_rows.select("url_md5", "shard"), cfg)
             blocks2 = merge_filter_blocks(blocks, delta, cfg)
@@ -1147,23 +1146,65 @@ class CrawlDriver:
 
         meta = {"round": round_no}
         versions = dict(pinned)
-        versions["docs"] = self.store.commit(
-            "docs", docs_new, mode="append", meta=meta, base_version=pinned["docs"]
-        )
-        # fold long append chains INSIDE the round transaction (the
-        # manifest then pins the compacted version, so the next round
-        # chains from length 1; a crash mid-compaction leaves an
-        # unreferenced orphan — the round still commits on the chain)
-        if self.store.chain_length("docs", versions["docs"]) >= COMPACT_CHAIN:
-            versions["docs"] = self.store.compact("docs", versions["docs"])
-        versions["frontier"] = self.store.commit(
-            "frontier",
-            with_storage_bucket(frontier2),
-            partition_by=["storage_bucket"],
-            meta=meta,
-        )
-        versions["hosts"] = self.store.commit("hosts", hosts2, meta=meta)
-        versions["seen"] = self.store.commit("seen", seen2, meta=meta)
+
+        # r6: the four state commits are independent write jobs over
+        # already-cached round frames — run them on a driver thread
+        # pool so each job's straggler tail overlaps the next job's
+        # ramp-up (guide §2.6). Compaction stays INSIDE each table's
+        # task (the manifest then pins the compacted version, so the
+        # next round chains from length 1; a crash mid-compaction
+        # leaves an unreferenced orphan — the round still commits on
+        # the chain).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _commit_docs() -> int:
+            v = self.store.commit(
+                "docs", docs_new, mode="append", meta=meta,
+                base_version=pinned["docs"],
+            )
+            if self.store.chain_length("docs", v) >= COMPACT_CHAIN:
+                v = self.store.compact("docs", v)
+            return v
+
+        def _commit_frontier() -> int:
+            return self.store.commit(
+                "frontier",
+                with_storage_bucket(frontier2),
+                partition_by=["storage_bucket"],
+                meta=meta,
+            )
+
+        def _commit_hosts() -> int:
+            return self.store.commit("hosts", hosts2, meta=meta)
+
+        def _commit_seen() -> int:
+            # seen is append-only within a round (seen2 = seen ∪ new):
+            # fast-append the DELTA instead of rewriting the whole set —
+            # at a 10^10-URL seen set the old overwrite was an
+            # O(total)-bytes write per round for an O(new-URLs) change.
+            # Reads union the chain (same rows); eviction actuators
+            # still commit overwrite snapshots and the chain continues
+            # from there.
+            v = self.store.commit(
+                "seen",
+                new_rows.select("url_md5", "shard"),
+                mode="append",
+                meta=meta,
+                base_version=pinned["seen"],
+            )
+            if self.store.chain_length("seen", v) >= COMPACT_CHAIN:
+                v = self.store.compact("seen", v)
+            return v
+
+        with ThreadPoolExecutor(max_workers=4) as _pool:
+            _f = {
+                "docs": _pool.submit(_commit_docs),
+                "frontier": _pool.submit(_commit_frontier),
+                "hosts": _pool.submit(_commit_hosts),
+                "seen": _pool.submit(_commit_seen),
+            }
+            for _t, _fut in _f.items():
+                versions[_t] = _fut.result()
         # a round must NOT carry a filter version it did not refresh:
         # seen keeps growing, so a later resume under that structure
         # would trust a table that lags the pinned seen set and mark

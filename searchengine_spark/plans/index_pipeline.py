@@ -137,28 +137,75 @@ class SearchService:
         round (crash between the docs append and commit_manifest) the
         orphan snapshot holds duplicate rows — the manifest is the only
         cross-table commit point (same rule as CrawlDriver reads)."""
+        from searchengine_spark.sources.tables import spread_scan
+
         m = self.store.read_manifest()
         if m is not None and "docs" in m.get("versions", {}):
-            return self.store.read("docs", m["versions"]["docs"])
-        return self.store.read("docs")
+            docs = self.store.read("docs", m["versions"]["docs"])
+        else:
+            docs = self.store.read("docs")
+        # spread_scan: the docs snapshot of a small store packs into 1-2
+        # splits (openCost file packing), so the tokenize/anchor per-row
+        # chains of refresh() would run 1-2-way parallel (guide §2.5);
+        # no-op once the snapshot carries >= cores splits
+        return spread_scan(docs)
 
     def refresh(self) -> None:
+        # r6 optimization — same tables, same rows, fewer passes:
+        # * ONE tokenizer evaluation feeds both the postings build and
+        #   the tokens table (was: build_index + build_token_index each
+        #   re-tokenized the corpus);
+        # * the unsorted postings are persisted before the
+        #   repartitionByRange, so the range sampling pass re-reads the
+        #   cached rows instead of re-running tokenize+aggregate;
+        # * the four table commits are independent jobs — a small
+        #   driver thread pool overlaps each job's straggler tail with
+        #   the next job's ramp-up (optimization guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
+
         docs = self._docs_pinned()
-        self._postings = build_index(docs).cache()
+        sections = doc_sections(docs)
+        stream = tokenize_sections(sections, blocks_col="blocks").persist()
+        pr = rank_docs(docs).withColumnRenamed("url_md5", "doc_id")
+        unsorted = build_weighted_postings(
+            sections,
+            page_rank=pr,
+            blocks_col="blocks",
+            token_stream=stream,
+            sorted_output=False,
+        ).persist()
+        unsorted.count()  # materialize stream+unsorted once, up front
+        self._postings = (
+            unsorted.repartitionByRange(8, "term")
+            .sortWithinPartitions("term", "rank", "doc_id")
+            .cache()
+        )
         self._small = build_small_postings(self._postings, pos_col="pos").cache()
-        self._tokens = build_token_index(docs).cache()
+        self._tokens = stream.select("doc_id", "word", "position").cache()
         self._meta = docs.select(
             F.col("url_md5").alias("doc_id"), "url", "host"
         ).cache()
-        self.store.commit("postings", self._postings, meta={"kind": "index"})
-        self.store.commit("postings_small", self._small, meta={"kind": "index"})
-        self.store.commit("tokens", self._tokens, meta={"kind": "index"})
         self._anchors = self._build_anchor_index(docs).cache()
-        self.store.commit(
-            "anchors",
-            self._anchors,
-            meta={"kind": "index", "docs_version": self._docs_version()},
-        )
+        meta = {"kind": "index"}
+        a_meta = {"kind": "index", "docs_version": self._docs_version()}
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_post = pool.submit(
+                self.store.commit, "postings", self._postings, meta=meta
+            )
+            f_tok = pool.submit(
+                self.store.commit, "tokens", self._tokens, meta=meta
+            )
+            f_anc = pool.submit(
+                self.store.commit, "anchors", self._anchors, meta=a_meta
+            )
+            f_post.result()  # _small reads the materialized _postings cache
+            f_small = pool.submit(
+                self.store.commit, "postings_small", self._small, meta=meta
+            )
+            for f in (f_tok, f_anc, f_small):
+                f.result()
+        stream.unpersist()
+        unsorted.unpersist()
 
     def refresh_incremental(self) -> None:
         """Refresh by re-indexing ONLY crawl rounds newer than the last
@@ -212,6 +259,13 @@ class SearchService:
         m = docs.agg(F.max("round").alias("m")).first()["m"]
         max_round = -1 if m is None else int(m)
         new_rounds = (not have) or max_round > k
+        # All four base-delta commits are independent delta-sized jobs:
+        # overlap them on a driver thread pool (guide §2.6) so one
+        # job's straggler tail back-fills with the next job's ramp-up.
+        # Compaction checks run after, per table, exactly as before.
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs: list[tuple[str, DataFrame, str, dict]] = []
         if new_rounds:
             delta = docs.where(F.col("round") > F.lit(k)) if have else docs
             mode = "append" if have else "overwrite"
@@ -219,14 +273,11 @@ class SearchService:
             base_delta = build_weighted_postings(
                 doc_sections(delta), blocks_col="blocks", components=True
             )
-            self.store.commit("postings_base", base_delta, mode=mode, meta=meta)
-            self.store.commit(
-                "tokens_base", build_token_index(delta), mode=mode, meta=meta
-            )
-            self.store.commit("links_base", link_pairs(delta), mode=mode, meta=meta)
-            for t in ("postings_base", "tokens_base", "links_base"):
-                if self.store.chain_length(t) >= INDEX_COMPACT_CHAIN:
-                    self.store.compact(t)
+            jobs += [
+                ("postings_base", base_delta, mode, meta),
+                ("tokens_base", build_token_index(delta), mode, meta),
+                ("links_base", link_pairs(delta), mode, meta),
+            ]
         # Anchor base: same append-only split as postings_base — a source
         # doc's anchor contributions are a pure function of its own spans
         # (operators/anchors.anchor_contributions), so a round's delta is
@@ -242,14 +293,25 @@ class SearchService:
         )
         if (not a_have) or max_round > ak:
             a_delta = docs.where(F.col("round") > F.lit(ak)) if a_have else docs
-            self.store.commit(
-                "anchors_base",
-                self._anchor_contributions(a_delta),
-                mode="append" if a_have else "overwrite",
-                meta={"kind": "index_base", "indexed_round": max_round},
+            jobs.append(
+                (
+                    "anchors_base",
+                    self._anchor_contributions(a_delta),
+                    "append" if a_have else "overwrite",
+                    {"kind": "index_base", "indexed_round": max_round},
+                )
             )
-            if self.store.chain_length("anchors_base") >= INDEX_COMPACT_CHAIN:
-                self.store.compact("anchors_base")
+        if jobs:
+            with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
+                futs = [
+                    pool.submit(self.store.commit, t, df, mode=m, meta=me)
+                    for t, df, m, me in jobs
+                ]
+                for f in futs:
+                    f.result()
+            for t, _df, _m, _me in jobs:
+                if self.store.chain_length(t) >= INDEX_COMPACT_CHAIN:
+                    self.store.compact(t)
         pr_round = int(self.store.pointer_meta("doc_pr").get("indexed_round", -2))
         if new_rounds or pr_round != max_round:
             edges = edges_from_links(self.store.read("links_base"), docs)
@@ -269,15 +331,6 @@ class SearchService:
         small_round = int(
             self.store.pointer_meta("postings_small").get("indexed_round", -2)
         )
-        if small_round != max_round:
-            self._small = build_small_postings(self._postings, pos_col="pos").cache()
-            self.store.commit(
-                "postings_small",
-                self._small,
-                meta={"kind": "index", "indexed_round": max_round},
-            )
-        else:
-            self._small = self.store.read("postings_small").cache()
         self._tokens = self.store.read("tokens_base").cache()
         self._meta = docs.select(
             F.col("url_md5").alias("doc_id"), "url", "host"
@@ -287,6 +340,9 @@ class SearchService:
         # single shuffle as the one-shot build, no text re-parse), and
         # persist under the SAME docs_version freshness key refresh()
         # uses so anchor_index()/search_anchors serve it unchanged.
+        # The small-dict re-pick and the anchor re-merge are independent
+        # jobs — overlapped on the same §2.6 pool pattern as the base
+        # commits above.
         from searchengine_spark.operators.anchors import merge_anchor_contributions
 
         v = self._docs_version()
@@ -295,17 +351,38 @@ class SearchService:
             and self.store.exists("anchors")
             and self.store.pointer_meta("anchors").get("docs_version") == v
         )
-        if anchors_fresh:
-            self._anchors = self.store.read("anchors").cache()
-        else:
-            self._anchors = merge_anchor_contributions(
-                self.store.read("anchors_base")
-            ).cache()
-            self.store.commit(
-                "anchors",
-                self._anchors,
-                meta={"kind": "index", "docs_version": v},
-            )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = []
+            if small_round != max_round:
+                self._small = build_small_postings(
+                    self._postings, pos_col="pos"
+                ).cache()
+                futs.append(
+                    pool.submit(
+                        self.store.commit,
+                        "postings_small",
+                        self._small,
+                        meta={"kind": "index", "indexed_round": max_round},
+                    )
+                )
+            else:
+                self._small = self.store.read("postings_small").cache()
+            if anchors_fresh:
+                self._anchors = self.store.read("anchors").cache()
+            else:
+                self._anchors = merge_anchor_contributions(
+                    self.store.read("anchors_base")
+                ).cache()
+                futs.append(
+                    pool.submit(
+                        self.store.commit,
+                        "anchors",
+                        self._anchors,
+                        meta={"kind": "index", "docs_version": v},
+                    )
+                )
+            for f in futs:
+                f.result()
 
     def search(
         self,

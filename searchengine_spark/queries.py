@@ -37,6 +37,7 @@ from searchengine_spark.operators import lm as LM
 from searchengine_spark.operators import multimodal as MM
 from searchengine_spark.operators import pagerank as PR
 from searchengine_spark.operators import similarity as SIM
+from searchengine_spark.sources.tables import spread_scan
 from searchengine_spark.streaming import events as EV
 
 NSHARDS = 16
@@ -49,7 +50,14 @@ QCFG = CrawlConfig(n_shards=NSHARDS, per_shard_quota=5, shard_salt=SALT)
 # ---------------------------------------------------------------------------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread_scan: a small-SF documents.parquet is ONE split — without
+    # it every per-row-heavy catalog query runs its whole expression
+    # chain in the scan stage's single task (guide §2.5; measured
+    # dedup_simhash 8.7 s -> 3.2 s warm at sf0.1/local[32])
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        key=f"{sf_dir}/documents.parquet",
+    )
 
 
 def _candidates_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -399,7 +407,7 @@ def _digest_round(spark, sf_dir):
     raw = docs.select(raw_url_expr("doc_id").alias("raw_url"))
     pdir = tempfile.mkdtemp(prefix="se_digest_") + "/cand_pre"
     FR.normalize_candidates(raw, DIGCFG).write.parquet(pdir)
-    cand_pre = spark.read.parquet(pdir)
+    cand_pre = spread_scan(spark.read.parquet(pdir))
     hostcnt = cand_pre.groupBy("host").agg(F.count("*").alias("url_count"))
     frontier = FR.dedup_batch(cand_pre).withColumn(
         "discovered_round", F.lit(0).cast("int")
@@ -518,7 +526,7 @@ def q_crawl_round_digest(spark, sf_dir):
     )
     cdir = tempfile.mkdtemp(prefix="se_digest_") + "/cnd"
     FR.normalize_candidates(outlinks, DIGCFG).write.parquet(cdir)
-    cnd = spark.read.parquet(cdir)
+    cnd = spread_scan(spark.read.parquet(cdir))
     remaining = hostcnt.select(
         "host",
         (F.lit(DIGCFG.max_urls_per_host) - F.col("url_count")).alias("_rem"),
@@ -1316,14 +1324,13 @@ def _minhash_lsh_verify(aug: DataFrame, shingles, threshold: float) -> DataFrame
     -> banded LSH candidate pairs -> exact-Jaccard verify on candidates
     only. Never an all-pairs product."""
     aug = aug.withColumn("_sh", shingles)
-    sigs = aug.select(
-        "doc_id", F.transform("_sh", lambda w: F.md5(w)).alias("_hs")
-    )
+    # signature via the Arrow kernel (one md5 per distinct shingle per
+    # batch + byte-slice windows) instead of N_MINHASH interpreted
+    # transform passes — r6 optimization, bit-equal by pinned test
+    sigs = aug.select("doc_id", DD.minhash_sig_udf(F.col("_sh")).alias("_mh"))
     for i in range(DD.N_MINHASH):
-        sigs = sigs.withColumn(
-            f"mh_{i}", F.array_min(F.transform("_hs", DD._window_of(i)))
-        )
-    pairs = DD.lsh_candidate_pairs(sigs.drop("_hs"))
+        sigs = sigs.withColumn(f"mh_{i}", F.element_at("_mh", i + 1))
+    pairs = DD.lsh_candidate_pairs(sigs.drop("_mh"))
     wsets = aug.select("doc_id", F.col("_sh").alias("wset"))
     return (
         pairs.join(
@@ -1335,7 +1342,10 @@ def _minhash_lsh_verify(aug: DataFrame, shingles, threshold: float) -> DataFrame
             "doc_b",
         )
         .withColumn("_i", F.size(F.array_intersect("wa", "wb")))
-        .withColumn("_u", F.size(F.array_union("wa", "wb")))
+        # |A∪B| = |A|+|B|-|A∩B| for the distinct shingle arrays — skips
+        # materializing the union array per pair (r6: the verify joins
+        # dominated dedup_ngram_jaccard's wall)
+        .withColumn("_u", F.size("wa") + F.size("wb") - F.col("_i"))
         .withColumn("jaccard", F.round(F.col("_i") / F.col("_u"), 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -1449,7 +1459,12 @@ SQL_DEDUP_NGRAM_JACCARD = (
 # ---------------------------------------------------------------------------
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    # spread_scan: same single-split issue as _docs — ANN queries run
+    # per-row dot products / bucket hashes over the whole table
+    return spread_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        key=f"{sf_dir}/embeddings.parquet",
+    ).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
 

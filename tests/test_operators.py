@@ -80,6 +80,92 @@ def test_connected_components_empty_and_selfpair(spark):
     ]
 
 
+def test_span_hashes_udf_matches_expr(spark):
+    """Arrow-kernel window fingerprints (span_hashes_udf) must equal
+    the native hash60-over-slice form for every edge: normal doc,
+    exactly one window, short doc (empty array), empty text, NULL."""
+    from searchengine_spark.functions.hashes import hash60
+
+    w = DD.SPAN_WINDOW
+    df = spark.createDataFrame(
+        [
+            ("a", "t0 t1 t2 t3 t4 t5 t6 t7"),
+            ("b", "t0 t1 t2 t3 t4 t5"),
+            ("c", "t0 t1"),
+            ("d", ""),
+            ("e", None),
+        ],
+        "doc_id string, text string",
+    )
+    toks = F.split(F.col("text"), " ")
+    npos = F.size(toks) - w + 1
+    expr = F.when(
+        npos >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(npos, F.lit(1))),
+            lambda i: hash60(F.array_join(F.slice(toks, i, w), " ")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    rows = df.select(
+        "doc_id", expr.alias("e"), DD.span_hashes_udf(F.col("text")).alias("u")
+    ).collect()
+    for r in rows:
+        assert list(r["e"] or []) == list(r["u"] or []), r["doc_id"]
+
+
+def test_minhash_udf_matches_expr(spark):
+    """Arrow-kernel minhash signatures (minhash_sig_udf — the hot path
+    since r6) must equal the native N-window transform form the DuckDB
+    twin pins. Covers repeats, single-element, unicode, NULL array."""
+    df = spark.createDataFrame(
+        [
+            ("a", ["x y z", "y z q", "x y z"]),
+            ("b", ["solo"]),
+            ("c", ["Café 北京", "naïve word"]),
+            ("d", None),
+        ],
+        "doc_id string, sh array<string>",
+    )
+    expr_cols = [
+        F.array_min(
+            F.transform(F.transform("sh", lambda w: F.md5(w)), DD._window_of(i))
+        ).alias(f"e{i}")
+        for i in range(DD.N_MINHASH)
+    ]
+    rows = df.select(
+        "doc_id", *expr_cols, DD.minhash_sig_udf(F.col("sh")).alias("u")
+    ).collect()
+    for r in rows:
+        for i in range(DD.N_MINHASH):
+            u = r["u"][i] if r["u"] is not None else None
+            assert r[f"e{i}"] == u, (r["doc_id"], i)
+
+
+def test_simhash_udf_matches_expr(spark):
+    """The Arrow kernel (simhash_udf, the hot path since the r6
+    optimization round) must stay bit-identical to the native expr —
+    which the DuckDB twin (simhash_sql) pins cross-engine. Covers the
+    ASCII corpus shape, repeated/empty tokens, non-ASCII words, and
+    NULL text (expr folds NULL votes to the all-zero hash)."""
+    df = spark.createDataFrame(
+        [
+            ("a", "x y z q r"),
+            ("b", "x  y"),  # empty token from the double space
+            ("c", ""),
+            ("d", None),
+            ("e", "Café 北京大学 mixedCase x x x"),
+        ],
+        "doc_id string, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        DD.simhash_expr("text").alias("e"),
+        DD.simhash_udf(F.col("text")).alias("u"),
+    ).collect()
+    for r in rows:
+        assert r["e"] == r["u"], r["doc_id"]
+
+
 def test_simhash_identical_and_disjoint(spark):
     df = spark.createDataFrame(
         [("a", "x y z q r"), ("b", "x y z q r"), ("c", "m n o p s")],

@@ -26,6 +26,39 @@ def _tuples(spans):
     return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
 
 
+def test_extract_spans_fast_matches_reference():
+    """The r6-optimized extract_spans_py must be output-identical to
+    the preserved reference implementation on every corpus page AND on
+    adversarial shapes: skipped-title bodies containing tags, unclosed
+    titles, script/style/comment removal, closing block/special tags,
+    href-less anchors, trailing text, empty input."""
+    from searchengine_spark.functions.spans import _extract_spans_ref_py
+
+    cases = [
+        "",
+        "plain text only",
+        "<p>a</p><p>b</p>",
+        "<title>t <b>inner</b> x</title>after",
+        "<title>unclosed title then <a href=\"/x\">link",
+        "<!-- c --><script>var a='<title>no</title>'</script><style>.x{}</style>rest",
+        "<SCRIPT>upper</SCRIPT><STYLE>u</STYLE>text",
+        "text <a name=\"no-href\">anchor</a> tail",
+        "<meta content=\"m\"><img src=\"i.bmp\"><a href=\"//h/x\">t</a>",
+        "a</p>b</a>c</title>d",
+        "  \n\t  <div>  ws   collapse  </div>  ",
+        "<a href=\"/1\"><a href=\"/2\"><p>x</p>",
+    ]
+    txts = duckdb.sql(
+        f"select doc_id, text from read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    for did, t in txts[:100]:
+        cases.append(html_of_spans_py(gen_spans_py(int(did), t, 500)))
+    for html in cases:
+        assert _tuples(extract_spans_py(html)) == _tuples(
+            _extract_spans_ref_py(html)
+        ), html[:120]
+
+
 def test_roundtrip_python_oracle():
     txts = duckdb.sql(
         f"select doc_id, text from read_parquet('{SF}/documents.parquet')"
