@@ -44,8 +44,20 @@ def _spark():
     )
 
 
+SINK = os.environ.get("BENCH_EXTRA_SINK", "noop")
+
+
 def _noop(df):
-    df.write.format("noop").mode("overwrite").save()
+    # noop computes every column (guide §1.4) but runs the plan through
+    # the V2 write path, where AQE exchange reuse does NOT fire (found
+    # in r6: the same multi-consumer plan reuses its shared exchange
+    # under collect()/count() and re-evaluates per branch under a noop
+    # write). The frozen bench times with .count(), so reuse-dependent
+    # queries must be measured with BENCH_EXTRA_SINK=count.
+    if SINK == "count":
+        df.count()
+    else:
+        df.write.format("noop").mode("overwrite").save()
 
 
 def cmd_time(names: list[str]) -> None:

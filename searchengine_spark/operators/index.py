@@ -128,6 +128,36 @@ def _section_tok_array(col, sec_w: float):
     return _tok_struct_array(col, F.lit(sec_w))
 
 
+def _acc_array_expr(
+    url_col: str, title_col: str, body_col: str, blocks_col: str | None
+):
+    """The NATIVE acc-array construction (pre-r6 hot path, now the
+    semantic anchor the Arrow kernel is pinned against)."""
+    if blocks_col is not None:
+        arr = F.flatten(
+            F.transform(
+                F.col(blocks_col),
+                lambda b: _tok_struct_array(b["text"], b["w"]),
+            )
+        )
+    else:
+        arr = F.concat(
+            _section_tok_array(F.col(url_col), URL_WEIGHT),
+            _section_tok_array(F.col(title_col), TITLE_WEIGHT),
+            _section_tok_array(F.col(body_col), BODY_WEIGHT),
+        )
+    pos_arr = F.transform(
+        arr,
+        lambda x, i: F.struct(
+            x["word"].alias("word"),
+            x["capital"].alias("capital"),
+            x["sec_w"].alias("sec_w"),
+            (i + 1).cast("int").alias("position"),
+        ),
+    )
+    return F.filter(pos_arr, lambda x: ~x["word"].isin(*STOPWORDS_REF))
+
+
 def tokenize_sections(
     docs: DataFrame,
     url_col: str = "url",
@@ -162,29 +192,7 @@ def tokenize_sections(
     indexes come from array positions: `position` from the cleaned
     token array, `decay_idx` from the stop-filtered one.
     """
-    if blocks_col is not None:
-        arr = F.flatten(
-            F.transform(
-                F.col(blocks_col),
-                lambda b: _tok_struct_array(b["text"], b["w"]),
-            )
-        )
-    else:
-        arr = F.concat(
-            _section_tok_array(F.col(url_col), URL_WEIGHT),
-            _section_tok_array(F.col(title_col), TITLE_WEIGHT),
-            _section_tok_array(F.col(body_col), BODY_WEIGHT),
-        )
-    pos_arr = F.transform(
-        arr,
-        lambda x, i: F.struct(
-            x["word"].alias("word"),
-            x["capital"].alias("capital"),
-            x["sec_w"].alias("sec_w"),
-            (i + 1).cast("int").alias("position"),
-        ),
-    )
-    acc_arr = F.filter(pos_arr, lambda x: ~x["word"].isin(*STOPWORDS_REF))
+    acc_arr = _acc_array_expr(url_col, title_col, body_col, blocks_col)
     base = docs.select(F.col(doc_col).alias("doc_id"), acc_arr.alias("_acc"))
     return base.select(
         "doc_id",
@@ -247,33 +255,90 @@ def build_weighted_postings(
             docs, url_col, title_col, body_col, doc_col, blocks_col=blocks_col
         )
     )
-    weighted = stream.withColumn(
-        "weight",
-        F.col("sec_w")
-        * F.when(F.col("capital"), F.lit(CAPITAL_FACTOR)).otherwise(F.lit(1.0))
-        * F.pow(F.lit(DECAY), (F.col("decay_idx") - 1).cast("double")),
-    )
-
-    # maxWordPerPage: the scan ends when the max_words-th DISTINCT word
-    # is inserted — every later token (updates included) is unseen.
-    # Fast path: a doc with <= max_words ACCEPTED tokens can never bind
-    # the cap (distinct <= accepted), so only over-cap docs — rare even
-    # on real web pages — pay the insertion-order windows.
-    small = weighted.where(F.col("n_acc") <= max_words)
-    big = weighted.where(F.col("n_acc") > max_words)
-    first_pos = big.groupBy("doc_id", "word").agg(F.min("position").alias("_fp"))
-    w_ins = W.partitionBy("doc_id").orderBy("_fp")
-    cap_pos = (
-        first_pos.withColumn("_ins", F.row_number().over(w_ins))
-        .groupBy("doc_id")
-        .agg(
-            F.max(F.when(F.col("_ins") == max_words, F.col("_fp"))).alias("_cap")
+    def _weight(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "weight",
+            F.col("sec_w")
+            * F.when(F.col("capital"), F.lit(CAPITAL_FACTOR)).otherwise(F.lit(1.0))
+            * F.pow(F.lit(DECAY), (F.col("decay_idx") - 1).cast("double")),
         )
-    )
-    big_capped = big.join(cap_pos, "doc_id", "left").where(
-        F.col("_cap").isNull() | (F.col("position") <= F.col("_cap"))
-    ).drop("_cap")
-    capped = small.unionByName(big_capped)
+
+    def _cap_branch(weighted: DataFrame) -> DataFrame:
+        # maxWordPerPage: the scan ends when the max_words-th DISTINCT
+        # word is inserted — every later token (updates included) is
+        # unseen. Fast path: a doc with <= max_words ACCEPTED tokens
+        # can never bind the cap (distinct <= accepted), so only
+        # over-cap docs pay the insertion-order windows.
+        small = weighted.where(F.col("n_acc") <= max_words)
+        big = weighted.where(F.col("n_acc") > max_words)
+        first_pos = big.groupBy("doc_id", "word").agg(
+            F.min("position").alias("_fp")
+        )
+        w_ins = W.partitionBy("doc_id").orderBy("_fp")
+        cap_pos = (
+            first_pos.withColumn("_ins", F.row_number().over(w_ins))
+            .groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.when(F.col("_ins") == max_words, F.col("_fp"))
+                ).alias("_cap")
+            )
+        )
+        big_capped = (
+            big.join(cap_pos, "doc_id", "left")
+            .where(F.col("_cap").isNull() | (F.col("position") <= F.col("_cap")))
+            .drop("_cap")
+        )
+        return small.unionByName(big_capped)
+
+    if token_stream is not None:
+        # caller-shared stream (e.g. search_phrase's doc_id-repartition
+        # ReuseExchange): full cap machinery over it, as before
+        capped = _cap_branch(_weight(stream))
+    else:
+        # r6: evaluate the tokenizer ONCE for ~every doc. The old plan
+        # referenced the stream subtree from SIX branches (cap split,
+        # over-cap windows, best⋈total self-join) — six tokenizer
+        # evaluations per action, and AQE exchange reuse cannot save it
+        # (the analyzer's self-join dedup aliases make the subtrees
+        # canonically different). Instead the cap machinery is gated by
+        # a cheap CONSERVATIVE length test the scan can evaluate
+        # per-doc: every token needs >= 1 char and tokens in one block
+        # are separated by >= 1 char, so n_acc <= (Σ len(text_b) + B)/2
+        # — a doc under the gate provably cannot exceed max_words and
+        # takes the single-reference fast branch; only docs above it
+        # (> ~2·max_words chars of text — none at bench scale, rare on
+        # the real web) run the multi-reference cap logic, with the
+        # length predicate pushed into their scans. The best⋈total
+        # self-join is gone too (window sum below).
+        if blocks_col is not None:
+            tot_len = F.aggregate(
+                F.col(blocks_col),
+                F.lit(0),
+                lambda a, b: a + F.length(F.coalesce(b["text"], F.lit(""))),
+            )
+            n_blocks = F.size(F.col(blocks_col))
+        else:
+            tot_len = (
+                F.length(F.coalesce(F.col(url_col), F.lit("")))
+                + F.length(F.coalesce(F.col(title_col), F.lit("")))
+                + F.length(F.coalesce(F.col(body_col), F.lit("")))
+            )
+            n_blocks = F.lit(3)
+        maybe_over = (tot_len + n_blocks) > F.lit(2 * max_words)
+
+        def _stream_of(d: DataFrame) -> DataFrame:
+            return tokenize_sections(
+                d, url_col, title_col, body_col, doc_col, blocks_col=blocks_col
+            )
+
+        under = _weight(_stream_of(docs.where(~F.coalesce(maybe_over, F.lit(True)))))
+        over = _weight(_stream_of(docs.where(F.coalesce(maybe_over, F.lit(False)))))
+        # one doc_id exchange feeds the best aggregate, the total
+        # window and the pageRank join below — hash(doc_id) satisfies
+        # each of their clustering requirements, so the whole build has
+        # exactly one corpus-sized shuffle
+        capped = under.unionByName(_cap_branch(over)).repartition("doc_id")
 
     # per (doc, word): max weight wins, earliest position on ties
     best = (
@@ -286,7 +351,12 @@ def build_weighted_postings(
             (-F.col("_m._np")).cast("int").alias("pos"),
         )
     )
-    total = best.groupBy("doc_id").agg(F.sum("_rank_raw").alias("_tot"))
+    # per-doc normalizer as a window sum — NOT best.groupBy(doc_id) +
+    # self-join, which re-evaluated the entire upstream build a second
+    # time (r6; row values identical, join order was never semantic)
+    out = best.withColumn(
+        "_tot", F.sum("_rank_raw").over(W.partitionBy("doc_id"))
+    )
     if components:
         # Incremental-index form: everything above this point is a PURE
         # PER-DOC function (tokenize -> weight -> per-doc max -> per-doc
@@ -297,7 +367,7 @@ def build_weighted_postings(
         # build. rank_raw/tot stay unrounded doubles (parquet round-trips
         # them exactly); rounding before the factor would change the
         # result.
-        base = best.join(total, "doc_id").select(
+        base = out.select(
             F.col("word").alias("term"),
             "doc_id",
             "pos",
@@ -310,7 +380,6 @@ def build_weighted_postings(
             n_term_partitions, "term"
         ).sortWithinPartitions("term", "doc_id")
     pr = page_rank if page_rank is not None else None
-    out = best.join(total, "doc_id")
     if pr is not None:
         out = out.join(pr, "doc_id", "left").withColumn(
             "_pr", F.coalesce(F.col("page_rank"), F.lit(1.0))
