@@ -253,6 +253,67 @@ def merge_cuckoo_blocks(a: DataFrame, b: DataFrame, cfg: CrawlConfig) -> DataFra
 # -- probe / dedup -------------------------------------------------------------
 
 
+def _cuckoo_blocks_bytes(cfg: CrawlConfig) -> int:
+    # slots (uint16 per slot) + a small stash allowance per shard
+    per_shard = cfg.cuckoo_buckets_per_shard * cfg.cuckoo_bucket_size * 2 + 64
+    return cfg.n_shards * per_shard
+
+
+def _cuckoo_prefilter_cogrouped(
+    candidates: DataFrame, blocks: DataFrame, cfg: CrawlConfig
+) -> DataFrame:
+    """Shard-co-partitioned cuckoo probe — the at-scale arm (same
+    dispatch/rationale as seen._bloom_prefilter_cogrouped): candidates
+    cogroup with their shard's single block row; no driver collect, no
+    whole-map broadcast. Missing block => suspect."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    mask = cfg.cuckoo_buckets_per_shard - 1
+    bsize = cfg.cuckoo_bucket_size
+    fp_c, i1_c, i2_c = cuckoo_key_cols(F.col("url_md5"), cfg)
+    cand = (
+        candidates.withColumn("_cfp", fp_c)
+        .withColumn("_ci1", i1_c)
+        .withColumn("_ci2", i2_c)
+    )
+    out_schema = StructType(
+        list(candidates.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    )
+    out_cols = [f.name for f in out_schema.fields]
+
+    def probe(cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cdf) == 0:
+            return pd.DataFrame(columns=out_cols)
+        if len(bdf) == 0:
+            cdf = cdf.copy()
+            cdf["maybe_seen"] = True  # no block: suspect (exact-join path)
+            return cdf[out_cols]
+        slots2d = np.frombuffer(bdf["slots"].iloc[0], dtype=np.uint16).reshape(
+            -1, bsize
+        )
+        stash = np.frombuffer(bdf["stash"].iloc[0], dtype=np.uint32)
+        fp = cdf["_cfp"].to_numpy(dtype=np.int64)
+        i1 = cdf["_ci1"].to_numpy(dtype=np.int64)
+        i2 = cdf["_ci2"].to_numpy(dtype=np.int64)
+        f16 = fp.astype(np.uint16)[:, None]
+        hit = (slots2d[i1] == f16).any(axis=1)
+        hit |= (slots2d[i2] == f16).any(axis=1)
+        if len(stash):
+            packed = _pack(i1, fp, mask)
+            pos = np.searchsorted(stash, packed)
+            pos = np.minimum(pos, len(stash) - 1)
+            hit |= stash[pos] == packed
+        cdf = cdf.copy()
+        cdf["maybe_seen"] = hit
+        return cdf[out_cols]
+
+    return (
+        cand.groupBy("shard")
+        .cogroup(blocks.groupBy("shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
 def cuckoo_prefilter(
     spark: SparkSession, candidates: DataFrame, blocks: DataFrame, cfg: CrawlConfig
 ) -> DataFrame:
@@ -260,8 +321,17 @@ def cuckoo_prefilter(
 
     Same missing-shard rule as the bloom arm: no block for a shard =>
     suspect (True), so config drift can only cost a no-op exact probe,
-    never skip the exact check (dedup-exactness invariant)."""
+    never skip the exact check (dedup-exactness invariant).
+
+    Scale dispatch (r6): beyond seen._broadcast_max_bytes() of
+    configured block geometry the whole-map collect+broadcast is
+    replaced by the shard-cogrouped probe above (same rows, pinned by
+    tests/test_plans.py::test_seen_filter_cogroup_matches_broadcast)."""
+    from searchengine_spark.operators.seen import _broadcast_max_bytes
+
     _check_geometry(cfg)
+    if _cuckoo_blocks_bytes(cfg) > _broadcast_max_bytes():
+        return _cuckoo_prefilter_cogrouped(candidates, blocks, cfg)
     mask = cfg.cuckoo_buckets_per_shard - 1
     bsize = cfg.cuckoo_bucket_size
     block_map = {

@@ -328,18 +328,38 @@ def hits(edges: DataFrame, iters: int = 3) -> DataFrame:
                 "d_max^(2·iters)·|V|). Lower iters or normalize per "
                 "sweep."
             )
+    # ADVICE r5: the iters>8 eager probe's coverage was narrower than
+    # the hazard (a dense graph wraps int64 at the default depth). The
+    # mins ride the SAME one-row aggregate as the normalization maxes,
+    # and an in-plan raise_error guard on the normalized columns turns
+    # a proven wrap (negative path count) into a hard error at EVERY
+    # depth — zero extra jobs, nothing for shallow sweeps to opt into.
     mx = scores.agg(
         F.max("a").cast("long").alias("_amax"),
         F.max("h").cast("long").alias("_hmax"),
+        F.min("a").cast("long").alias("_amin"),
+        F.min("h").cast("long").alias("_hmin"),
+    )
+    wrapped = (F.col("_amin") < 0) | (F.col("_hmin") < 0)
+    err = F.raise_error(
+        F.lit(
+            f"hits(iters={iters}): negative path count — int64 overflow "
+            "in the unnormalized sweeps (bound ≲ d_max^(2·iters)·|V|). "
+            "Lower iters or normalize per sweep."
+        )
     )
     return scores.crossJoin(F.broadcast(mx)).select(
         "node",
-        F.round(
-            F.col("a") / F.nullif(F.col("_amax"), F.lit(0)), 6
-        ).alias("authority"),
-        F.round(
-            F.col("h") / F.nullif(F.col("_hmax"), F.lit(0)), 6
-        ).alias("hub"),
+        F.when(wrapped, err)
+        .otherwise(
+            F.round(F.col("a") / F.nullif(F.col("_amax"), F.lit(0)), 6)
+        )
+        .alias("authority"),
+        F.when(wrapped, err)
+        .otherwise(
+            F.round(F.col("h") / F.nullif(F.col("_hmax"), F.lit(0)), 6)
+        )
+        .alias("hub"),
     )
 
 

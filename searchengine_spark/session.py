@@ -37,6 +37,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(nshuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r6: AQE's coalescing floor is byte-based (default 1 MB), which
+        # folds a small-but-compute-heavy shuffle (per-pair Jaccard
+        # verify, interpreted HOF chains over kilobyte rows) into 1-2
+        # tasks while the rest of the cluster idles. A 64 KB floor keeps
+        # such stages parallel (measured: dedup_ngram_jaccard 3.4->1.8 s
+        # warm at sf0.1/local[32]); at production shuffle sizes every
+        # partition is far above either floor, so coalescing behaves
+        # identically there (advisoryPartitionSizeInBytes governs).
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # classic (non-ANSI) semantics: out-of-bounds element_at -> NULL,

@@ -367,6 +367,23 @@ def test_hits_deep_sweep_overflow_tripwire(spark):
     assert out == {"a": 1.0, "b": 1.0, "c": 1.0}
 
 
+def test_hits_shallow_wrap_tripwire(spark):
+    """ADVICE r5: the wrap hazard depends on degree, not only depth — a
+    complete digraph on 256 nodes (d_max = 255) wraps int64 at
+    iters=4 (h = 255^8 ≈ 1.79e19 > 2^63, landing negative), far below
+    the old iters>8 probe gate. Since r6 the wrap guard rides the
+    normalization aggregate at every depth as an in-plan raise_error,
+    so the shallow sweep raises instead of silently normalizing
+    wrapped counts."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    n = 256
+    rows = [(f"n{i}", f"n{j}") for i in range(n) for j in range(n) if i != j]
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    with pytest.raises(SparkRuntimeException, match="overflow"):
+        PR.hits(edges, iters=4).collect()
+
+
 def test_edges_from_docs_semi_join(spark):
     from searchengine_spark.functions.urls import url_md5_py
 

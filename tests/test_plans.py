@@ -293,6 +293,59 @@ def test_shared_postings_barrier_survives_optimizer(spark):
     assert rows == [("alpha", "d1"), ("beta", "d2")]
 
 
+def test_seen_filter_cogroup_matches_broadcast(spark, monkeypatch):
+    """The r6 scale dispatch of the seen-filter prefilters: above the
+    configured-geometry byte bound, the driver collect+broadcast of the
+    block map is replaced by a shard-cogrouped probe (VERDICT r5 "What's
+    wrong" #1 — the broadcast path would materialize ~12.5 GB of bitmap
+    on the driver at 10^10 URLs). Both arms must tag IDENTICAL rows,
+    and the exact dedup through the cogroup arm must equal the plain
+    anti-join, for bloom AND cuckoo, including a shard with no block."""
+    from searchengine_spark.operators import seen as SN
+    from searchengine_spark.operators.cuckoo import dedup_seen_with_cuckoo
+
+    n = 400
+    cand = spark.range(n).select(
+        F.md5(F.col("id").cast("string")).alias("url_md5"),
+        F.pmod(F.col("id"), F.lit(7)).cast("int").alias("shard"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+    )
+    # seen = even ids, but shard 6 keeps NO block (missing-shard rule)
+    seen = cand.where(F.expr("conv(substring(url_md5,1,2),16,10) % 2 = 0"))
+    expected = sorted(
+        r["url_md5"]
+        for r in cand.join(seen.select("url_md5"), "url_md5", "left_anti").collect()
+    )
+    for flt in ("bloom", "cuckoo"):
+        cfg = CrawlConfig(n_shards=7, seen_filter=flt)
+        blocks = SN.build_filter_blocks(seen.where(F.col("shard") != 6), cfg)
+        fn = dedup_seen_with_bloom if flt == "bloom" else dedup_seen_with_cuckoo
+        monkeypatch.setenv("SEEN_FILTER_BROADCAST_MAX", str(1 << 40))
+        via_bc = sorted(r["url_md5"] for r in fn(spark, cand, seen, blocks, cfg).collect())
+        monkeypatch.setenv("SEEN_FILTER_BROADCAST_MAX", "0")
+        via_cg = sorted(r["url_md5"] for r in fn(spark, cand, seen, blocks, cfg).collect())
+        assert via_bc == via_cg == expected, flt
+        # and the cogroup arm's tagged sets match the broadcast arm's
+        if flt == "bloom":
+            tag_cg = SN.bloom_prefilter(spark, cand, blocks, cfg)
+        else:
+            from searchengine_spark.operators.cuckoo import cuckoo_prefilter
+
+            tag_cg = cuckoo_prefilter(spark, cand, blocks, cfg)
+        monkeypatch.setenv("SEEN_FILTER_BROADCAST_MAX", str(1 << 40))
+        if flt == "bloom":
+            tag_bc = SN.bloom_prefilter(spark, cand, blocks, cfg)
+        else:
+            tag_bc = cuckoo_prefilter(spark, cand, blocks, cfg)
+        got_cg = sorted((r["url_md5"], r["maybe_seen"]) for r in tag_cg.collect())
+        got_bc = sorted((r["url_md5"], r["maybe_seen"]) for r in tag_bc.collect())
+        assert got_cg == got_bc, flt
+        # no block => every shard-6 candidate is a suspect in both arms
+        suspects = {m for m, s in got_cg if s}
+        sh6 = {r["url_md5"] for r in cand.where(F.col("shard") == 6).collect()}
+        assert sh6 <= suspects, flt
+
+
 def test_catalog_plan_audit_invariants(spark):
     """North-rule sweep over EVERY catalog query's physical plan:
     'vectorized pandas/Arrow UDFs (no per-row Python) throughout' means
