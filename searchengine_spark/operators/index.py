@@ -739,25 +739,134 @@ def _routed_top2(
         for i, t in idx_terms
         if small_n is not None and len(t) <= SMALLWORDSIZE
     ]
-    main_part = _tagged_top2(postings, idx_terms, max_search)
     if not elig:
-        return main_part
-    spark = postings.sparkSession
-    elig_df = spark.createDataFrame(
-        [(t, i) for i, t in elig], "term string, _ti int"
+        return _tagged_top2(postings, idx_terms, max_search)
+    # r6 single-lineage routing. The former three-frame shape (main
+    # tagged pass + small-dict probe + small tagged pass, glued by an
+    # anti-join) re-evaluated the ephemeral dict build once per frame
+    # at runtime — the barrier'd shared exchange is NOT reused across
+    # self-join branches (analyzer dedup re-aliases them; observed:
+    # three distinct exchange plan_ids, 14 tokenizer Generates). Here
+    # ONE tagged pass carries both dict arms:
+    # * kind=0 (main): the prefix+boundary expansion, exactly as
+    #   _tagged_top2;
+    # * kind=1 (small): substring(term, 1, SMALLWORDSIZE) == t — the
+    #   same rows that form the small dict's exact range for t, since
+    #   the A6 small dict is BY CONSTRUCTION the argmin reduction of
+    #   these rows per (doc, sterm) (callers pass small =
+    #   build_small_postings(postings); a persisted small dict carries
+    #   identical content by the refresh contract). The per-(doc, ti)
+    #   argmin of the kind=1 group IS the small-dict row: max rank,
+    #   ties to the lexicographically first term — the same pick rule.
+    # Routing (PageSearcher.cpp:412-419 "use the small range when
+    # non-empty") becomes a window over _ti: any kind=1 row anywhere
+    # means the term is small-served and its main rows drop.
+    conds: list[tuple[int, int, object]] = []
+    for i, t in idx_terms:
+        conds.append(
+            (
+                i,
+                0,
+                (F.col("term") == t)
+                | (
+                    F.col("term").startswith(t)
+                    & ~F.substring("term", len(t) + 1, 1).rlike("^[a-z]$")
+                ),
+            )
+        )
+    for i, t in elig:
+        conds.append((i, 1, F.substring("term", 1, SMALLWORDSIZE) == t))
+    tag_arr = F.array(
+        *[
+            F.when(
+                c, F.struct(F.lit(i).alias("i"), F.lit(k).alias("k"))
+            ).otherwise(F.lit(None))
+            for i, k, c in conds
+        ]
     )
-    present_ti = (
-        small_n.join(F.broadcast(elig_df), "term").select("_ti").distinct()
+    tagged = postings.select(
+        "doc_id",
+        "term",
+        "pos",
+        "rank",
+        F.explode(F.filter(tag_arr, lambda x: x.isNotNull())).alias("_tk"),
+    ).select(
+        "doc_id",
+        "term",
+        "pos",
+        "rank",
+        F.col("_tk.i").alias("_ti"),
+        F.col("_tk.k").alias("_kind"),
     )
-    return main_part.join(F.broadcast(present_ti), "_ti", "left_anti").unionByName(
-        _tagged_top2(small_n, elig, max_search, exact=True)
+    if max_search is not None and max_search < MAX_SEARCH:
+        # per-term read cap (PageSearcher.cpp:425), per dict arm — the
+        # same order as the former per-frame caps
+        w_cap = W.partitionBy("_ti", "_kind").orderBy(
+            F.desc("rank"), "term", "doc_id"
+        )
+        tagged = (
+            tagged.withColumn("_cr", F.row_number().over(w_cap))
+            .where(F.col("_cr") <= max_search)
+            .drop("_cr")
+        )
+    top2 = (
+        tagged.groupBy("doc_id", "_ti", "_kind")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            (-F.col("rank")).alias("nr"),
+                            F.col("term").alias("t"),
+                            F.col("pos").alias("p"),
+                        )
+                    )
+                ),
+                1,
+                2,
+            ).alias("_k")
+        )
+        .select(
+            "doc_id",
+            "_ti",
+            "_kind",
+            # small arm: the argmin pick alone (the small dict holds ONE
+            # row per (doc, sterm)); main arm: PosRanks top-2 sum
+            F.when(
+                F.col("_kind") == 1, -F.element_at("_k", 1)["nr"]
+            )
+            .otherwise(
+                -F.element_at("_k", 1)["nr"]
+                + F.coalesce(-F.element_at("_k", 2)["nr"], F.lit(0.0))
+            )
+            .alias("_trank"),
+            F.element_at("_k", 1)["p"].alias("_pa"),
+            F.when(
+                F.col("_kind") == 1, F.lit(None).cast("int")
+            )
+            .otherwise(F.element_at("_k", 2)["p"])
+            .alias("_pb"),
+        )
+    )
+    w_ti = W.partitionBy("_ti")
+    n_small = F.sum(
+        F.when(F.col("_kind") == 1, F.lit(1)).otherwise(F.lit(0))
+    ).over(w_ti)
+    return (
+        top2.withColumn("_ns", n_small)
+        .where((F.col("_kind") == 1) | (F.col("_ns") == 0))
+        .select("doc_id", "_ti", "_trank", "_pa", "_pb")
     )
 
 
-def _pivot_top2(top2: DataFrame, idxs: list[int]) -> DataFrame:
+def _pivot_top2(
+    top2: DataFrame, idxs: list[int], require_all: bool = True
+) -> DataFrame:
     """Tagged-top2 rows -> one row per doc with trank_i/p{i}a/p{i}b
-    columns for the given term indices, AND semantics (every term
-    present) enforced."""
+    columns for the given term indices; `require_all` enforces AND
+    semantics (every term present) — the batch tier pivots over the
+    UNION of all queries' terms and applies each query's own AND in
+    its projection instead."""
     aggs = []
     for i in idxs:
         aggs += [
@@ -766,8 +875,9 @@ def _pivot_top2(top2: DataFrame, idxs: list[int]) -> DataFrame:
             F.max(F.when(F.col("_ti") == i, F.col("_pb"))).alias(f"p{i}b"),
         ]
     joined = top2.groupBy("doc_id").agg(*aggs)
-    for i in idxs:  # AND semantics: every term present
-        joined = joined.where(F.col(f"trank_{i}").isNotNull())
+    if require_all:
+        for i in idxs:  # AND semantics: every term present
+            joined = joined.where(F.col(f"trank_{i}").isNotNull())
     return joined
 
 
@@ -862,28 +972,81 @@ def search_weighted_batch(
             g_idx.setdefault(t, len(g_idx))
     idx_terms = [(i, t) for t, i in g_idx.items()]
     top2 = _tagged_top2(postings, idx_terms, max_search)
-    barrier = F.element_at(F.shuffle(F.array(F.lit(True))), 1)
-    shared = top2.repartition(n_parts, "doc_id").where(barrier)
-    branches = []
-    for qid in sorted(queries):
-        terms = queries[qid]
+    # r6: ONE pivot over ALL global term indices, then every query's
+    # score as a projection COLUMN of that single frame — exploded into
+    # (query_id, score) rows. The former shape (per-query branches over
+    # a barrier'd shared exchange, unioned) re-evaluated the ENTIRE
+    # upstream dict build once per query at runtime: the analyzer's
+    # self-union dedup re-aliases each branch, the exchange subtrees
+    # stop being canonically identical, and AQE reuse never fires
+    # (observed live: 4 queries -> 4 distinct exchange plan_ids, 20
+    # tokenizer Generates). A single lineage needs no reuse machinery
+    # at all. Per-query rows are unchanged: the when(AND-semantics,
+    # score) projection, the per-query rank<=k window and the per-
+    # (query, host) dedup window reproduce _score_joined/_host_dedup
+    # exactly (pinned by test_search_batch_matches_single).
+    piv = _pivot_top2(top2, [i for i, _ in idx_terms], require_all=False)
+
+    def _q_score(terms: list[str]):
         gidxs = [g_idx[t] for t in terms]
-        piv = _pivot_top2(shared.where(F.col("_ti").isin(gidxs)), gidxs)
-        local = piv.select(
-            "doc_id",
-            *[
-                c
-                for i, g in enumerate(gidxs)
-                for c in (
-                    F.col(f"trank_{g}").alias(f"trank_{i}"),
-                    F.col(f"p{g}a").alias(f"p{i}a"),
-                    F.col(f"p{g}b").alias(f"p{i}b"),
-                )
-            ],
+        present = reduce(
+            lambda a, b: a & b,
+            [F.col(f"trank_{g}").isNotNull() for g in gidxs],
         )
-        res = _score_joined(local, len(terms), k, docs_meta, host_col)
-        branches.append(res.select(F.lit(qid).alias("query_id"), "*"))
-    return reduce(lambda a, b: a.unionByName(b), branches)
+        sum_rank = reduce(
+            lambda a, b: a + b, [F.col(f"trank_{g}") for g in gidxs]
+        )
+        co = F.lit(1.0)
+        for i in range(len(gidxs) - 1):
+            diff = _min_posdiff(gidxs[i], gidxs[i + 1]) - 1
+            co = co * F.greatest(
+                F.pow(F.lit(CORANK_DECAY), diff.cast("double")),
+                F.lit(CORANK_MIN),
+            )
+        return present, F.round(sum_rank * co, 6)
+
+    q_structs = []
+    for qid in sorted(queries):
+        present, score = _q_score(queries[qid])
+        q_structs.append(
+            F.when(
+                present,
+                F.struct(
+                    F.lit(qid).alias("query_id"), score.alias("score")
+                ),
+            )
+        )
+    scored = piv.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.array(*q_structs), lambda s: s.isNotNull())
+        ).alias("_qs"),
+    ).select("doc_id", F.col("_qs.query_id").alias("query_id"), F.col("_qs.score").alias("score"))
+    w_top = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    topk = (
+        scored.withColumn("_rn", F.row_number().over(w_top))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .select("query_id", "doc_id", "score")
+    )
+    if docs_meta is None:
+        return topk
+    with_host = topk.join(
+        docs_meta.select(F.col("doc_id"), F.col(host_col).alias("host")), "doc_id"
+    )
+    w_h = W.partitionBy("query_id", "host").orderBy(F.desc("score"), "doc_id")
+    return (
+        with_host.withColumn("_rn", F.row_number().over(w_h))
+        .withColumn("_nh", F.count("*").over(W.partitionBy("query_id", "host")))
+        .where(F.col("_rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            "host",
+            (F.col("_nh") - 1).alias("n_more_from_host"),
+        )
+    )
 
 
 def queries_table(spark, queries: dict[str, list[str]]) -> DataFrame:

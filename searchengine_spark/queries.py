@@ -2514,9 +2514,12 @@ def q_search_smallterm(spark, sf_dir):
     its exact-match range when non-empty, falling back to the main
     dict's prefix+boundary expansion otherwise."""
     docs_meta = _docs(spark, sf_dir).select("doc_id", F.col("source").alias("host"))
-    # one shared evaluation of the ephemeral dict for all three
-    # consumers (main batch, small batch, present-term probe)
-    p = IX.shared_postings(_wpostings_blocks(spark, sf_dir, sorted_output=False))
+    # r6: the routed search is single-lineage (operators/index._routed_top2
+    # fuses the main batch, the small-dict arm and the presence probe
+    # into ONE tagged pass), so the shared_postings barrier that used to
+    # pin one dict evaluation across three consumer frames is no longer
+    # needed here
+    p = _wpostings_blocks(spark, sf_dir, sorted_output=False)
     small = IX.build_small_postings(p, pos_col="pos")
     return IX.search_weighted(p, SMALLROUTE_TERMS, docs_meta, k=50, small=small)
 

@@ -1047,11 +1047,23 @@ def test_search_weighted_batch_matches_single(spark):
         }
         assert single, qid  # non-vacuous fixture: every arm has hits
         assert by_q.get(qid, set()) == single, qid
-    plan = batch._jdf.queryExecution().executedPlan().toString()
-    assert "shuffle(" in plan, (
-        "search_weighted_batch's doc-keyed barrier was optimized away — "
-        "every per-query scoring branch re-evaluates the tagged-top2 "
-        "pass (batch search degrades to q independent dict scans)"
+    # r6: the batch tier is a SINGLE lineage (one pivot over the union
+    # of all queries' terms, per-query scores as projection columns) —
+    # the executed plan must carry exactly the tag-array explode and
+    # the per-query-struct explode, NOT one tagged pass per query (the
+    # pre-r6 per-branch+barrier form re-evaluated the whole dict build
+    # per query at runtime: AQE never reused the barrier'd exchange
+    # because self-union dedup re-aliases each branch's subtree).
+    final = (
+        batch._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    n_gen = final.count("Generate")
+    assert n_gen <= 2, (
+        f"search_weighted_batch's single-lineage shape regressed: "
+        f"{n_gen} Generate nodes in the final plan (expected <= 2: tag "
+        "explode + query-struct explode) — per-query branches are back "
+        "and each one re-evaluates the dict build"
     )
     with pytest.raises(ValueError):
         IX.search_weighted_batch(p, {"bad": ["alpha", "alpha"]})

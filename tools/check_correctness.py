@@ -4,6 +4,11 @@ same parquet dir, compare row count, column names, and
 order-insensitive values (rounded).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py --json OUT.json [sf_dir] [query ...]
+
+--json additionally writes a machine-readable per-query ledger
+({name: {"pass": bool, "rows": int, "err": str|null}}) — the
+committed CORRECTNESS_SELF artifact the round-5 verdict asked for.
 """
 
 from __future__ import annotations
@@ -39,8 +44,13 @@ def norm_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     spark = get_spark(
         "correctness",
         master="local[8]",
@@ -78,6 +88,7 @@ def main():
             finally:
                 c.close()
     n_pass = n_fail = n_rowsonly = 0
+    ledger: dict = {}
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
@@ -87,34 +98,49 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            ledger[name] = {"pass": False, "rows": None, "err": f"spark: {e}"[:200]}
             n_fail += 1
             continue
         if name not in ORACLE_SQL:
             print(f"rows-only {name}: {len(srows)} rows")
+            ledger[name] = {"pass": None, "rows": len(srows), "err": None}
             n_rowsonly += 1
             continue
         try:
             dcols, drows = run_oracle(ORACLE_SQL[name])
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {str(e).splitlines()[0]}")
+            ledger[name] = {"pass": False, "rows": None, "err": f"duckdb: {e}"[:200]}
             n_fail += 1
             continue
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
+        err = None
         if sc != dc:
-            print(f"FAIL {name}: columns {sc} != {dc}")
-            n_fail += 1
+            err = f"columns {sc} != {dc}"
         elif len(sr) != len(dr):
-            print(f"FAIL {name}: rowcount {len(sr)} != {len(dr)}")
-            n_fail += 1
+            err = f"rowcount {len(sr)} != {len(dr)}"
         elif sr != dr:
             diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            print(f"FAIL {name}: values differ, e.g. {diffs}")
+            err = f"values differ, e.g. {diffs}"
+        if err:
+            print(f"FAIL {name}: {err}")
+            ledger[name] = {"pass": False, "rows": len(sr), "err": err[:200]}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(sr)} rows")
+            ledger[name] = {"pass": True, "rows": len(sr), "err": None}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump(
+                {"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                 "queries": ledger},
+                f, indent=1,
+            )
     spark.stop()
     return 1 if n_fail else 0
 
