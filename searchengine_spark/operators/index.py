@@ -510,7 +510,17 @@ def shared_postings(postings: DataFrame, n_parts: int = 32) -> DataFrame:
     never reproduced in any recorded bench and is retracted. The
     first execution of this plan family costs ~2x extra either way
     (python-worker spin-up + codegen), which is what one-shot bench
-    rows mostly measure."""
+    rows mostly measure.
+
+    r6 STATUS: the reuse only holds while the consumer branches stay
+    UN-re-aliased — any self-join/self-union between them makes the
+    analyzer deduplicate relations and the exchange subtrees lose
+    canonical identity (no reuse; measured: the routed search ran its
+    build once per frame). The search family was therefore moved to
+    single-lineage forms (_routed_top2, search_weighted_batch) that
+    need no sharing; this operator remains for simple fan-out shapes
+    (its test pins the mechanics it still guarantees) — see the
+    CLAUDE.md trap addenda."""
     barrier = F.element_at(F.shuffle(F.array(F.lit(True))), 1)
     return postings.repartition(n_parts, "term").where(barrier)
 

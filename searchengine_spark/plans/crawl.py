@@ -1104,37 +1104,42 @@ class CrawlDriver:
 
         # ONE action for every round counter (scheduled + failures fold
         # into the same per-shard digest — the old separate summary agg
-        # was one more job on the round's serial path)
-        stats.per_shard = [
-            {
-                "shard": r["shard"],
-                "scheduled": r["scheduled"],
-                "fetch_failed": r["fetch_failed"],
-                "candidates": r["candidates"],
-                "admitted": r["admitted"],
-                "new_urls": r["new_urls"],
-            }
-            for r in sched_flag.groupBy("shard")
-            .agg(
-                F.count("*").alias("scheduled"),
-                F.sum(F.coalesce(F.col("_failed"), F.lit(0))).alias("fetch_failed"),
-            )
-            .join(adm_shard, "shard", "full_outer")
-            .join(
-                new_rows.groupBy("shard").agg(F.count("*").alias("new_urls")),
-                "shard",
-                "full_outer",
-            )
-            .fillna(0)
-            .collect()
-        ]
-        # totals from the per-shard rows — one action for all counters
-        stats.scheduled = sum(s["scheduled"] for s in stats.per_shard)
-        stats.fetch_failed = int(sum(s["fetch_failed"] for s in stats.per_shard))
-        stats.fetched_ok = stats.scheduled - stats.fetch_failed
-        stats.new_urls = sum(s["new_urls"] for s in stats.per_shard)
-        stats.candidates = sum(s["candidates"] for s in stats.per_shard)
-        stats.admitted = sum(s["admitted"] for s in stats.per_shard)
+        # was one more job on the round's serial path). Runs as a
+        # THUNK so the commit pool below overlaps it with the
+        # docs/hosts commits (its inputs except new_rows are cached
+        # and warm by this point; it is the action that materializes
+        # the new_rows cache for the frontier/seen commits after it).
+        def _digest() -> None:
+            stats.per_shard = [
+                {
+                    "shard": r["shard"],
+                    "scheduled": r["scheduled"],
+                    "fetch_failed": r["fetch_failed"],
+                    "candidates": r["candidates"],
+                    "admitted": r["admitted"],
+                    "new_urls": r["new_urls"],
+                }
+                for r in sched_flag.groupBy("shard")
+                .agg(
+                    F.count("*").alias("scheduled"),
+                    F.sum(F.coalesce(F.col("_failed"), F.lit(0))).alias("fetch_failed"),
+                )
+                .join(adm_shard, "shard", "full_outer")
+                .join(
+                    new_rows.groupBy("shard").agg(F.count("*").alias("new_urls")),
+                    "shard",
+                    "full_outer",
+                )
+                .fillna(0)
+                .collect()
+            ]
+            # totals from the per-shard rows — one action for all counters
+            stats.scheduled = sum(s["scheduled"] for s in stats.per_shard)
+            stats.fetch_failed = int(sum(s["fetch_failed"] for s in stats.per_shard))
+            stats.fetched_ok = stats.scheduled - stats.fetch_failed
+            stats.new_urls = sum(s["new_urls"] for s in stats.per_shard)
+            stats.candidates = sum(s["candidates"] for s in stats.per_shard)
+            stats.admitted = sum(s["admitted"] for s in stats.per_shard)
 
         # ---- commit snapshots; the manifest written LAST is the round's
         # commit point (cross-table atomicity — see TableStore docstring).
@@ -1196,14 +1201,22 @@ class CrawlDriver:
                 v = self.store.compact("seen", v)
             return v
 
-        with ThreadPoolExecutor(max_workers=4) as _pool:
-            _f = {
+        # phase A: docs/hosts commits + the stats digest (inputs all
+        # cached; the digest also materializes new_rows). phase B:
+        # frontier/seen commits, which consume the warm new_rows cache
+        # — sequencing them after the digest avoids three concurrent
+        # first evaluations of the ingest chain.
+        with ThreadPoolExecutor(max_workers=3) as _pool:
+            _fa = {
                 "docs": _pool.submit(_commit_docs),
-                "frontier": _pool.submit(_commit_frontier),
                 "hosts": _pool.submit(_commit_hosts),
+            }
+            _digest()
+            _fb = {
+                "frontier": _pool.submit(_commit_frontier),
                 "seen": _pool.submit(_commit_seen),
             }
-            for _t, _fut in _f.items():
+            for _t, _fut in {**_fa, **_fb}.items():
                 versions[_t] = _fut.result()
         # a round must NOT carry a filter version it did not refresh:
         # seen keeps growing, so a later resume under that structure

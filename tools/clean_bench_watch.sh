@@ -29,13 +29,20 @@ PYEOF
 import json
 r = json.load(open("/tmp/bench_watch_try.json"))
 q = r["queries"]
-clean = (q["search_2term"] < 8 and q["crawl_round"] < 9
-         and q["dedup_minhash"] < 7
+# gates re-tuned to the r6-optimized walls (mid-round clean run:
+# suite 118.7 s — BENCH/r06_mid_suite.json); the dedup segment is now
+# gated too (VERDICT r5 ask #4: dedup_minhash was r5's only apparent
+# regression and needed manual adjudication because the watcher
+# gated crawl/search/index but not dedup)
+clean = (q["search_2term"] < 6 and q["crawl_round"] < 9
+         and q["dedup_minhash"] < 4
+         and q.get("dedup_ngram_jaccard", 0) < 4
+         and q.get("dedup_groups", 0) < 6
          # the index segment is the longest sustained stretch and can
          # be poisoned while the named catalog rows stay clean
          # (adjudicated 2026-08-19: 55 s vs 20.7 s isolated)
-         and q.get("index_full_rebuild", 0) < 30
-         and q.get("index_incremental", 0) < 25)
+         and q.get("index_full_rebuild", 0) < 18
+         and q.get("index_incremental", 0) < 14)
 end = r.get("cpu_canary_end", {})
 end_ok = (end.get("effective_cores", 0) >= 14.5
           and end.get("sleep_overshoot_ms_p90", 99) <= 0.8)
