@@ -1201,23 +1201,6 @@ class CrawlDriver:
                 v = self.store.compact("seen", v)
             return v
 
-        # phase A: docs/hosts commits + the stats digest (inputs all
-        # cached; the digest also materializes new_rows). phase B:
-        # frontier/seen commits, which consume the warm new_rows cache
-        # — sequencing them after the digest avoids three concurrent
-        # first evaluations of the ingest chain.
-        with ThreadPoolExecutor(max_workers=3) as _pool:
-            _fa = {
-                "docs": _pool.submit(_commit_docs),
-                "hosts": _pool.submit(_commit_hosts),
-            }
-            _digest()
-            _fb = {
-                "frontier": _pool.submit(_commit_frontier),
-                "seen": _pool.submit(_commit_seen),
-            }
-            for _t, _fut in {**_fa, **_fb}.items():
-                versions[_t] = _fut.result()
         # a round must NOT carry a filter version it did not refresh:
         # seen keeps growing, so a later resume under that structure
         # would trust a table that lags the pinned seen set and mark
@@ -1226,33 +1209,66 @@ class CrawlDriver:
         # the no-filter round AND a bloom<->cuckoo switch.
         for t in ("bloom", "cuckoo"):
             versions.pop(t, None)
-        if cfg.use_bloom:
-            ftab = filter_table_name(cfg)
-            versions[ftab] = self.store.commit(ftab, blocks2, meta=meta)
 
-        stats.wall_sec = time.time() - t0
-        metrics_rows = [
-            (
-                round_no,
-                int(s["shard"]) if s["shard"] is not None else -1,
-                int(s["scheduled"]),
-                int(s["candidates"]),
-                int(s["admitted"]),
-                int(s["new_urls"]),
-                float(stats.wall_sec),
+        def _commit_bloom() -> int:
+            return self.store.commit(filter_table_name(cfg), blocks2, meta=meta)
+
+        def _commit_metrics() -> int:
+            # wall_sec in the metrics ROW is captured at digest time —
+            # the round's compute wall; the commit tail it can no longer
+            # include is visible in the caller's RoundStats.wall_sec.
+            # Nothing downstream consumes the column (telemetry only).
+            wall = time.time() - t0
+            metrics_rows = [
+                (
+                    round_no,
+                    int(s["shard"]) if s["shard"] is not None else -1,
+                    int(s["scheduled"]),
+                    int(s["candidates"]),
+                    int(s["admitted"]),
+                    int(s["new_urls"]),
+                    float(wall),
+                )
+                for s in stats.per_shard
+            ] or [(round_no, -1, 0, 0, 0, 0, float(wall))]
+            metrics_df = spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
+            v = self.store.commit(
+                "metrics",
+                metrics_df,
+                mode="append",
+                meta=meta,
+                base_version=pinned.get("metrics", 0),
             )
-            for s in stats.per_shard
-        ] or [(round_no, -1, 0, 0, 0, 0, float(stats.wall_sec))]
-        metrics_df = spark.createDataFrame(metrics_rows, METRICS_SCHEMA)
-        versions["metrics"] = self.store.commit(
-            "metrics",
-            metrics_df,
-            mode="append",
-            meta=meta,
-            base_version=pinned.get("metrics", 0),
-        )
-        if self.store.chain_length("metrics", versions["metrics"]) >= COMPACT_CHAIN:
-            versions["metrics"] = self.store.compact("metrics", versions["metrics"])
+            if self.store.chain_length("metrics", v) >= COMPACT_CHAIN:
+                v = self.store.compact("metrics", v)
+            return v
+
+        # phase A: docs/hosts commits + the stats digest (inputs all
+        # cached; the digest also materializes new_rows). phase B:
+        # frontier/seen commits, which consume the warm new_rows cache
+        # — sequencing them after the digest avoids three concurrent
+        # first evaluations of the ingest chain. The bloom-blocks and
+        # metrics commits are independent of the other tables and join
+        # phase B (r6 follow-up: they previously ran serially after the
+        # pool, adding ~1 s of unoverlapped tail per round); the
+        # manifest, written LAST on this thread, remains the round's
+        # only commit point.
+        with ThreadPoolExecutor(max_workers=4) as _pool:
+            _fa = {
+                "docs": _pool.submit(_commit_docs),
+                "hosts": _pool.submit(_commit_hosts),
+            }
+            _digest()
+            _fb = {
+                "frontier": _pool.submit(_commit_frontier),
+                "seen": _pool.submit(_commit_seen),
+                "metrics": _pool.submit(_commit_metrics),
+            }
+            if cfg.use_bloom:
+                _fb[filter_table_name(cfg)] = _pool.submit(_commit_bloom)
+            for _t, _fut in {**_fa, **_fb}.items():
+                versions[_t] = _fut.result()
+        stats.wall_sec = time.time() - t0
         self.store.commit_manifest(round_no, versions)
 
         docs_new.unpersist()

@@ -166,7 +166,18 @@ class SearchService:
         docs = self._docs_pinned()
         sections = doc_sections(docs)
         stream = tokenize_sections(sections, blocks_col="blocks").persist()
-        pr = rank_docs(docs).withColumnRenamed("url_md5", "doc_id")
+        pr = rank_docs(docs).withColumnRenamed("url_md5", "doc_id").persist()
+        # materialize the token stream and the PageRank factor as two
+        # CONCURRENT jobs (guide §2.6): they are independent until the
+        # final normalization join, but inside one action the PageRank
+        # loop's mid-loop localCheckpoint would serialize the whole
+        # text pass behind the (latency-bound) graph sweeps. Same
+        # frames, same lineage — only the materialization overlaps.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_stream = pool.submit(stream.count)
+            f_pr = pool.submit(pr.count)
+            f_stream.result()
+            f_pr.result()
         unsorted = build_weighted_postings(
             sections,
             page_rank=pr,
@@ -174,7 +185,7 @@ class SearchService:
             token_stream=stream,
             sorted_output=False,
         ).persist()
-        unsorted.count()  # materialize stream+unsorted once, up front
+        unsorted.count()  # agg+window+factor join over the warm caches
         self._postings = (
             unsorted.repartitionByRange(8, "term")
             .sortWithinPartitions("term", "rank", "doc_id")
@@ -206,6 +217,7 @@ class SearchService:
                 f.result()
         stream.unpersist()
         unsorted.unpersist()
+        pr.unpersist()
 
     def refresh_incremental(self) -> None:
         """Refresh by re-indexing ONLY crawl rounds newer than the last
@@ -301,22 +313,45 @@ class SearchService:
                     {"kind": "index_base", "indexed_round": max_round},
                 )
             )
+        pr_round = int(self.store.pointer_meta("doc_pr").get("indexed_round", -2))
+        need_pr = new_rounds or pr_round != max_round
+
+        def _compute_ranks() -> DataFrame:
+            # runs after the links_base commit (same lineage as before:
+            # edges read from the COMMITTED table) but CONCURRENTLY with
+            # the other base-delta commits (guide §2.6) — the graph
+            # sweeps are latency-bound and back-fill the text commits'
+            # straggler tails. Materialized via persist+count so the
+            # doc_pr commit (kept AFTER every base append — the crash
+            # marker contract) only writes warm rows.
+            edges = edges_from_links(self.store.read("links_base"), docs)
+            nodes = docs.select(F.col("url_md5").alias("node")).distinct()
+            ranks = pagerank(edges, nodes, n_iter=PAGERANK_ITERS).persist()
+            ranks.count()
+            return ranks
+
+        f_ranks = None
         if jobs:
-            with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as pool:
-                futs = [
-                    pool.submit(self.store.commit, t, df, mode=m, meta=me)
+            with ThreadPoolExecutor(max_workers=min(5, len(jobs) + 1)) as pool:
+                futs = {
+                    t: pool.submit(self.store.commit, t, df, mode=m, meta=me)
                     for t, df, m, me in jobs
-                ]
-                for f in futs:
+                }
+                if need_pr:
+                    if "links_base" in futs:
+                        futs["links_base"].result()
+                    f_ranks = pool.submit(_compute_ranks)
+                for f in futs.values():
                     f.result()
+                if f_ranks is not None:
+                    f_ranks = f_ranks.result()
             for t, _df, _m, _me in jobs:
                 if self.store.chain_length(t) >= INDEX_COMPACT_CHAIN:
                     self.store.compact(t)
-        pr_round = int(self.store.pointer_meta("doc_pr").get("indexed_round", -2))
-        if new_rounds or pr_round != max_round:
-            edges = edges_from_links(self.store.read("links_base"), docs)
-            nodes = docs.select(F.col("url_md5").alias("node")).distinct()
-            ranks = pagerank(edges, nodes, n_iter=PAGERANK_ITERS)
+        elif need_pr:
+            f_ranks = _compute_ranks()
+        if need_pr:
+            ranks = f_ranks
             self.store.commit(
                 "doc_pr",
                 ranks.select(
@@ -324,6 +359,7 @@ class SearchService:
                 ),
                 meta={"kind": "index", "indexed_round": max_round},
             )
+            ranks.unpersist()
             pr_round = max_round
         self._postings = factor_postings(
             self.store.read("postings_base"), self.store.read("doc_pr")
