@@ -167,17 +167,23 @@ class SearchService:
         sections = doc_sections(docs)
         stream = tokenize_sections(sections, blocks_col="blocks").persist()
         pr = rank_docs(docs).withColumnRenamed("url_md5", "doc_id").persist()
-        # materialize the token stream and the PageRank factor as two
-        # CONCURRENT jobs (guide §2.6): they are independent until the
-        # final normalization join, but inside one action the PageRank
-        # loop's mid-loop localCheckpoint would serialize the whole
-        # text pass behind the (latency-bound) graph sweeps. Same
-        # frames, same lineage — only the materialization overlaps.
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_stream = pool.submit(stream.count)
-            f_pr = pool.submit(pr.count)
-            f_stream.result()
-            f_pr.result()
+        self._anchors = self._build_anchor_index(docs).cache()
+        # materialize the token stream, the PageRank factor and the
+        # anchor index as CONCURRENT jobs (guide §2.6): all three are
+        # independent (the anchor build reads only docs spans), but
+        # inside one action the PageRank loop's mid-loop
+        # localCheckpoint would serialize the whole text pass behind
+        # the (latency-bound) graph sweeps, and the anchor parse was
+        # the commit pool's longest pole. Same frames, same lineage —
+        # only the materialization overlaps.
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            futs = [
+                pool.submit(stream.count),
+                pool.submit(pr.count),
+                pool.submit(self._anchors.count),
+            ]
+            for f in futs:
+                f.result()
         unsorted = build_weighted_postings(
             sections,
             page_rank=pr,
@@ -196,7 +202,8 @@ class SearchService:
         self._meta = docs.select(
             F.col("url_md5").alias("doc_id"), "url", "host"
         ).cache()
-        self._anchors = self._build_anchor_index(docs).cache()
+        # (self._anchors was built and materialized in the concurrent
+        # phase above — its commit below writes from the warm cache)
         meta = {"kind": "index"}
         a_meta = {"kind": "index", "docs_version": self._docs_version()}
         with ThreadPoolExecutor(max_workers=3) as pool:
