@@ -14,7 +14,9 @@ available backend:
   semantically without this file going red.
 
 Jar acquisition was verified IMPOSSIBLE in this sandbox (probed
-2026-08-18): no runtime jar on disk (none of the 287 jars in
+2026-08-18; re-probed 2026-08-22 in the optimization round — DNS for
+repo1.maven.org still unresolvable, still zero iceberg jars on disk):
+no runtime jar on disk (none of the 287 jars in
 pyspark/jars is Iceberg; a filesystem-wide `find -name '*iceberg*'`
 hits only this test), and no network path to fetch one — DNS
 resolution itself fails (`getent hosts repo1.maven.org` -> no
