@@ -197,7 +197,12 @@ class SearchService:
             .sortWithinPartitions("term", "rank", "doc_id")
             .cache()
         )
-        self._small = build_small_postings(self._postings, pos_col="pos").cache()
+        # small dict from the UNSORTED persisted frame: same rows as the
+        # sorted postings, and build_small_postings is an argmin-struct
+        # aggregate — input order cannot change its pick — so the small
+        # commit no longer waits behind the postings range-sort commit
+        # and all four table commits overlap fully (guide §2.6)
+        self._small = build_small_postings(unsorted, pos_col="pos").cache()
         self._tokens = stream.select("doc_id", "word", "position").cache()
         self._meta = docs.select(
             F.col("url_md5").alias("doc_id"), "url", "host"
@@ -206,21 +211,16 @@ class SearchService:
         # phase above — its commit below writes from the warm cache)
         meta = {"kind": "index"}
         a_meta = {"kind": "index", "docs_version": self._docs_version()}
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            f_post = pool.submit(
-                self.store.commit, "postings", self._postings, meta=meta
-            )
-            f_tok = pool.submit(
-                self.store.commit, "tokens", self._tokens, meta=meta
-            )
-            f_anc = pool.submit(
-                self.store.commit, "anchors", self._anchors, meta=a_meta
-            )
-            f_post.result()  # _small reads the materialized _postings cache
-            f_small = pool.submit(
-                self.store.commit, "postings_small", self._small, meta=meta
-            )
-            for f in (f_tok, f_anc, f_small):
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(self.store.commit, "postings", self._postings, meta=meta),
+                pool.submit(self.store.commit, "tokens", self._tokens, meta=meta),
+                pool.submit(self.store.commit, "anchors", self._anchors, meta=a_meta),
+                pool.submit(
+                    self.store.commit, "postings_small", self._small, meta=meta
+                ),
+            ]
+            for f in futs:
                 f.result()
         stream.unpersist()
         unsorted.unpersist()
