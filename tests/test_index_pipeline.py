@@ -70,6 +70,28 @@ def test_build_index_rank_weighted(crawled):
     assert set(p) == set(w)
 
 
+def test_small_postings_input_order_insensitive(crawled):
+    """refresh() builds the small dict from the UNSORTED postings frame
+    so its commit runs beside (not behind) the range-sort commit — safe
+    only while build_small_postings' pick ignores input order. Pin
+    that: the argmin-struct pick over the term-sorted frame and over a
+    deliberately re-shuffled permutation of the same rows must be
+    row-identical."""
+    from searchengine_spark.operators.index import build_small_postings
+
+    docs = crawled.store.read("docs")
+    unsorted = build_index(docs, with_pagerank=True)
+    sorted_p = unsorted.repartitionByRange(4, "term").sortWithinPartitions(
+        "term", "rank", "doc_id"
+    )
+    shuffled = unsorted.repartition(7, "doc_id")  # a third, arbitrary layout
+    key = lambda r: (r["sterm"], r["doc_id"], r["pos"], r["rank"])
+    a = sorted(map(key, build_small_postings(unsorted, pos_col="pos").collect()))
+    b = sorted(map(key, build_small_postings(sorted_p, pos_col="pos").collect()))
+    c = sorted(map(key, build_small_postings(shuffled, pos_col="pos").collect()))
+    assert a == b == c and len(a) > 0
+
+
 def test_search_service_end_to_end(crawled):
     svc = SearchService(crawled.store)
     svc.refresh()
